@@ -1,0 +1,63 @@
+"""Vectorized LEB128 (unsigned varint) codec on numpy arrays.
+
+The reference delegates posting-list compression to Solr/Lucene
+(SURVEY.md §1.1 "Posting list"); we own it. Pure-Python varint is far too
+slow at 1e8+ postings, so both directions are numpy-vectorized:
+
+- encode: byte-count per value via threshold search, then <=10 masked
+  passes (one per byte position) writing payload+continuation bits.
+- decode: terminator mask -> group starts -> per-byte shift via
+  ``arange - repeat(starts)`` -> ``np.add.reduceat``.
+
+Throughput is tens of millions of values per second per core, which keeps
+codec time well under tokenize/shuffle time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# thresholds[i] = first value needing more than i+1 bytes
+_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints (< 2**63) as LEB128 bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = (np.searchsorted(_THRESHOLDS, v, side="right") + 1).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nbytes.max())
+    for k in range(max_nb):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > k
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array.
+
+    ``count`` (if given) is validated against the decoded length.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term = (b & 0x80) == 0
+    n = int(term.sum())
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    if n > 1:
+        starts[1:] = np.flatnonzero(term)[:-1] + 1
+    lengths = np.diff(np.append(starts, b.size))
+    shifts = (np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)).astype(np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * shifts)
+    vals = np.add.reduceat(contrib, starts)
+    if count is not None and vals.size != count:
+        raise ValueError(f"varint stream decoded {vals.size} values, expected {count}")
+    return vals

@@ -1,0 +1,47 @@
+"""Engine configuration.
+
+All constants that affect on-disk artifacts are fixed here so that segment
+bytes are a pure function of (input, config) — never of the parallelism
+level. This is the determinism contract the reference got for free from
+DB-precomputed ordinals (SURVEY.md §2.7 O1; GxdResultIndexer.java:860-891).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- BM25 scoring (Lucene-style, always-positive idf) ---
+    k1: float = 0.9
+    b: float = 0.4
+
+    # --- posting layout ---
+    block_size: int = 128          # postings per skip/block-max block
+    n_buckets: int = 32            # segment files (groupby key space). Fixed —
+                                   # NOT derived from cluster size, so segment
+                                   # bytes are parallelism-invariant.
+
+    # --- skew handling (SURVEY.md §7.3: salt hot terms) ---
+    # A term is "hot" when its sampled document frequency exceeds
+    # hot_df_ratio of sampled docs; its postings are then sharded by the top
+    # `shard_bits` bits of doc_id (doc-range sharding -> shards concatenate
+    # in shard order with strictly ascending docIDs, no second merge pass).
+    hot_df_ratio: float = 0.10
+    shard_bits: int = 5            # 32 shards per hot term
+    hot_sample_target: int = 50_000  # deterministic hash-sample size for hot-term detection
+
+    # --- dedup ---
+    dedup_buckets: int = 512       # url-hash buckets for exact first-wins dedup
+
+    # --- execution knobs (do NOT affect artifact bytes) ---
+    batch_size: int = 256          # docs per tokenizer batch (html can be wide)
+    extract_concurrency: int | None = None   # None -> stateless tasks sized by Ray
+    min_rows_per_file: int = 100_000
+
+    def shard_of(self, doc_id: int) -> int:
+        return doc_id >> (63 - self.shard_bits)
+
+
+DEFAULT_CONFIG = IndexConfig()

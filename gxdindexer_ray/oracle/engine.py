@@ -1,0 +1,101 @@
+"""Deliberately simple single-process oracle: extract -> tokenize -> index ->
+BM25, no Ray. The distributed engine must match it exactly (SURVEY.md §5):
+byte-identical text per url, identical (df, cf, postings) per term,
+rank-identical top-k docIDs and scores.
+
+Kept primitive on purpose (dicts + lists + scalar loops) so it is obviously
+correct and shares no execution machinery with the Ray engine. Only the
+frozen *specs* are shared: extract_text, tokenize, doc_id_of, and the BM25
+formula (sharing the formula is what makes score identity a meaningful,
+testable contract rather than a tolerance check).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from ..index.docid import doc_id_of
+from ..query.bm25 import idf, tf_factor
+from ..text.extract import extract_text
+from ..text.tokenize import tokenize
+
+
+class OracleIndex:
+    def __init__(self, k1: float = 0.9, b: float = 0.4):
+        self.k1 = k1
+        self.b = b
+        self.docs: dict[int, tuple[str, int]] = {}  # doc_id -> (url, dl)
+        self.text_by_url: dict[str, str] = {}
+        self.postings: dict[str, dict[int, int]] = {}  # term -> {doc_id: tf}
+        self.N = 0
+        self.total_dl = 0
+
+    # --- build ---------------------------------------------------------
+    @classmethod
+    def build_from_pages(cls, pages_dir: str | Path, k1: float = 0.9, b: float = 0.4) -> "OracleIndex":
+        rows: list[tuple[str, int, bytes | None]] = []
+        import pyarrow as pa
+
+        for f in sorted(Path(pages_dir).glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "warc_ts", "html"])
+            ts_us = t["warc_ts"].cast(pa.int64()).to_pylist()
+            for url, ts, html in zip(t["url"].to_pylist(), ts_us, t["html"].to_pylist()):
+                rows.append((url, ts, html))
+        return cls.build_from_rows(rows, k1=k1, b=b)
+
+    @classmethod
+    def build_from_rows(cls, rows, k1: float = 0.9, b: float = 0.4) -> "OracleIndex":
+        """rows: iterable of (url, warc_ts_us:int, html:bytes|None)."""
+        # exact dedup, first-wins: min (warc_ts, html-bytes) per url —
+        # the total order both engines implement (D3, SURVEY.md §2.8)
+        best: dict[str, tuple[int, bytes]] = {}
+        for url, ts, html in rows:
+            key = (ts, html if html is not None else b"")
+            if url not in best or key < best[url]:
+                best[url] = key
+        ix = cls(k1=k1, b=b)
+        for url, (ts, html) in best.items():
+            text = extract_text(html)
+            ix.text_by_url[url] = text
+            did = doc_id_of(url)
+            toks = tokenize(text)
+            dl = len(toks)
+            ix.docs[did] = (url, dl)
+            ix.N += 1
+            ix.total_dl += dl
+            for term, tf in Counter(toks).items():
+                ix.postings.setdefault(term, {})[did] = tf
+        return ix
+
+    # --- derived artifacts ---------------------------------------------
+    @property
+    def avgdl(self) -> float:
+        return self.total_dl / self.N if self.N else 0.0
+
+    def term_stats(self) -> dict[str, tuple[int, int]]:
+        """term -> (df, cf)."""
+        return {t: (len(p), sum(p.values())) for t, p in self.postings.items()}
+
+    def sorted_postings(self, term: str) -> list[tuple[int, int, int]]:
+        """[(doc_id, tf, dl)] ascending by doc_id."""
+        p = self.postings.get(term, {})
+        return sorted((d, tf, self.docs[d][1]) for d, tf in p.items())
+
+    # --- query ----------------------------------------------------------
+    def topk(self, query: str, k: int) -> list[tuple[int, float]]:
+        terms = sorted(set(tokenize(query)))
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            w = idf(self.N, len(plist))
+            for did, tf in plist.items():
+                dl = self.docs[did][1]
+                s = w * tf_factor(float(tf), float(dl), self.k1, self.b, self.avgdl)
+                scores[did] = scores.get(did, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

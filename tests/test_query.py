@@ -1,0 +1,102 @@
+"""WAND and brute scorers vs the oracle: rank-identical docIDs and
+bit-identical scores, including the sharded hot-term path."""
+
+import numpy as np
+import pytest
+
+from gxdindexer_ray.codecs.postings import PostingList, encode_postings
+from gxdindexer_ray.config import IndexConfig
+from gxdindexer_ray.fixtures import generate_queries
+from gxdindexer_ray.fixtures.pages import HOT_TERM
+from gxdindexer_ray.query.brute import brute_force_topk
+from gxdindexer_ray.query.wand import block_max_wand_topk
+
+CFG = IndexConfig()
+
+
+def _encode_term_rows(ix, term, shard_terms):
+    """Encode a term's oracle postings as segment rows (sharded if hot)."""
+    plist = ix.sorted_postings(term)
+    docs = np.array([d for d, _, _ in plist], dtype=np.uint64)
+    tfs = np.array([t for _, t, _ in plist], dtype=np.uint64)
+    dls = np.array([l for _, _, l in plist], dtype=np.uint64)
+    rows = []
+    if term in shard_terms:
+        shards = docs >> np.uint64(63 - CFG.shard_bits)
+        for s in np.unique(shards):
+            m = shards == s
+            row = encode_postings(
+                PostingList(docs[m], tfs[m], dls[m]),
+                block_size=CFG.block_size, avgdl=ix.avgdl, k1=CFG.k1, b=CFG.b,
+            )
+            row["term"] = term
+            row["shard"] = int(s)
+            rows.append(row)
+    else:
+        row = encode_postings(
+            PostingList(docs, tfs, dls),
+            block_size=CFG.block_size, avgdl=ix.avgdl, k1=CFG.k1, b=CFG.b,
+        )
+        row["term"] = term
+        row["shard"] = 0
+        rows.append(row)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def encoded(oracle_1k):
+    ix = oracle_1k
+    shard_terms = {t for t, (df, _) in ix.term_stats().items() if df > ix.N * CFG.hot_df_ratio}
+    assert HOT_TERM in shard_terms
+    store = {t: _encode_term_rows(ix, t, shard_terms) for t in ix.postings}
+    return ix, store
+
+
+def _rows_for(store, query_terms):
+    return {t: store[t] for t in query_terms if t in store}
+
+
+def test_scorers_match_oracle_on_query_set(encoded):
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    ix, store = encoded
+    queries = generate_queries(60, seed=42).to_pylist()
+    checked = 0
+    for q in queries:
+        terms = sorted(set(tokenize(q["query"])))
+        tr = _rows_for(store, terms)
+        expected = ix.topk(q["query"], q["k"])
+        kw = dict(N=ix.N, avgdl=ix.avgdl, k1=CFG.k1, b=CFG.b,
+                  block_size=CFG.block_size, k=q["k"])
+        got_brute = brute_force_topk(tr, **kw)
+        got_wand = block_max_wand_topk(tr, **kw)
+        assert got_brute == expected, f"brute mismatch q={q}"
+        assert got_wand == expected, f"wand mismatch q={q}"
+        if expected:
+            checked += 1
+    assert checked > 40  # most queries hit something
+
+
+def test_wand_equals_brute_random_corpora():
+    """Property-style: random small corpora, all scorer paths agree."""
+    from gxdindexer_ray.oracle import OracleIndex
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(30)]
+    for trial in range(5):
+        rows = []
+        for i in range(200):
+            n = int(rng.integers(0, 40))
+            body = " ".join(rng.choice(vocab, size=n)) if n else ""
+            html = f"<p>{body}</p>".encode()
+            rows.append((f"http://x/{trial}/{i}", i, html))
+        ix = OracleIndex.build_from_rows(rows)
+        shard_terms = {t for t, (df, _) in ix.term_stats().items() if df > ix.N * 0.3}
+        store = {t: _encode_term_rows(ix, t, shard_terms) for t in ix.postings}
+        for qterms in (["t0"], ["t1", "t2"], ["t3", "t4", "t5", "t29"], ["missing"]):
+            for k in (1, 7, 1000):
+                expected = ix.topk(" ".join(qterms), k)
+                tr = _rows_for(store, sorted(set(qterms)))
+                kw = dict(N=ix.N, avgdl=ix.avgdl, k1=0.9, b=0.4, block_size=128, k=k)
+                assert brute_force_topk(tr, **kw) == expected
+                assert block_max_wand_topk(tr, **kw) == expected
