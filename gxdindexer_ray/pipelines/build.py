@@ -1,0 +1,262 @@
+"""The flagship pipeline: pages parquet -> inverted index segments.
+
+Phase structure (each phase seals an atomic manifest; a re-run with the same
+input fingerprint + config skips completed phases — the checkpoint-resume
+the reference lacks, see state/manifest.py):
+
+  P0 docstore : read pages -> in-batch pre-dedup -> doc-range-bucketed exact
+                url dedup (first-wins by (warc_ts, html)) -> HTML extract ->
+                docID + doc length -> docs/ parquet (doc_id-range clustered)
+  P1 stats    : columnar scan of dl only -> N, avgdl -> stats.json
+  P2 hotterms : deterministic doc_id hash-sample -> sampled df -> hot set
+  P3 segments : tokenize + SPIMI partials (actor pool, hot set broadcast)
+                -> groupby(bucket) shuffle -> BucketMerger -> segment files
+                + per-bucket lineage rows -> segments_manifest.json
+
+Reference parity: this is GxdResultIndexer.index()'s scan->derive->write
+spine (GxdResultIndexer.java:935-1266) with the index build internalized
+instead of delegated to Solr. Scale notes are inline per stage.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, IndexConfig
+from ..index.docid import doc_id_column
+from ..index.merge import BucketMerger, MANIFEST_SCHEMA
+from ..index.spimi import SpimiPartialBuilder
+from ..state.manifest import PhaseManifest, atomic_write_json, config_key, fingerprint_inputs, read_json
+from ..text.extract import extract_column
+from ..text.tokenize import doc_term_counts
+
+DOCSTORE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("lang", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("dl", pa.int64()),
+    ]
+)
+
+_DEDUP_RANGE_BITS = 9  # 512 doc-range dedup buckets -> docstore files are
+                       # doc_id-range clustered (parquet stats prune lookups)
+
+
+def _prededup_batch(batch: pa.Table) -> pa.Table:
+    """Assign doc_id + drop in-batch duplicate urls (keep min (warc_ts, html)).
+
+    Arrow-native: no pandas conversion, html stays zero-copy binary."""
+    batch = batch.combine_chunks()
+    batch = batch.append_column("doc_id", doc_id_column(batch["url"]))
+    order = pc.sort_indices(
+        batch,
+        sort_keys=[("url", "ascending"), ("warc_ts", "ascending"), ("html", "ascending")],
+        null_placement="at_start",  # null html sorts first = smallest, matches oracle b""
+    )
+    batch = batch.take(order)
+    urls = batch["url"].combine_chunks()
+    n = len(urls)
+    if n <= 1:
+        first = pa.array([True] * n)
+    else:
+        same_as_prev = pc.equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
+        first = pa.concat_arrays([pa.array([True]), pc.invert(same_as_prev)])
+    batch = batch.filter(first)
+    rb = (batch["doc_id"].to_numpy(zero_copy_only=False) >> (63 - _DEDUP_RANGE_BITS)).astype(np.int32)
+    return batch.append_column("range_bucket", pa.array(rb, pa.int32()))
+
+
+def _dedup_group(group: pa.Table) -> pa.Table:
+    """Exact first-wins dedup within a doc-range bucket (D3, SURVEY.md §2.8)."""
+    return _strip(_prededup_batch(group.drop_columns(["doc_id", "range_bucket"])))
+
+
+def _strip(t: pa.Table) -> pa.Table:
+    return t.drop_columns(["range_bucket"]) if "range_bucket" in t.column_names else t
+
+
+def _extract_stage(batch: pa.Table) -> pa.Table:
+    """HTML -> text (frozen spec v1) + doc length; html dropped immediately
+    after extraction so the wide binary column never crosses another stage."""
+    text = extract_column(batch["html"])
+    _, doc_idx, _, tf = doc_term_counts(text)
+    dl = np.zeros(len(text), dtype=np.int64)
+    if doc_idx.size:
+        np.add.at(dl, doc_idx, tf)
+    out = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "text": text,
+            "dl": pa.array(dl, pa.int64()),
+        },
+        schema=DOCSTORE_SCHEMA,
+    )
+    return out
+
+
+def build_index(
+    pages_dir: str | Path,
+    out_dir: str | Path,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    *,
+    resume: bool = True,
+    parallelism: int | None = None,
+) -> dict:
+    """Build the full index; returns the metrics dict (also metrics.json)."""
+    pages_dir, out = Path(pages_dir), Path(out_dir)
+    input_files = sorted(str(p) for p in pages_dir.glob("*.parquet"))
+    if not input_files:
+        raise FileNotFoundError(f"no parquet files in {pages_dir}")
+    key = fingerprint_inputs(input_files) + "-" + config_key(cfg)
+    out.mkdir(parents=True, exist_ok=True)
+    docs_dir = out / "docs"
+    segments_dir = out / "segments"
+    metrics: dict = {"phases": {}}
+
+    # ---------------- P0: docstore ------------------------------------
+    p0 = PhaseManifest(out, "docstore", key)
+    t0 = time.perf_counter()
+    if not (resume and p0.is_complete()):
+        ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"])
+        ds = ds.map_batches(_prededup_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+        # Scale note: this groupby ships full rows (html included) — the
+        # price of exact dedup on unpartitioned input. On re-crawls whose
+        # storage is already url-range-partitioned, dedup stays map-side.
+        ds = ds.groupby("range_bucket").map_groups(_dedup_group, batch_format="pyarrow")
+        ds = ds.map_batches(_extract_stage, batch_format="pyarrow", batch_size=cfg.batch_size)
+        import shutil
+
+        tmp_docs = out / ".docs.tmp"
+        if tmp_docs.exists():
+            shutil.rmtree(tmp_docs)
+        if docs_dir.exists():
+            shutil.rmtree(docs_dir)
+        ds.write_parquet(str(tmp_docs), compression="zstd", min_rows_per_file=cfg.min_rows_per_file)
+        tmp_docs.rename(docs_dir)
+        p0.seal(files=len(list(docs_dir.glob("*.parquet"))))
+    metrics["phases"]["docstore"] = round(time.perf_counter() - t0, 3)
+
+    doc_files = sorted(str(p) for p in docs_dir.glob("*.parquet"))
+
+    # ---------------- P1: corpus stats --------------------------------
+    p1 = PhaseManifest(out, "stats", key)
+    t0 = time.perf_counter()
+    stats_path = out / "stats.json"
+    if not (resume and p1.is_complete()):
+        dls = rd.read_parquet(doc_files, columns=["dl"])
+        N = int(dls.count())
+        total_dl = int(dls.sum("dl") or 0)
+        stats = {
+            "N": N,
+            "total_dl": total_dl,
+            "avgdl": (total_dl / N) if N else 0.0,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "block_size": cfg.block_size,
+        }
+        atomic_write_json(stats_path, stats)
+        p1.seal(**stats)
+    stats = read_json(stats_path)
+    metrics["phases"]["stats"] = round(time.perf_counter() - t0, 3)
+
+    # ---------------- P2: hot-term detection --------------------------
+    # Deterministic hash-sample: doc_id < cut. Partition-invariant, so the
+    # hot set (and therefore segment bytes) never depends on parallelism.
+    p2 = PhaseManifest(out, "hotterms", key)
+    t0 = time.perf_counter()
+    hot_path = out / "hot_terms.json"
+    if not (resume and p2.is_complete()):
+        N = max(1, stats["N"])
+        frac = min(1.0, cfg.hot_sample_target / N)
+        cut = min(int((1 << 63) * frac), (1 << 63) - 1)
+        sample = rd.read_parquet(doc_files, columns=["doc_id", "text"],
+                                 filter=pc.field("doc_id") < cut)
+
+        def _sample_df(batch: pa.Table) -> pa.Table:
+            # df per term = count of distinct (doc, term) pairs in the batch
+            vocab, _, codes, _ = doc_term_counts(batch["text"])
+            df = np.bincount(codes, minlength=len(vocab)).astype(np.int64) if codes.size else np.empty(0, np.int64)
+            tbl = pa.table({"term": vocab, "df": pa.array(df, pa.int64())})
+            meta = pa.table({"term": pa.array(["\x00__sampled_docs__"]),
+                             "df": pa.array([batch.num_rows], pa.int64())})
+            return pa.concat_tables([tbl, meta])
+
+        sdf = sample.map_batches(_sample_df, batch_format="pyarrow", batch_size=1024)
+        from collections import Counter
+
+        counts: Counter = Counter()
+        sampled_docs = 0
+        for b in sdf.iter_batches(batch_format="pyarrow"):
+            for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+                if term == "\x00__sampled_docs__":
+                    sampled_docs += df
+                else:
+                    counts[term] += df
+        hot = sorted(t for t, c in counts.items() if sampled_docs and c / sampled_docs > cfg.hot_df_ratio)
+        atomic_write_json(hot_path, {"hot_terms": hot, "sampled_docs": sampled_docs})
+        p2.seal(n_hot=len(hot), sampled_docs=sampled_docs)
+    hot_terms = read_json(hot_path)["hot_terms"]
+    metrics["phases"]["hotterms"] = round(time.perf_counter() - t0, 3)
+
+    # ---------------- P3: SPIMI partials -> shuffle -> merged segments -
+    p3 = PhaseManifest(out, "segments", key)
+    t0 = time.perf_counter()
+    seg_manifest_path = out / "segments_manifest.json"
+    if not (resume and p3.is_complete()):
+        hot_ref = ray.put(hot_terms)
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        pool = cfg.extract_concurrency or (1, max(2, ncpu))
+        docs = rd.read_parquet(doc_files, columns=["doc_id", "text"])
+        partials = docs.map_batches(
+            SpimiPartialBuilder,
+            fn_constructor_kwargs={"hot_terms_ref": hot_ref, "cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=pool,
+        )
+        merger = BucketMerger(segments_dir=str(segments_dir), avgdl=stats["avgdl"], cfg=cfg)
+
+        def merge_bucket(group: pa.Table) -> pa.Table:
+            return merger(group)
+
+        merged = partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+        rows = merged.take_all()
+        rows.sort(key=lambda r: r["bucket"])
+        atomic_write_json(seg_manifest_path, {"buckets": rows})
+        p3.seal(
+            n_buckets=len(rows),
+            n_postings=sum(r["n_postings"] for r in rows),
+            bytes_shuffled=sum(r["bytes_in"] for r in rows),
+            bytes_segments=sum(r["bytes_out"] for r in rows),
+        )
+    metrics["phases"]["segments"] = round(time.perf_counter() - t0, 3)
+
+    seg_manifest = read_json(seg_manifest_path)
+    metrics.update(
+        N=stats["N"],
+        avgdl=stats["avgdl"],
+        n_hot_terms=len(hot_terms),
+        n_postings=sum(r["n_postings"] for r in seg_manifest["buckets"]),
+        bytes_shuffled=sum(r["bytes_in"] for r in seg_manifest["buckets"]),
+        bytes_segments=sum(r["bytes_out"] for r in seg_manifest["buckets"]),
+    )
+    total = sum(metrics["phases"].values())
+    metrics["wall_sec"] = round(total, 3)
+    metrics["docs_per_sec"] = round(stats["N"] / total, 1) if total else None
+    metrics["postings_per_sec"] = round(metrics["n_postings"] / total, 1) if total else None
+    atomic_write_json(out / "metrics.json", metrics)
+    return metrics

@@ -1,0 +1,117 @@
+"""End-to-end Ray build vs the single-process oracle (SURVEY.md §5 gates):
+(a) byte-identical extracted text per url, (b) identical (df, cf, postings)
+per term, (c) rank-identical top-k docIDs and scores."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from gxdindexer_ray.codecs.postings import decode_postings
+from gxdindexer_ray.config import IndexConfig
+from gxdindexer_ray.fixtures import generate_queries
+from gxdindexer_ray.fixtures.pages import HOT_TERM
+
+CFG = IndexConfig()
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, pages_1k, tmp_path_factory):
+    from gxdindexer_ray.pipelines import build_index
+
+    out = tmp_path_factory.mktemp("index") / "ix1k"
+    metrics = build_index(pages_1k, out, CFG)
+    return out, metrics
+
+
+def test_metrics_shape(built):
+    _, m = built
+    assert m["N"] > 900
+    assert m["n_postings"] > 10_000
+    assert m["bytes_shuffled"] > 0
+    assert m["n_hot_terms"] >= 1
+
+
+def test_text_byte_identical(built, oracle_1k):
+    out, _ = built
+    docs = pads.dataset(str(out / "docs"), format="parquet").to_table(columns=["url", "text"])
+    got = dict(zip(docs["url"].to_pylist(), docs["text"].to_pylist()))
+    assert len(got) == oracle_1k.N  # dedup collapsed to oracle's doc set
+    for url, text in oracle_1k.text_by_url.items():
+        assert got[url] == text, f"text mismatch for {url}"
+
+
+def test_postings_identical(built, oracle_1k):
+    out, _ = built
+    seg = pads.dataset(str(out / "segments"), format="parquet").to_table()
+    rows_by_term: dict[str, list[dict]] = {}
+    for r in seg.to_pylist():
+        rows_by_term.setdefault(r["term"], []).append(r)
+
+    assert set(rows_by_term) == set(oracle_1k.postings)
+    stats = oracle_1k.term_stats()
+    hot_seen = 0
+    for term, rows in rows_by_term.items():
+        rows.sort(key=lambda r: r["shard"])
+        if len(rows) > 1:
+            hot_seen += 1
+        got_df = sum(r["df"] for r in rows)
+        got_cf = sum(r["cf"] for r in rows)
+        assert (got_df, got_cf) == stats[term], term
+        docs_all, tfs_all, dls_all = [], [], []
+        for r in rows:
+            pl = decode_postings(r, block_size=CFG.block_size)
+            docs_all.append(pl.doc_ids)
+            tfs_all.append(pl.tfs)
+            dls_all.append(pl.dls)
+        docs = np.concatenate(docs_all).astype(np.int64)
+        tfs = np.concatenate(tfs_all)
+        dls = np.concatenate(dls_all)
+        # shard concatenation must already be globally ascending
+        assert np.all(np.diff(docs) > 0), f"{term}: shard order broken"
+        expected = oracle_1k.sorted_postings(term)
+        assert docs.tolist() == [d for d, _, _ in expected], term
+        assert tfs.tolist() == [t for _, t, _ in expected], term
+        assert dls.tolist() == [l for _, _, l in expected], term
+    assert hot_seen >= 1  # the zerg term must have gone through sharding
+
+
+def test_stats_match(built, oracle_1k):
+    out, _ = built
+    from gxdindexer_ray.state.manifest import read_json
+
+    stats = read_json(out / "stats.json")
+    assert stats["N"] == oracle_1k.N
+    assert stats["total_dl"] == oracle_1k.total_dl
+    assert stats["avgdl"] == oracle_1k.avgdl
+
+
+def test_topk_rank_identical(built, oracle_1k):
+    from gxdindexer_ray.pipelines import SearchEngine
+
+    out, _ = built
+    eng = SearchEngine(out)
+    queries = generate_queries(60, seed=42).to_pylist()
+    nonempty = 0
+    for q in queries:
+        expected = oracle_1k.topk(q["query"], q["k"])
+        for method in ("bmw", "brute"):
+            got = eng.topk(q["query"], q["k"], method=method)
+            assert got == expected, f"{method} mismatch on {q}"
+        nonempty += bool(expected)
+    assert nonempty > 40
+
+
+def test_batch_search_matches(built, oracle_1k, ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.pipelines.search import batch_search
+
+    out, _ = built
+    q = generate_queries(30, seed=42)
+    res = batch_search(rd.from_arrow(q), out).to_pandas()
+    for qrow in q.to_pylist():
+        expected = oracle_1k.topk(qrow["query"], qrow["k"])
+        sub = res[res.query_id == qrow["query_id"]].sort_values("rank")
+        assert sub["doc_id"].tolist() == [d for d, _ in expected]
+        assert sub["score"].tolist() == [s for _, s in expected]

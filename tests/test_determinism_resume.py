@@ -1,0 +1,106 @@
+"""Partition-invariance, checkpoint-resume and skew-path tests (SURVEY.md §5
+items 3-5)."""
+
+import shutil
+from dataclasses import replace
+from pathlib import Path
+
+import pytest
+
+from gxdindexer_ray.config import IndexConfig
+from gxdindexer_ray.fixtures.pages import HOT_TERM
+from gxdindexer_ray.state.manifest import read_json
+
+CFG = IndexConfig()
+
+
+def _segment_bytes(out: Path) -> dict[str, bytes]:
+    return {f.name: f.read_bytes() for f in sorted((out / "segments").glob("*.parquet"))}
+
+
+def test_segments_invariant_to_batching(ray_session, pages_1k, tmp_path):
+    """Same input, different batch sizes / partial granularity -> identical
+    segment bytes. (Cross-num_cpus invariance is exercised by
+    bench.py --scaling in fresh processes; batching is the in-session proxy
+    that changes partial boundaries the same way parallelism does.)"""
+    from gxdindexer_ray.pipelines import build_index
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    build_index(pages_1k, a, replace(CFG, batch_size=64))
+    build_index(pages_1k, b, replace(CFG, batch_size=517))
+    sa, sb = _segment_bytes(a), _segment_bytes(b)
+    assert sa.keys() == sb.keys()
+    for name in sa:
+        assert sa[name] == sb[name], f"segment {name} differs across batch sizes"
+    assert read_json(a / "stats.json") == read_json(b / "stats.json")
+
+
+def test_resume_skips_completed_phases(ray_session, pages_1k, tmp_path):
+    from gxdindexer_ray.pipelines import build_index
+
+    out = tmp_path / "ix"
+    build_index(pages_1k, out, CFG)
+    ref_segments = _segment_bytes(out)
+    docs_mtimes = {f.name: f.stat().st_mtime_ns for f in (out / "docs").glob("*.parquet")}
+
+    # full re-run: everything skipped, docstore untouched
+    m = build_index(pages_1k, out, CFG)
+    assert {f.name: f.stat().st_mtime_ns for f in (out / "docs").glob("*.parquet")} == docs_mtimes
+    assert m["phases"]["docstore"] < 0.5
+
+    # simulate a crash mid-P3: segments gone, manifest unsealed
+    shutil.rmtree(out / "segments")
+    (out / "_manifests" / "phase-segments.json").unlink()
+    m2 = build_index(pages_1k, out, CFG)
+    # docstore still skipped...
+    assert {f.name: f.stat().st_mtime_ns for f in (out / "docs").glob("*.parquet")} == docs_mtimes
+    # ...and rebuilt segments are byte-identical
+    assert _segment_bytes(out) == ref_segments
+    # per-bucket lineage rows present
+    manifest = read_json(out / "segments_manifest.json")
+    assert len(manifest["buckets"]) >= 1
+    for row in manifest["buckets"]:
+        assert Path(row["path"]).exists()
+        assert row["n_postings"] > 0
+
+
+def test_config_change_invalidates_checkpoint(ray_session, pages_1k, tmp_path):
+    from gxdindexer_ray.pipelines import build_index
+
+    out = tmp_path / "ix"
+    build_index(pages_1k, out, CFG)
+    seg_mtimes = {f.name: f.stat().st_mtime_ns for f in (out / "segments").glob("*.parquet")}
+    build_index(pages_1k, out, replace(CFG, k1=1.2))  # scoring change -> rebuild
+    assert {f.name: f.stat().st_mtime_ns for f in (out / "segments").glob("*.parquet")} != seg_mtimes
+
+
+def test_no_salting_still_correct(ray_session, pages_1k, tmp_path, oracle_1k):
+    """With hot detection disabled the merged index must produce identical
+    query results (salting is a performance path, not a semantic one)."""
+    from gxdindexer_ray.fixtures import generate_queries
+    from gxdindexer_ray.pipelines import SearchEngine, build_index
+
+    out = tmp_path / "nosalt"
+    cfg = replace(CFG, hot_df_ratio=1.1)  # nothing qualifies as hot
+    build_index(pages_1k, out, cfg)
+    assert read_json(out / "hot_terms.json")["hot_terms"] == []
+    eng = SearchEngine(out)
+    for q in generate_queries(20, seed=42).to_pylist():
+        assert eng.topk(q["query"], q["k"]) == oracle_1k.topk(q["query"], q["k"])
+
+
+def test_salting_engages_on_hot_term(ray_session, pages_1k, tmp_path):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from gxdindexer_ray.pipelines import build_index
+
+    out = tmp_path / "salted"
+    build_index(pages_1k, out, CFG)
+    hot = read_json(out / "hot_terms.json")["hot_terms"]
+    assert HOT_TERM in hot
+    seg = pads.dataset(str(out / "segments"), format="parquet").to_table(
+        filter=pc.field("term") == HOT_TERM, columns=["term", "shard"]
+    )
+    assert seg.num_rows > 1  # hot term split across doc-range shards
