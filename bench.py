@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one fresh Ray session (num_cpus = $RAY_GRAFT_CPUS, default 32),
+runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+plus the flagship index build over the synthetic pages corpus
+($GRAFT_PAGES_ROWS rows, default 200k, generated once and cached in /tmp),
+then prints ONE JSON line.
+
+--scaling: runs the identical benchmark twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both build
+throughputs plus scaling efficiency = (t_8 / t_32) / (32 / 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "200000"))
+PAGES_DIR = Path(f"/tmp/gxdray/bench-pages-{PAGES_ROWS}")
+INDEX_DIR = Path(f"/tmp/gxdray/bench-index-{PAGES_ROWS}")
+
+
+def run_benchmark() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+
+        from gxdindexer_ray.config import IndexConfig
+        from gxdindexer_ray.fixtures import generate_pages, generate_queries
+        from gxdindexer_ray.pipelines import SearchEngine, build_index
+        from gxdindexer_ray.pipelines.queries import CATALOG
+
+        timings: dict[str, float] = {}
+        extra: dict = {}
+
+        # ---- flagship: index build over the pages corpus -----------------
+        generate_pages(PAGES_DIR, PAGES_ROWS, seed=42)  # cached across runs
+        # warm the OS page cache so we measure compute+shuffle, not cold disk
+        for f in PAGES_DIR.glob("*.parquet"):
+            f.read_bytes()
+        if INDEX_DIR.exists():
+            shutil.rmtree(INDEX_DIR)
+        t0 = time.perf_counter()
+        metrics = build_index(PAGES_DIR, INDEX_DIR, IndexConfig())
+        timings["build_index"] = round(time.perf_counter() - t0, 3)
+        extra["build"] = {
+            "n_docs": metrics["N"],
+            "n_postings": metrics["n_postings"],
+            "bytes_shuffled": metrics["bytes_shuffled"],
+            "docs_per_sec": round(metrics["N"] / timings["build_index"], 1),
+            "postings_per_sec": round(metrics["n_postings"] / timings["build_index"], 1),
+            "phases": metrics["phases"],
+        }
+
+        # ---- query latency over the built index --------------------------
+        eng = SearchEngine(INDEX_DIR)
+        qset = generate_queries(200, seed=42).to_pylist()
+        lat = []
+        t0 = time.perf_counter()
+        for q in qset:
+            s = time.perf_counter()
+            eng.topk(q["query"], q["k"], method="bmw")
+            lat.append(time.perf_counter() - s)
+        timings["query_topk_200"] = round(time.perf_counter() - t0, 3)
+        lat.sort()
+        extra["query"] = {
+            "p50_ms": round(lat[len(lat) // 2] * 1000, 2),
+            "p99_ms": round(lat[int(len(lat) * 0.99)] * 1000, 2),
+            "qps": round(len(lat) / timings["query_topk_200"], 1),
+        }
+
+        # ---- representative operator pipelines over $GRAFT_SF_DIR --------
+        for name in ("q01_pricing_summary", "q04_order_revenue", "q09_first_event",
+                     "q21_sessionize", "q23_term_stats", "q30_knn"):
+            fn = CATALOG[name][0]
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            # consume Datasets so laziness doesn't hide work
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "index-build + BM25 query + operator suite wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "pages_rows": PAGES_ROWS,
+            **extra,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo = lo["queries"]["build_index"]
+    t_hi = hi["queries"]["build_index"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "build-throughput scaling efficiency 8->32 cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["build"]["docs_per_sec"],
+        "docs_per_sec_32": hi["build"]["docs_per_sec"],
+        "pages_rows": lo["pages_rows"],
+        "full_8": lo,
+        "full_32": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmark()))

@@ -1,0 +1,190 @@
+"""Text-analysis operators over a (doc_id, text) Dataset — the
+training-data-pipeline layer: token counting, inverted term stats, quality
+scoring, language ID, fingerprinting, exact content dedup. All per-batch
+bodies are Arrow/numpy-vectorized; language ID and fingerprints hold their
+tables/permutations as module constants (compiled once per process)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from ..text.tokenize import doc_term_counts, tokenize_column
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def f(batch: pa.Table) -> pa.Table:
+        _, doc_idx, _, tf = doc_term_counts(batch[text_col])
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        if doc_idx.size:
+            np.add.at(n, doc_idx, tf)
+        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# inverted term statistics (the flagship's df/cf as a standalone operator)
+# ---------------------------------------------------------------------------
+
+def term_stats(ds, text_col: str = "text"):
+    """(term, df, cf) via per-batch partials -> groupby(term) sum (A6)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vocab, _, codes, tf = doc_term_counts(batch[text_col])
+        if len(vocab) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64())})
+        df = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        cf = np.zeros(len(vocab), dtype=np.int64)
+        np.add.at(cf, codes, tf)
+        return pa.table({"term": vocab, "df": pa.array(df, pa.int64()), "cf": pa.array(cf, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (alpha ratio; matches the SQL oracle exactly: one division)
+# ---------------------------------------------------------------------------
+
+def quality_score(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def f(batch: pa.Table) -> pa.Table:
+        alpha = pc.utf8_length(pc.replace_substring_regex(batch[text_col], pattern="[^a-zA-Z]", replacement=""))
+        total = pc.utf8_length(batch[text_col])
+        a = alpha.to_numpy(zero_copy_only=False).astype(np.float64)
+        t = np.maximum(total.to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+        return pa.table({id_col: batch[id_col], "alpha_ratio": pa.array(a / t, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/function-word heuristic — deterministic, no model dep)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "with", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "mit", "ein", "nicht", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+}
+
+
+def lang_id(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Best marker-hit-rate language; 'und' when nothing matches.
+    Ties broken by language code order (deterministic)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = tokenize_column(batch[text_col])
+        toks = flat.to_pylist()
+        hits = {lang: np.zeros(batch.num_rows, dtype=np.int64) for lang in _LANG_MARKERS}
+        for tok, d in zip(toks, doc_idx):
+            for lang, marks in _LANG_MARKERS.items():
+                if tok in marks:
+                    hits[lang][d] += 1
+        langs = sorted(_LANG_MARKERS)
+        mat = np.stack([hits[l] for l in langs])
+        best = np.argmax(mat, axis=0)
+        score = mat[best, np.arange(batch.num_rows)]
+        pred = np.where(score > 0, np.array(langs, dtype=object)[best], "und")
+        return pa.table({id_col: batch[id_col], "lang_pred": pa.array(pred.tolist(), pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing over rolling token-hash k-grams)
+# ---------------------------------------------------------------------------
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") & ((1 << 63) - 1)
+         for t in tokens],
+        dtype=np.uint64,
+    )
+
+
+def fingerprint_doc(tokens: list[str], k: int = 4, window: int = 8) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD 2003): k-gram rolling hashes, min
+    per sliding window, dedup consecutive. Deterministic."""
+    if len(tokens) < k:
+        return []
+    h = _token_hashes(tokens)
+    # k-gram hash = blake-combined via multiply-xor rolling (vectorized)
+    kg = h[: len(h) - k + 1].copy()
+    for i in range(1, k):
+        kg = (kg * np.uint64(1099511628211)) ^ h[i : len(h) - k + 1 + i]
+    if kg.size <= window:
+        return [int(kg.min()) & ((1 << 63) - 1)]
+    sw = np.lib.stride_tricks.sliding_window_view(kg, window)
+    mins = sw.min(axis=1)
+    out = []
+    prev = None
+    for m in mins.tolist():
+        if m != prev:
+            out.append(m & ((1 << 63) - 1))  # int64-safe fingerprint
+            prev = m
+    return out
+
+
+def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 4, window: int = 8):
+    def f(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = tokenize_column(batch[text_col])
+        toks_by_doc: dict[int, list[str]] = {}
+        for tok, d in zip(flat.to_pylist(), doc_idx):
+            toks_by_doc.setdefault(int(d), []).append(tok)
+        fps = [fingerprint_doc(toks_by_doc.get(i, []), k, window) for i in range(batch.num_rows)]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+                "n_fingerprints": pa.array([len(x) for x in fps], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact content dedup (D3 on text)
+# ---------------------------------------------------------------------------
+
+def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64):
+    """Group by content hash; keep min id per distinct text. Returns
+    (keep_id, n_copies)."""
+    from .relational import bucketed_apply
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, text_col]].copy()
+        batch["__h"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else ""
+            for t in batch[text_col]
+        ]
+        # local partial: min id + count per hash
+        g = batch.groupby("__h", sort=False)
+        out = pd.DataFrame({"keep_id": g[id_col].min(), "n_copies": g.size()}).reset_index()
+        out["__bucket"] = (
+            pd.util.hash_pandas_object(out["__h"], index=False) % n_buckets
+        ).astype(np.int32)
+        return out
+
+    parts = ds.map_batches(add_hash, batch_format="pandas")
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("__h", sort=False)
+        return pd.DataFrame(
+            {"keep_id": g["keep_id"].min(), "n_copies": g["n_copies"].sum()}
+        ).reset_index(drop=True)
+
+    return bucketed_apply(parts, "__bucket", combine)

@@ -1,0 +1,48 @@
+"""Stream-shaped operators over the ordered ``events`` log (SURVEY.md §2.9:
+the reference is pure batch, so windows are expressed batch-style: tumbling
+windows are partial/final aggregates on a truncated-time key; sessionization
+is a bucketed per-user sorted scan — the ordering assumption is explicit:
+events are sorted (user_id, ts, event_id) *within each user bucket* before
+gap detection)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .relational import add_mod_bucket, bucketed_apply, pre_aggregate
+
+
+def tumbling_window(ds, *, key: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value", freq: str = "h"):
+    """count + sum(value) per (key, window-start). Partial/final — one row
+    per (key, hour) per batch crosses the shuffle."""
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, ts_col, value_col]].copy()
+        batch["window_start"] = batch[ts_col].dt.floor(freq)
+        return batch
+
+    ds = ds.map_batches(add_window, batch_format="pandas")
+    return pre_aggregate(
+        ds, [key, "window_start"], sums={"total_value": value_col}, counts="n"
+    )
+
+
+def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+               tiebreak_col: str = "event_id", gap_minutes: int = 30,
+               n_buckets: int = 64):
+    """Session count per user with a fixed inactivity gap. Bucket by user
+    hash, vectorized within bucket (no per-user Python calls)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, tiebreak_col], kind="mergesort")
+        new_user = df[user_col].ne(df[user_col].shift())
+        gap_break = df[ts_col].diff() > gap
+        new_session = (new_user | gap_break).astype(np.int64)
+        out = new_session.groupby(df[user_col], sort=False).sum()
+        return pd.DataFrame({user_col: out.index.to_numpy(), "n_sessions": out.to_numpy()})
+
+    ds = add_mod_bucket(ds, user_col, n_buckets)
+    return bucketed_apply(ds, "__bucket", per_bucket)

@@ -1,0 +1,738 @@
+"""Query catalog: every operator family from SURVEY.md §2 exercised as a
+named Ray Data pipeline over the driver's test tables, each (where
+SQL-expressible) paired with its DuckDB oracle. Consumed by __ray_entry__.
+
+Naming contract: computed/aggregate columns carry identical names in the
+Ray implementation and the SQL so the driver's order-insensitive value-hash
+comparison lines up. Float aggregates are rounded identically on both sides
+(round(x, 2) for money sums; fixed-point floor(x*1e6+0.5)/1e6 for scores).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..config import IndexConfig
+from ..ops.relational import (
+    broadcast_join,
+    dedup_first,
+    distributed_topk,
+    key_set,
+    pre_aggregate,
+    read_table,
+    semi_join_filter,
+)
+from ..ops import dedup as dedup_ops
+from ..ops import multimodal as mm
+from ..ops import similarity as sim_ops
+from ..ops import textops
+from ..ops import windows as win_ops
+
+# ---------------------------------------------------------------------------
+# relational pack (M*, J*, A*, O*, D* from SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf: str):
+    """A1/A6 grouped partial+final aggregation with a derived column and a
+    pushed-down predicate (M10) — the reference's chunked scan+aggregate
+    shape (GxdResultIndexer.java:955-975)."""
+    cutoff = dt.datetime(1997, 9, 1)
+    ds = read_table(
+        sf, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= cutoff),
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+        return df
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    out = pre_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice", "sum_disc_price": "disc_price"},
+        counts="count_order",
+    ).to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+       round(sum(l_extendedprice),2) AS sum_base_price,
+       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_event_normalize(sf: str):
+    """M1 categorical normalizer (detection-level map,
+    GxdResultIndexer.java:1271-1278) as a vectorized dict lookup."""
+    ds = read_table(sf, "events", columns=["event_type"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        mapping = {"click": "engaged", "purchase": "engaged", "signup": "engaged", "view": "passive"}
+        df["detection"] = df.event_type.map(mapping).fillna("other")
+        return df[["detection"]]
+
+    ds = ds.map_batches(norm, batch_format="pandas")
+    return pre_aggregate(ds, ["detection"], counts="n")
+
+
+SQL_Q02 = """
+SELECT CASE WHEN event_type IN ('click','purchase','signup') THEN 'engaged'
+            WHEN event_type = 'view' THEN 'passive' ELSE 'other' END AS detection,
+       count(*) AS n
+FROM events GROUP BY detection
+"""
+
+
+def q03_region_rollup(sf: str):
+    """J1 broadcast hash join (the reference's in-heap lookup caches,
+    GxdResultIndexer.java:91-272): dims shipped once via ray.put."""
+    nation = read_table(sf, "nation").to_pandas()
+    region = read_table(sf, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = read_table(sf, "customer", columns=["c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey", how="inner")
+    out = pre_aggregate(
+        joined, ["r_name", "n_name"], sums={"total_bal": "c_acctbal"}, counts="n_customers"
+    ).to_pandas()
+    out["total_bal"] = out["total_bal"].round(2)
+    return out
+
+
+SQL_Q03 = """
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q04_order_revenue(sf: str):
+    """J2 large equi-join via Dataset.join (hash-partitioned both sides),
+    then two-level aggregation (per-order, then per-priority)."""
+    orders = read_table(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(sf, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df.l_extendedprice * (1 - df.l_discount)
+        return df[["l_orderkey", "rev"]]
+
+    li = li.map_batches(derive, batch_format="pandas")
+    joined = orders.join(li, join_type="inner", num_partitions=16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    per_order = pre_aggregate(joined, ["o_orderpriority", "o_orderkey"], sums={"rev": "rev"})
+    out = pre_aggregate(per_order, ["o_orderpriority"], sums={"revenue": "rev"}, counts="n_orders").to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_Q04 = """
+WITH per AS (
+  SELECT o_orderpriority, o_orderkey, sum(l_extendedprice*(1-l_discount)) AS rev
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderpriority, o_orderkey)
+SELECT o_orderpriority, count(*) AS n_orders, round(sum(rev),2) AS revenue
+FROM per GROUP BY o_orderpriority
+"""
+
+
+def q05_semi_join(sf: str):
+    """J4 semi-join: key set broadcast, filter map-side
+    (reference: exists-subqueries, GxdResultIndexer.java:398-401)."""
+    keys = key_set(read_table(sf, "orders", columns=["o_custkey"]), "o_custkey")
+    cust = read_table(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    filtered = semi_join_filter(cust, "c_custkey", keys)
+    return pre_aggregate(filtered, ["c_mktsegment"], counts="n")
+
+
+SQL_Q05 = """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment
+"""
+
+
+def q06_anti_join(sf: str):
+    """J5 anti-join (negative membership, shr/MarkerTypeCache.java:17-23)."""
+    keys = key_set(read_table(sf, "orders", columns=["o_custkey"]), "o_custkey")
+    cust = read_table(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    filtered = semi_join_filter(cust, "c_custkey", keys, anti=True)
+    out = pre_aggregate(filtered, ["c_mktsegment"], counts="n").to_pandas()
+    if out.empty:  # keep a stable schema when every customer has orders
+        out = pd.DataFrame({"c_mktsegment": pd.Series(dtype=object),
+                            "n": pd.Series(dtype=np.int64)})
+    return out
+
+
+SQL_Q06 = """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment
+"""
+
+
+def q07_left_join_histogram(sf: str):
+    """J3 left-outer broadcast lookup with null->0 default
+    (reference: nullable cache lookups, GxdResultIndexer.java:971)."""
+    per_cust = pre_aggregate(
+        read_table(sf, "orders", columns=["o_custkey"]), ["o_custkey"], counts="n_orders"
+    ).to_pandas()
+    cust = read_table(sf, "customer", columns=["c_custkey"])
+    merged = broadcast_join(
+        cust, per_cust.rename(columns={"o_custkey": "c_custkey"}), on="c_custkey", how="left"
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].fillna(0).astype(np.int64)
+        return df
+
+    merged = merged.map_batches(fill, batch_format="pandas")
+    return pre_aggregate(merged, ["n_orders"], counts="n_customers")
+
+
+SQL_Q07 = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey)
+SELECT n_orders, count(*) AS n_customers FROM per GROUP BY n_orders
+"""
+
+
+def q08_union_distinct(sf: str):
+    """D1 UNION + distinct (figure-label union, GxdResultIndexer.java:662-686)."""
+    c = read_table(sf, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    s = read_table(sf, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    u = c.union(s)
+    out = pre_aggregate(u, ["nationkey"], counts="__c").to_pandas()
+    return out[["nationkey"]]
+
+
+SQL_Q08 = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey AS nationkey FROM supplier) t
+"""
+
+
+def q09_first_event(sf: str):
+    """D3 cross-row dedup, first-wins by (ts, event_id) — the url-dedup
+    semantics on the events log."""
+    ds = read_table(sf, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    first = dedup_first(ds, ["user_id"], ["ts", "event_id"])
+    return pre_aggregate(first, ["event_type"], counts="n")
+
+
+SQL_Q09 = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+SELECT event_type, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY event_type
+"""
+
+
+def q10_topk_orders(sf: str):
+    """O5 distributed top-k: per-batch partial top-k + tiny final merge —
+    no global sort."""
+    ds = read_table(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+    return distributed_topk(ds, ["o_totalprice", "o_orderkey"], [False, True], 10)
+
+
+SQL_Q10 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q11_rank_in_group(sf: str):
+    """O1/O3 ordinal ranks within groups (the reference's precomputed
+    r_by_* sort ordinals, GxdResultIndexer.java:860-891)."""
+    from ..ops.relational import add_hash_bucket, bucketed_apply
+
+    ds = read_table(sf, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def ranker(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rk"] = df.groupby("o_orderpriority", sort=False).cumcount() + 1
+        df["rk"] = df["rk"].astype(np.int64)
+        return df[df["rk"] <= 3]
+
+    ds = add_hash_bucket(ds, ["o_orderpriority"], 16)
+    return bucketed_apply(ds, "__bucket", ranker)
+
+
+SQL_Q11 = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3
+"""
+
+
+def q12_distinct_pairs(sf: str):
+    """A5 distinct over a column pair."""
+    ds = read_table(sf, "customer", columns=["c_mktsegment", "c_nationkey"])
+    out = pre_aggregate(ds, ["c_mktsegment", "c_nationkey"], counts="__c").to_pandas()
+    return out[["c_mktsegment", "c_nationkey"]]
+
+
+SQL_Q12 = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def q13_global_minmax(sf: str):
+    """A2 global min/max/count probes (the reference's chunk-bound probes,
+    GxdResultIndexer.java:914-919)."""
+    ds = read_table(sf, "orders", columns=["o_orderdate", "o_totalprice"])
+    return pd.DataFrame(
+        {
+            "min_date": [ds.min("o_orderdate")],
+            "max_date": [ds.max("o_orderdate")],
+            "max_price": [round(ds.max("o_totalprice"), 2)],
+            "n": [np.int64(ds.count())],
+        }
+    )
+
+
+SQL_Q13 = """
+SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+       round(max(o_totalprice),2) AS max_price, count(*) AS n
+FROM orders
+"""
+
+
+def q14_round_half(sf: str):
+    """M2 the reference's age-rounding rule (fraction -> {0,.5,1} by
+    .25/.75 thresholds, GxdResultIndexer.java:1280-1296)."""
+    ds = read_table(sf, "events", columns=["value"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        fl = np.floor(v)
+        frac = v - fl
+        out = np.where(frac < 0.25, fl, np.where(frac < 0.75, fl + 0.5, fl + 1.0))
+        return pd.DataFrame({"vround": out})
+
+    ds = ds.map_batches(f, batch_format="pandas")
+    return pre_aggregate(ds, ["vround"], counts="n")
+
+
+SQL_Q14 = """
+SELECT CASE WHEN value - floor(value) < 0.25 THEN floor(value)
+            WHEN value - floor(value) < 0.75 THEN floor(value) + 0.5
+            ELSE floor(value) + 1 END AS vround, count(*) AS n
+FROM events GROUP BY vround
+"""
+
+
+def q15_composite_key(sf: str):
+    """M3 underscore key joiner (GxdResultIndexer.java:296-313)."""
+    ds = read_table(sf, "events", columns=["event_type", "user_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["ukey"] = df.event_type + "_" + (df.user_id % 10).astype(str)
+        return df[["ukey"]]
+
+    ds = ds.map_batches(f, batch_format="pandas")
+    return pre_aggregate(ds, ["ukey"], counts="n")
+
+
+SQL_Q15 = """
+SELECT event_type || '_' || CAST(user_id % 10 AS VARCHAR) AS ukey, count(*) AS n
+FROM events GROUP BY ukey
+"""
+
+
+def q16_avg_format(sf: str):
+    """M6 formatted averages ('%.2f' TPM formatting,
+    GxdResultIndexer.java:1352-1358)."""
+    ds = read_table(sf, "events", columns=["event_type", "value"])
+    agg = pre_aggregate(ds, ["event_type"], sums={"__s": "value"}, counts="__c").to_pandas()
+    agg["avg_value_str"] = [f"{s / c:.2f}" for s, c in zip(agg["__s"], agg["__c"])]
+    return agg[["event_type", "avg_value_str"]]
+
+
+SQL_Q16 = """
+SELECT event_type, printf('%.2f', sum(value)/count(*)) AS avg_value_str
+FROM events GROUP BY event_type
+"""
+
+
+def q17_conditional_label(sf: str):
+    """M7 conditional note prefixing (GxdResultIndexer.java:1475-1484)."""
+    ds = read_table(sf, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["label"] = np.where(df.o_orderstatus == "F",
+                               "final: " + df.o_orderpriority, df.o_orderpriority)
+        return df[["label"]]
+
+    ds = ds.map_batches(f, batch_format="pandas")
+    return pre_aggregate(ds, ["label"], counts="n")
+
+
+SQL_Q17 = """
+SELECT CASE WHEN o_orderstatus = 'F' THEN 'final: ' || o_orderpriority
+            ELSE o_orderpriority END AS label, count(*) AS n
+FROM orders GROUP BY label
+"""
+
+
+def q18_id_extract(sf: str):
+    """M8 ID-part extraction (OMIM suffix split, Indexer.java:297-311)."""
+    ds = read_table(sf, "customer", columns=["c_custkey", "c_name"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["cust_num"] = df.c_name.str.extract(r"Customer#(\d+)")[0].astype(np.int64)
+        return df[["c_custkey", "cust_num"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_Q18 = r"""
+SELECT c_custkey, CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num
+FROM customer
+"""
+
+
+def q19_filter_docs(sf: str):
+    """M9/M10 null-safe predicate filters + projection pushdown."""
+    ds = read_table(
+        sf, "documents", columns=["source", "lang", "n_chars"],
+        filter=((pc.field("lang") == "en") & (pc.field("n_chars") >= 200)),
+    )
+    return pre_aggregate(ds, ["source"], sums={"total_chars": "n_chars"}, counts="n")
+
+
+SQL_Q19 = """
+SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+FROM documents WHERE lang = 'en' AND n_chars >= 200 GROUP BY source
+"""
+
+
+def q20_tumbling_window(sf: str):
+    """Windowed aggregate over the events log (batch-expressed)."""
+    ds = read_table(sf, "events", columns=["event_type", "ts", "value"])
+    out = win_ops.tumbling_window(ds).to_pandas()
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+SQL_Q20 = """
+SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n,
+       round(sum(value),2) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q21_sessionize(sf: str):
+    """Sessionization (30-min inactivity gap), bucketed per-user scan."""
+    ds = read_table(sf, "events", columns=["user_id", "ts", "event_id"])
+    return win_ops.sessionize(ds)
+
+
+SQL_Q21 = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM l GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity pack (training-data operators)
+# ---------------------------------------------------------------------------
+
+
+def q22_token_count(sf: str):
+    return textops.token_count(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+
+SQL_Q22 = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def q23_term_stats(sf: str):
+    """The flagship's (term, df, cf) inverted statistics as a standalone
+    SQL-checkable operator."""
+    return textops.term_stats(read_table(sf, "documents", columns=["text"]))
+
+
+SQL_Q23 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS cf
+FROM toks WHERE term <> '' GROUP BY term
+"""
+
+
+def q24_exact_dedup(sf: str):
+    return textops.exact_text_dedup(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+
+SQL_Q24 = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)
+"""
+
+
+def q25_quality(sf: str):
+    return textops.quality_score(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+
+SQL_Q25 = """
+SELECT doc_id,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(length(text), 1) AS alpha_ratio
+FROM documents
+"""
+
+
+def q26_minhash_neardup(sf: str):
+    """MinHash+LSH candidates -> exact n-gram Jaccard verification.
+    No SQL oracle (rows-only check); operator correctness is covered by
+    unit tests with constructed near-duplicates."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    cand = dedup_ops.minhash_lsh_candidates(ds).to_pandas()
+    ds2 = read_table(sf, "documents", columns=["doc_id", "text"])
+    return dedup_ops.verify_pairs_jaccard(ds2, cand, threshold=0.5)
+
+
+def q27_simhash(sf: str):
+    return dedup_ops.simhash(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+
+def q28_langid(sf: str):
+    return textops.lang_id(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+
+def q29_fingerprints(sf: str):
+    out = textops.fingerprints(read_table(sf, "documents", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_fingerprints"])
+
+
+def _query_vectors(sf: str, n: int):
+    tbl = read_table(sf, "embeddings", columns=["vec_id", "embedding"],
+                     filter=(pc.field("vec_id") < n)).to_pandas()
+    tbl = tbl.sort_values("vec_id")
+    ids = tbl["vec_id"].to_numpy(np.int64)
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def q30_knn(sf: str):
+    """Brute-force cosine top-k ANN baseline: broadcast query matrix, one
+    matmul per batch, partial top-k."""
+    ids, mat = _query_vectors(sf, 3)
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return sim_ops.brute_knn(ds, ids, mat, k=5)
+
+
+SQL_Q30 = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+r AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+      FROM sims)
+SELECT qid, rank, nid FROM r WHERE rank <= 5
+"""
+
+
+def q31_embedding_neardup(sf: str):
+    out = sim_ops.embedding_near_dup(
+        read_table(sf, "embeddings", columns=["vec_id", "embedding"]), threshold=0.45
+    )
+    return out[["a", "b"]]
+
+
+SQL_Q31 = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+"""
+
+
+def q32_blob_meta(sf: str):
+    """Multimodal plumbing: opaque binary payload through an actor-pool
+    metadata stage (decode itself stubbed/fake — see ops/multimodal.py)."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    blobs = mm.text_to_blob(ds)
+    meta = mm.blob_metadata(blobs, fake=True)
+    return meta.select_columns(["doc_id", "n_bytes"])
+
+
+SQL_Q32 = "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# flagship-on-testdata: full index build + BM25 top-k over `documents`
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = "hash merge scan"
+
+
+def _documents_as_pages(sf: str, target: Path) -> Path:
+    """Deterministically wrap the documents table as a pages corpus
+    (url tpc://doc/<id>, html = templated escape(text)); idempotent."""
+    import html as _h
+
+    import pyarrow.parquet as pq
+
+    done = target / "_done.json"
+    if done.exists():
+        return target
+    target.mkdir(parents=True, exist_ok=True)
+    tbl = pq.read_table(str(Path(sf) / "documents.parquet"), columns=["doc_id", "text"])
+    urls, htmls = [], []
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        urls.append(f"tpc://doc/{did}")
+        htmls.append(f"<html><body><p>{_h.escape(text or '')}</p></body></html>".encode())
+    out = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([None] * len(urls), pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    pq.write_table(out, target / "part-00000.parquet", compression="zstd")
+    from ..state.manifest import atomic_write_json
+
+    atomic_write_json(done, {"rows": out.num_rows})
+    return target
+
+
+def _index_for(sf: str) -> Path:
+    """Build (or reuse via checkpoint-resume) the index for a sf_dir."""
+    import hashlib
+
+    from .build import build_index
+
+    tag = hashlib.blake2b(str(Path(sf).resolve()).encode(), digest_size=6).hexdigest()
+    base = Path("/tmp/gxdray") / f"docs-{tag}"
+    pages = _documents_as_pages(sf, base / "pages")
+    out = base / "index"
+    build_index(pages, out, IndexConfig(), resume=True)
+    return out
+
+
+def q33_bm25_topk(sf: str):
+    """Full flagship path: build index over documents-as-pages, score ALL
+    matching docs, rank by fixed-point-rounded score with original-doc-id
+    tie-break (identical ordering rule in the SQL oracle)."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix)
+    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+    if not hits:
+        return pd.DataFrame(columns=["doc_id", "score_r"]).astype({"doc_id": np.int64, "score_r": np.float64})
+    import pyarrow.dataset as pads
+
+    ids = [h for h, _ in hits]
+    docs = pads.dataset(str(ix / "docs"), format="parquet").to_table(
+        columns=["doc_id", "url"], filter=pc.field("doc_id").isin(ids)
+    )
+    url_of = dict(zip(docs["doc_id"].to_pylist(), docs["url"].to_pylist()))
+    rows = []
+    for did, score in hits:
+        orig = int(url_of[did].rsplit("/", 1)[1])
+        rows.append((orig, math.floor(score * 1_000_000 + 0.5) / 1_000_000))
+    df = pd.DataFrame(rows, columns=["doc_id", "score_r"])
+    df = df.sort_values(["score_r", "doc_id"], ascending=[False, True], kind="mergesort").head(10)
+    return df.reset_index(drop=True).astype({"doc_id": np.int64, "score_r": np.float64})
+
+
+SQL_Q33 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM toks2) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       WHERE term IN ('hash','merge','scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * 1.9) / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * (dl.dl / stats.avgdl))) ) AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r
+FROM scores ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_event_normalize": (q02_event_normalize, SQL_Q02),
+    "q03_region_rollup": (q03_region_rollup, SQL_Q03),
+    "q04_order_revenue": (q04_order_revenue, SQL_Q04),
+    "q05_semi_join": (q05_semi_join, SQL_Q05),
+    "q06_anti_join": (q06_anti_join, SQL_Q06),
+    "q07_left_join_histogram": (q07_left_join_histogram, SQL_Q07),
+    "q08_union_distinct": (q08_union_distinct, SQL_Q08),
+    "q09_first_event": (q09_first_event, SQL_Q09),
+    "q10_topk_orders": (q10_topk_orders, SQL_Q10),
+    "q11_rank_in_group": (q11_rank_in_group, SQL_Q11),
+    "q12_distinct_pairs": (q12_distinct_pairs, SQL_Q12),
+    "q13_global_minmax": (q13_global_minmax, SQL_Q13),
+    "q14_round_half": (q14_round_half, SQL_Q14),
+    "q15_composite_key": (q15_composite_key, SQL_Q15),
+    "q16_avg_format": (q16_avg_format, SQL_Q16),
+    "q17_conditional_label": (q17_conditional_label, SQL_Q17),
+    "q18_id_extract": (q18_id_extract, SQL_Q18),
+    "q19_filter_docs": (q19_filter_docs, SQL_Q19),
+    "q20_tumbling_window": (q20_tumbling_window, SQL_Q20),
+    "q21_sessionize": (q21_sessionize, SQL_Q21),
+    "q22_token_count": (q22_token_count, SQL_Q22),
+    "q23_term_stats": (q23_term_stats, SQL_Q23),
+    "q24_exact_dedup": (q24_exact_dedup, SQL_Q24),
+    "q25_quality": (q25_quality, SQL_Q25),
+    "q26_minhash_neardup": (q26_minhash_neardup, None),
+    "q27_simhash": (q27_simhash, None),
+    "q28_langid": (q28_langid, None),
+    "q29_fingerprints": (q29_fingerprints, None),
+    "q30_knn": (q30_knn, SQL_Q30),
+    "q31_embedding_neardup": (q31_embedding_neardup, SQL_Q31),
+    "q32_blob_meta": (q32_blob_meta, SQL_Q32),
+    "q33_bm25_topk": (q33_bm25_topk, SQL_Q33),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
