@@ -74,7 +74,7 @@ def run_benchmark() -> dict:
         t0 = time.perf_counter()
         for q in qset:
             s = time.perf_counter()
-            eng.topk(q["query"], q["k"], method="bmw")
+            eng.topk(q["query"], q["k"], method="auto")
             lat.append(time.perf_counter() - s)
         timings["query_topk_200"] = round(time.perf_counter() - t0, 3)
         lat.sort()

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .varint import varint_encode, varint_decode
+from .varint import varint_decode, varint_encode, varint_encode_segments
 
 
 @dataclass
@@ -51,6 +51,90 @@ def bm25_tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b:
     return tf * (k1 + 1.0) / denom
 
 
+def encode_postings_bulk(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    seg_starts: np.ndarray,
+    *,
+    block_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> dict[str, list]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    ``docs/tfs/dls`` are the concatenation of all segments' postings (docIDs
+    strictly ascending within each segment); ``seg_starts`` marks segment
+    boundaries. Everything — gap computation, varint encoding, skip tables,
+    block-max — is computed with whole-array numpy ops; the only per-segment
+    work is slicing the shared buffers. Returns a dict of per-segment column
+    lists (same fields as the scalar ``encode_postings`` row)."""
+    n_total = docs.size
+    docs = np.ascontiguousarray(docs, dtype=np.uint64)
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    nseg = seg_starts.size
+    seg_ends = np.empty(nseg, dtype=np.int64)
+    seg_ends[:-1] = seg_starts[1:]
+    seg_ends[-1] = n_total
+    seg_lens = seg_ends - seg_starts
+    if np.any(seg_lens <= 0):
+        raise ValueError("empty posting segment")
+
+    gaps = docs.copy()
+    gaps[1:] -= docs[:-1]
+    gaps[seg_starts] = docs[seg_starts]  # first gap of each segment is absolute
+    if n_total > 1:
+        interior = np.ones(n_total, dtype=bool)
+        interior[seg_starts] = False
+        if np.any(gaps[interior] == 0):
+            raise ValueError("duplicate doc_id within a posting segment")
+
+    # block layout: blocks of `block_size` within each segment
+    nb = (seg_lens + block_size - 1) // block_size
+    nb_off = np.concatenate([[0], np.cumsum(nb)])
+    total_blocks = int(nb_off[-1])
+    rep = np.repeat(np.arange(nseg, dtype=np.int64), nb)
+    pos_in_seg = np.arange(total_blocks, dtype=np.int64) - np.repeat(nb_off[:-1], nb)
+    block_starts = seg_starts[rep] + block_size * pos_in_seg
+    block_ends = np.minimum(block_starts + block_size, seg_ends[rep])
+
+    d_buf, d_boff = varint_encode_segments(gaps, block_starts)
+    t_buf, t_boff = varint_encode_segments(np.ascontiguousarray(tfs, dtype=np.uint64), block_starts)
+    l_buf, l_boff = varint_encode_segments(np.ascontiguousarray(dls, dtype=np.uint64), block_starts)
+
+    factors = bm25_tf_factor(np.asarray(tfs, dtype=np.uint64), np.asarray(dls, dtype=np.uint64), avgdl, k1, b)
+    bm64 = np.maximum.reduceat(factors, block_starts)
+    block_max = bm64.astype(np.float32)
+    # float32 narrowing may round DOWN — bump to keep a valid upper bound
+    rounded_low = block_max.astype(np.float64) < bm64
+    block_max[rounded_low] = np.nextafter(block_max[rounded_low], np.float32(np.inf))
+    skip_last = docs[block_ends - 1].astype(np.int64)
+    cf = np.add.reduceat(np.asarray(tfs, dtype=np.uint64), seg_starts).astype(np.int64)
+
+    cols: dict[str, list] = {
+        "n_postings": seg_lens.tolist(),
+        "min_doc": docs[seg_starts].astype(np.int64).tolist(),
+        "max_doc": docs[seg_ends - 1].astype(np.int64).tolist(),
+        "df": seg_lens.tolist(),
+        "cf": cf.tolist(),
+        "docs_payload": [], "tfs_payload": [], "dls_payload": [],
+        "skip_last_doc": [], "skip_doc_off": [], "skip_tf_off": [], "skip_dl_off": [],
+        "block_max": [],
+    }
+    for i in range(nseg):
+        sb, se = int(nb_off[i]), int(nb_off[i + 1])
+        cols["docs_payload"].append(d_buf[d_boff[sb]:d_boff[se]])
+        cols["tfs_payload"].append(t_buf[t_boff[sb]:t_boff[se]])
+        cols["dls_payload"].append(l_buf[l_boff[sb]:l_boff[se]])
+        cols["skip_last_doc"].append(skip_last[sb:se].tolist())
+        cols["skip_doc_off"].append((d_boff[sb:se] - d_boff[sb]).tolist())
+        cols["skip_tf_off"].append((t_boff[sb:se] - t_boff[sb]).tolist())
+        cols["skip_dl_off"].append((l_boff[sb:se] - l_boff[sb]).tolist())
+        cols["block_max"].append(block_max[sb:se].tolist())
+    return cols
+
+
 def encode_postings(
     pl: PostingList,
     *,
@@ -59,65 +143,22 @@ def encode_postings(
     k1: float,
     b: float,
 ) -> dict:
-    """Encode one posting list into the segment-row payload dict.
-
-    Returns a dict of python values suitable for one Arrow row:
-    docs/tfs/dls payload bytes, skip arrays, block-max array.
-    """
+    """Encode one posting list into the segment-row payload dict (scalar
+    wrapper over the bulk path)."""
     n = len(pl)
     if n == 0:
         raise ValueError("empty posting list")
     docs = np.ascontiguousarray(pl.doc_ids, dtype=np.uint64)
     if n > 1 and not bool(np.all(docs[1:] > docs[:-1])):
         raise ValueError("doc_ids must be strictly ascending")
-
-    n_blocks = (n + block_size - 1) // block_size
-    starts = np.arange(n_blocks, dtype=np.int64) * block_size
-    ends = np.minimum(starts + block_size, n)
-
-    gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = docs[0]
-    gaps[1:] = docs[1:] - docs[:-1]
-    # first gap of each block is relative to previous block's last doc —
-    # already true for the plain diff except block 0 (relative to 0): also true.
-
-    docs_parts: list[bytes] = []
-    tfs_parts: list[bytes] = []
-    dls_parts: list[bytes] = []
-    doc_off = np.zeros(n_blocks, dtype=np.int64)
-    tf_off = np.zeros(n_blocks, dtype=np.int64)
-    dl_off = np.zeros(n_blocks, dtype=np.int64)
-    pos_d = pos_t = pos_l = 0
-    for i in range(n_blocks):
-        s, e = int(starts[i]), int(ends[i])
-        db = varint_encode(gaps[s:e])
-        tb = varint_encode(pl.tfs[s:e])
-        lb = varint_encode(pl.dls[s:e])
-        doc_off[i], tf_off[i], dl_off[i] = pos_d, pos_t, pos_l
-        pos_d += len(db); pos_t += len(tb); pos_l += len(lb)
-        docs_parts.append(db); tfs_parts.append(tb); dls_parts.append(lb)
-
-    factors = bm25_tf_factor(np.asarray(pl.tfs, dtype=np.uint64), np.asarray(pl.dls, dtype=np.uint64), avgdl, k1, b)
-    bm64 = np.maximum.reduceat(factors, starts)
-    block_max = bm64.astype(np.float32)
-    # float32 narrowing may round DOWN — bump to keep a valid upper bound
-    rounded_low = block_max.astype(np.float64) < bm64
-    block_max[rounded_low] = np.nextafter(block_max[rounded_low], np.float32(np.inf))
-    skip_last = docs[ends - 1].astype(np.uint64)
-
-    return {
-        "n_postings": n,
-        "min_doc": int(docs[0]),
-        "max_doc": int(docs[-1]),
-        "docs_payload": b"".join(docs_parts),
-        "tfs_payload": b"".join(tfs_parts),
-        "dls_payload": b"".join(dls_parts),
-        "skip_last_doc": skip_last.astype(np.int64).tolist(),
-        "skip_doc_off": doc_off.tolist(),
-        "skip_tf_off": tf_off.tolist(),
-        "skip_dl_off": dl_off.tolist(),
-        "block_max": block_max.tolist(),
-    }
+    cols = encode_postings_bulk(
+        docs, pl.tfs, pl.dls, np.array([0], dtype=np.int64),
+        block_size=block_size, avgdl=avgdl, k1=k1, b=b,
+    )
+    row = {k: v[0] for k, v in cols.items()}
+    row.pop("df")
+    row.pop("cf")
+    return row
 
 
 def decode_postings(row: dict, *, block_size: int) -> PostingList:

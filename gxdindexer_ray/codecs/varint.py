@@ -40,6 +40,30 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return (np.searchsorted(_THRESHOLDS, v, side="right") + 1).astype(np.int64)
+
+
+def varint_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode ALL values in one pass; return (buffer, seg_byte_offsets) where
+    ``seg_byte_offsets[i]`` is the byte offset of segment i (length nseg+1).
+    One numpy pass replaces one varint_encode call per segment — the
+    difference between O(values) and O(segments * numpy-overhead) in the
+    SPIMI emit and merge encode hot paths."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(seg_starts.size + 1, dtype=np.int64)
+    buf = varint_encode(v)
+    nb = varint_byte_lengths(v)
+    byte_off = np.concatenate([[0], np.cumsum(nb)])
+    seg_off = np.empty(seg_starts.size + 1, dtype=np.int64)
+    seg_off[:-1] = byte_off[seg_starts]
+    seg_off[-1] = byte_off[-1]
+    return buf, seg_off
+
+
 def varint_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array.
 

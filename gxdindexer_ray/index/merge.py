@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codecs.postings import PostingList, encode_postings
+from ..codecs.postings import encode_postings_bulk
 from ..codecs.varint import varint_decode
 from ..config import IndexConfig
 
@@ -72,61 +72,89 @@ class BucketMerger:
         cfg = self.cfg
         bucket = int(group["bucket"][0].as_py())
         terms = group["term"].to_pylist()
-        shards = group["shard"].to_numpy(zero_copy_only=False)
-        n_post = group["n_postings"].to_numpy(zero_copy_only=False)
+        shards = group["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_post = group["n_postings"].to_numpy(zero_copy_only=False).astype(np.int64)
         d_pay = group["docs_payload"].to_pylist()
         t_pay = group["tfs_payload"].to_pylist()
         l_pay = group["dls_payload"].to_pylist()
+        n_rows = len(terms)
+        bytes_in = sum(len(d_pay[i]) + len(t_pay[i]) + len(l_pay[i]) for i in range(n_rows))
 
-        # deterministic processing order: sort partial rows by (term, shard)
-        order = sorted(range(len(terms)), key=lambda i: (terms[i], int(shards[i])))
-        bytes_in = sum(len(d_pay[i]) + len(t_pay[i]) + len(l_pay[i]) for i in range(len(terms)))
+        # Vectorized bulk decode: 3 varint_decode calls for the WHOLE bucket
+        # (per-partial decode costs ~3 numpy calls x millions of partials).
+        total = int(n_post.sum())
+        gaps_all = varint_decode(b"".join(d_pay), count=total)
+        tfs_all = varint_decode(b"".join(t_pay), count=total)
+        dls_all = varint_decode(b"".join(l_pay), count=total)
+        ends = np.cumsum(n_post)
+        starts = ends - n_post
+        # per-partial doc_ids: global cumsum minus each partial's base offset
+        cs = np.cumsum(gaps_all, dtype=np.uint64)
+        base = np.zeros(n_rows, dtype=np.uint64)
+        base[1:] = cs[ends[:-1] - 1]
+        docs_all = cs - np.repeat(base, n_post)
 
-        out_rows: list[dict] = []
-        i = 0
-        total_postings = 0
-        while i < len(order):
-            j = i
-            key = (terms[order[i]], int(shards[order[i]]))
-            docs_parts, tfs_parts, dls_parts = [], [], []
-            while j < len(order) and (terms[order[j]], int(shards[order[j]])) == key:
-                r = order[j]
-                n = int(n_post[r])
-                gaps = varint_decode(d_pay[r], count=n)
-                docs_parts.append(np.cumsum(gaps, dtype=np.uint64))
-                tfs_parts.append(varint_decode(t_pay[r], count=n))
-                dls_parts.append(varint_decode(l_pay[r], count=n))
-                j += 1
-            docs = np.concatenate(docs_parts)
-            tfs = np.concatenate(tfs_parts)
-            dls = np.concatenate(dls_parts)
-            srt = np.argsort(docs, kind="stable")
-            docs, tfs, dls = docs[srt], tfs[srt], dls[srt]
-            if docs.size > 1 and np.any(docs[1:] == docs[:-1]):
-                raise ValueError(f"duplicate doc_id in postings of {key} (dedup failed?)")
-            row = encode_postings(
-                PostingList(docs, tfs, dls),
-                block_size=cfg.block_size, avgdl=self.avgdl, k1=cfg.k1, b=cfg.b,
-            )
-            row["term"], row["shard"] = key
-            row["df"] = int(docs.size)
-            row["cf"] = int(tfs.sum())
-            out_rows.append(row)
-            total_postings += int(docs.size)
-            i = j
+        # one global posting-level sort by (term, shard, doc): term codes are
+        # ranks in the sorted unique-term order, so output row order is the
+        # deterministic (term asc, shard asc) regardless of arrival order
+        uniq_terms, codes_row = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
+        codes_post = np.repeat(codes_row, n_post)
+        shards_post = np.repeat(shards, n_post)
+        order = np.lexsort((docs_all, shards_post, codes_post))
+        docs_s = docs_all[order]
+        tfs_s = tfs_all[order]
+        dls_s = dls_all[order]
+        codes_s = codes_post[order]
+        shards_s = shards_post[order]
 
-        seg = pa.Table.from_pylist(out_rows, schema=SEGMENT_SCHEMA)
+        # segment boundaries where (term, shard) changes
+        if total == 0:
+            return pa.table({k: pa.array([], f.type) for k, f in zip(MANIFEST_SCHEMA.names, MANIFEST_SCHEMA)},
+                            schema=MANIFEST_SCHEMA)
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = (np.diff(codes_s) != 0) | (np.diff(shards_s) != 0)
+        seg_starts = np.flatnonzero(change)
+
+        cols = encode_postings_bulk(
+            docs_s, tfs_s, dls_s, seg_starts,
+            block_size=cfg.block_size, avgdl=self.avgdl, k1=cfg.k1, b=cfg.b,
+        )
+        seg_terms = uniq_terms[codes_s[seg_starts]].tolist()
+        seg_shards = shards_s[seg_starts].astype(np.int32)
+        total_postings = total
+
+        seg = pa.table(
+            {
+                "term": pa.array(seg_terms, pa.string()),
+                "shard": pa.array(seg_shards, pa.int32()),
+                "df": pa.array(cols["df"], pa.int64()),
+                "cf": pa.array(cols["cf"], pa.int64()),
+                "n_postings": pa.array(cols["n_postings"], pa.int64()),
+                "min_doc": pa.array(cols["min_doc"], pa.int64()),
+                "max_doc": pa.array(cols["max_doc"], pa.int64()),
+                "docs_payload": pa.array(cols["docs_payload"], pa.large_binary()),
+                "tfs_payload": pa.array(cols["tfs_payload"], pa.large_binary()),
+                "dls_payload": pa.array(cols["dls_payload"], pa.large_binary()),
+                "skip_last_doc": pa.array(cols["skip_last_doc"], pa.list_(pa.int64())),
+                "skip_doc_off": pa.array(cols["skip_doc_off"], pa.list_(pa.int64())),
+                "skip_tf_off": pa.array(cols["skip_tf_off"], pa.list_(pa.int64())),
+                "skip_dl_off": pa.array(cols["skip_dl_off"], pa.list_(pa.int64())),
+                "block_max": pa.array(cols["block_max"], pa.list_(pa.float32())),
+            },
+            schema=SEGMENT_SCHEMA,
+        )
         self.segments_dir.mkdir(parents=True, exist_ok=True)
         final = self.segments_dir / f"bucket-{bucket:05d}.parquet"
         tmp = self.segments_dir / f".bucket-{bucket:05d}.parquet.tmp"
-        pq.write_table(seg, tmp, compression="zstd", row_group_size=4096)
+        pq.write_table(seg, tmp, compression="zstd", row_group_size=1024)
         tmp.rename(final)
 
         return pa.table(
             {
                 "bucket": pa.array([bucket], pa.int32()),
                 "n_terms": pa.array([len(set(terms))], pa.int64()),
-                "n_rows": pa.array([len(out_rows)], pa.int64()),
+                "n_rows": pa.array([seg.num_rows], pa.int64()),
                 "n_postings": pa.array([total_postings], pa.int64()),
                 "bytes_in": pa.array([bytes_in], pa.int64()),
                 "bytes_out": pa.array([final.stat().st_size], pa.int64()),

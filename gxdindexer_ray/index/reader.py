@@ -1,26 +1,29 @@
 """Segment reader: the query-time view of a built index.
 
-The segment parquet files ARE the lexicon: reads go through
-``pyarrow.dataset`` with a ``term isin(...)`` filter, so parquet row-group
-statistics prune to the row groups containing the query terms and only the
-needed columns are decoded (rows are sorted by term within each bucket
-file; row_group_size=4096 keeps the pruned unit small). Global df of a
-sharded hot term = sum of its shard rows' posting counts.
+Two-level layout, the classic lexicon + postings design (internalizing what
+the reference delegated to Solr, reference Indexer.java:55-91):
 
-Query actors hold one ``IndexReader`` each (opened once in ``__init__`` —
-the stateful-stage pattern, SURVEY.md §2.4).
+- **Lexicon (in memory, loaded once per reader)**: metadata columns
+  (term, shard, df, cf) of every segment row plus its (file, row_group,
+  offset) location — a few dozen bytes per term. Query actors hold one
+  reader each (``__init__``-loaded state, SURVEY.md §2.4); at true web
+  scale the lexicon itself shards across query actors by term hash, which
+  is why locations are per-bucket-file.
+- **Postings (on disk, row-group granular)**: payload columns are read only
+  for the row groups containing the query terms (row_group_size=1024 keeps
+  the read unit small); decoded rows are LRU-cached.
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from pathlib import Path
 
-import pyarrow.compute as pc
-import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from ..state.manifest import read_json
 
-_POSTING_COLUMNS = [
+_PAYLOAD_COLUMNS = [
     "term", "shard", "df", "cf", "n_postings", "min_doc", "max_doc",
     "docs_payload", "tfs_payload", "dls_payload",
     "skip_last_doc", "skip_doc_off", "skip_tf_off", "skip_dl_off", "block_max",
@@ -28,7 +31,7 @@ _POSTING_COLUMNS = [
 
 
 class IndexReader:
-    def __init__(self, index_dir: str | Path):
+    def __init__(self, index_dir: str | Path, cache_terms: int = 4096):
         self.index_dir = Path(index_dir)
         stats = read_json(self.index_dir / "stats.json")
         if not stats:
@@ -38,26 +41,65 @@ class IndexReader:
         self.k1 = float(stats["k1"])
         self.b = float(stats["b"])
         self.block_size = int(stats["block_size"])
-        self._ds = pads.dataset(str(self.index_dir / "segments"), format="parquet")
+
+        # ---- lexicon: term -> [(file_idx, row_group, row_in_group, df, cf, shard)]
+        self._files = sorted((self.index_dir / "segments").glob("*.parquet"))
+        self._pf = [pq.ParquetFile(f) for f in self._files]
+        self._lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
+        for fi, pf in enumerate(self._pf):
+            meta = pf.read(columns=["term", "shard", "df", "cf"])
+            terms = meta["term"].to_pylist()
+            shards = meta["shard"].to_pylist()
+            dfs = meta["df"].to_pylist()
+            cfs = meta["cf"].to_pylist()
+            rg_sizes = [pf.metadata.row_group(g).num_rows for g in range(pf.metadata.num_row_groups)]
+            g = 0
+            in_g = 0
+            for i in range(len(terms)):
+                while in_g >= rg_sizes[g]:
+                    g += 1
+                    in_g = 0
+                self._lex.setdefault(terms[i], []).append((fi, g, in_g, dfs[i], cfs[i], shards[i]))
+                in_g += 1
+        self._cache: OrderedDict[str, list[dict]] = OrderedDict()
+        self._cache_terms = cache_terms
+
+    @property
+    def n_terms(self) -> int:
+        return len(self._lex)
 
     def fetch_terms(self, terms: list[str]) -> dict[str, list[dict]]:
-        """term -> its segment rows (all shards), decoded to python dicts."""
-        if not terms:
-            return {}
-        tbl = self._ds.to_table(
-            filter=pc.field("term").isin(terms), columns=_POSTING_COLUMNS
-        )
+        """term -> its segment rows (all shards), decoded to python dicts.
+        Row-group granular reads; LRU cache of decoded terms."""
         out: dict[str, list[dict]] = {}
-        for row in tbl.to_pylist():
-            out.setdefault(row["term"], []).append(row)
+        # group cache misses by (file, row_group) so each group is read once
+        wanted: dict[tuple[int, int], list[tuple[str, int]]] = {}
+        for t in terms:
+            if t in self._cache:
+                self._cache.move_to_end(t)
+                out[t] = self._cache[t]
+                continue
+            for fi, g, row, _, _, _ in self._lex.get(t, []):
+                wanted.setdefault((fi, g), []).append((t, row))
+        fetched: dict[str, list[dict]] = {}
+        for (fi, g), items in wanted.items():
+            tbl = self._pf[fi].read_row_group(g, columns=_PAYLOAD_COLUMNS)
+            for t, row in items:
+                fetched.setdefault(t, []).append(tbl.slice(row, 1).to_pylist()[0])
+        for t, rows in fetched.items():
+            rows.sort(key=lambda r: int(r["shard"]))
+            self._cache[t] = rows
+            if len(self._cache) > self._cache_terms:
+                self._cache.popitem(last=False)
+            out[t] = rows
         return out
 
     def term_stats(self, terms: list[str] | None = None) -> dict[str, tuple[int, int]]:
-        """term -> (global df, global cf); metadata-only columns."""
-        filt = pc.field("term").isin(terms) if terms else None
-        tbl = self._ds.to_table(filter=filt, columns=["term", "df", "cf"])
+        """term -> (global df, global cf) straight from the lexicon."""
+        keys = self._lex.keys() if terms is None else terms
         out: dict[str, tuple[int, int]] = {}
-        for t, df, cf in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()):
-            d, c = out.get(t, (0, 0))
-            out[t] = (d + df, c + cf)
+        for t in keys:
+            rows = self._lex.get(t)
+            if rows:
+                out[t] = (sum(r[3] for r in rows), sum(r[4] for r in rows))
         return out

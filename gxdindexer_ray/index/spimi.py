@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..codecs.varint import varint_encode
+from ..codecs.varint import varint_encode_segments
 from ..config import IndexConfig
 from ..text.tokenize import doc_term_counts
 
@@ -79,54 +79,54 @@ class SpimiPartialBuilder:
             return PARTIAL_SCHEMA.empty_table()
         dls = np.bincount(doc_idx, weights=tf, minlength=len(docs)).astype(np.int64)
 
+        # posting-level arrays sorted by (term code, doc): one lexsort, then
+        # all boundaries/gaps/encodes are whole-array numpy ops
         srt = np.lexsort((doc_idx, codes))
         s_codes = codes[srt]
-        s_docidx = doc_idx[srt]
-        s_tf = tf[srt]
-        term_starts = np.concatenate([[0], np.flatnonzero(np.diff(s_codes)) + 1, [s_codes.size]])
+        d_all = docs[doc_idx[srt]].astype(np.uint64)
+        s_tf = tf[srt].astype(np.uint64)
+        l_all = dls[doc_idx[srt]].astype(np.uint64)
         vlist = vocab.to_pylist()
         shard_shift = np.uint64(63 - cfg.shard_bits)
 
-        cols: dict[str, list] = {k: [] for k in ("bucket", "term", "shard", "n_postings",
-                                                 "docs_payload", "tfs_payload", "dls_payload")}
+        hot_codes = np.fromiter((t in self.hot for t in vlist), dtype=bool, count=len(vlist))
+        hot_flag = hot_codes[s_codes]
+        shard_all = np.where(hot_flag, (d_all >> shard_shift).astype(np.int64), 0)
 
-        def emit(term: str, shard: int, d: np.ndarray, t: np.ndarray, l: np.ndarray) -> None:
-            gaps = np.empty(d.size, dtype=np.uint64)
-            gaps[0] = d[0]
-            gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
-            cols["bucket"].append(self._bucket(term, shard))
-            cols["term"].append(term)
-            cols["shard"].append(shard)
-            cols["n_postings"].append(d.size)
-            cols["docs_payload"].append(varint_encode(gaps))
-            cols["tfs_payload"].append(varint_encode(t.astype(np.uint64)))
-            cols["dls_payload"].append(varint_encode(l.astype(np.uint64)))
+        n = s_codes.size
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (np.diff(s_codes) != 0) | (np.diff(shard_all) != 0)
+        seg_starts = np.flatnonzero(change)
+        nseg = seg_starts.size
+        seg_ends = np.empty(nseg, dtype=np.int64)
+        seg_ends[:-1] = seg_starts[1:]
+        seg_ends[-1] = n
 
-        for i in range(term_starts.size - 1):
-            s, e = int(term_starts[i]), int(term_starts[i + 1])
-            term = vlist[int(s_codes[s])]
-            di = s_docidx[s:e]
-            d = docs[di]
-            t = s_tf[s:e]
-            l = dls[di]
-            if term in self.hot:
-                shards = (d.astype(np.uint64) >> shard_shift).astype(np.int64)
-                sb = np.concatenate([[0], np.flatnonzero(np.diff(shards)) + 1, [shards.size]])
-                for j in range(sb.size - 1):
-                    a, z = int(sb[j]), int(sb[j + 1])
-                    emit(term, int(shards[a]), d[a:z], t[a:z], l[a:z])
-            else:
-                emit(term, 0, d, t, l)
+        gaps = d_all.copy()
+        gaps[1:] -= d_all[:-1]
+        gaps[seg_starts] = d_all[seg_starts]  # absolute first gap per partial
 
+        d_buf, d_off = varint_encode_segments(gaps, seg_starts)
+        t_buf, t_off = varint_encode_segments(s_tf, seg_starts)
+        l_buf, l_off = varint_encode_segments(l_all, seg_starts)
+
+        seg_codes = s_codes[seg_starts]
+        seg_shards = shard_all[seg_starts].astype(np.int64)
+        terms_out = [vlist[int(c)] for c in seg_codes]
+        buckets = np.fromiter(
+            (self._bucket(t, int(s)) for t, s in zip(terms_out, seg_shards)),
+            dtype=np.int32, count=nseg,
+        )
         return pa.table(
             {
-                "bucket": pa.array(cols["bucket"], pa.int32()),
-                "term": pa.array(cols["term"], pa.string()),
-                "shard": pa.array(cols["shard"], pa.int32()),
-                "n_postings": pa.array(cols["n_postings"], pa.int64()),
-                "docs_payload": pa.array(cols["docs_payload"], pa.large_binary()),
-                "tfs_payload": pa.array(cols["tfs_payload"], pa.large_binary()),
-                "dls_payload": pa.array(cols["dls_payload"], pa.large_binary()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "term": pa.array(terms_out, pa.string()),
+                "shard": pa.array(seg_shards.astype(np.int32), pa.int32()),
+                "n_postings": pa.array(seg_ends - seg_starts, pa.int64()),
+                "docs_payload": pa.array([d_buf[d_off[i]:d_off[i + 1]] for i in range(nseg)], pa.large_binary()),
+                "tfs_payload": pa.array([t_buf[t_off[i]:t_off[i + 1]] for i in range(nseg)], pa.large_binary()),
+                "dls_payload": pa.array([l_buf[l_off[i]:l_off[i + 1]] for i in range(nseg)], pa.large_binary()),
             },
             schema=PARTIAL_SCHEMA,
         )

@@ -76,6 +76,66 @@ def semi_join_filter(ds, col: str, keys: frozenset, anti: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# partitioned hash join (J2) — both sides large
+# ---------------------------------------------------------------------------
+
+def partitioned_join(left, right, left_on: str, right_on: str, *,
+                     n_buckets: int = 32, how: str = "inner"):
+    """Explicit hash-partitioned equi-join on int64 keys: both sides get a
+    ``key % n_buckets`` bucket, are unioned under one Arrow schema (missing
+    columns as typed nulls), shuffled once by bucket, and joined per bucket
+    with a vectorized pandas merge. This is the portable pattern when the
+    sides are too large to broadcast; one shuffle total.
+
+    Skew note: a hot join key maps to one bucket — salt it by appending a
+    per-row sub-bucket to BOTH sides' keys (replicating the build side) the
+    same way hot terms are doc-range-sharded in the index merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = list(zip(l_schema.names, l_schema.types))
+    r_fields = [(n, t) for n, t in zip(r_schema.names, r_schema.types) if n not in l_schema.names]
+    all_fields = l_fields + r_fields
+    l_names = [n for n, _ in l_fields]
+    r_names = list(r_schema.names)
+
+    def unify(side: int, key_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                if name in batch.column_names:
+                    cols[name] = batch[name].combine_chunks().cast(typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols["__jb"] = pa.array((keys % n_buckets).astype(np.int32))
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    u = left.map_batches(unify(0, left_on), batch_format="pyarrow").union(
+        right.map_batches(unify(1, right_on), batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        import pyarrow.compute as pc2
+
+        l_tbl = group.filter(pc2.equal(side, 0)).select(l_names)
+        r_tbl = group.filter(pc2.equal(side, 1)).select(r_names)
+        l_df = l_tbl.to_pandas()
+        r_df = r_tbl.to_pandas()
+        merged = l_df.merge(r_df, left_on=left_on, right_on=right_on, how=how)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return u.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # partial/final aggregation (A1, A6)
 # ---------------------------------------------------------------------------
 

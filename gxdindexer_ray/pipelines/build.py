@@ -225,7 +225,7 @@ def build_index(
             SpimiPartialBuilder,
             fn_constructor_kwargs={"hot_terms_ref": hot_ref, "cfg": cfg},
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=cfg.spimi_batch_size,
             concurrency=pool,
         )
         merger = BucketMerger(segments_dir=str(segments_dir), avgdl=stats["avgdl"], cfg=cfg)

@@ -125,8 +125,10 @@ GROUP BY r_name, n_name
 
 
 def q04_order_revenue(sf: str):
-    """J2 large equi-join via Dataset.join (hash-partitioned both sides),
+    """J2 large equi-join (explicit hash-partitioned join, one shuffle),
     then two-level aggregation (per-order, then per-priority)."""
+    from ..ops.relational import partitioned_join
+
     orders = read_table(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
     li = read_table(sf, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -135,8 +137,7 @@ def q04_order_revenue(sf: str):
         return df[["l_orderkey", "rev"]]
 
     li = li.map_batches(derive, batch_format="pandas")
-    joined = orders.join(li, join_type="inner", num_partitions=16,
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = partitioned_join(orders, li, "o_orderkey", "l_orderkey", how="inner")
     per_order = pre_aggregate(joined, ["o_orderpriority", "o_orderkey"], sums={"rev": "rev"})
     out = pre_aggregate(per_order, ["o_orderpriority"], sums={"revenue": "rev"}, counts="n_orders").to_pandas()
     out["revenue"] = out["revenue"].round(2)

@@ -22,7 +22,11 @@ class SearchEngine:
     def __init__(self, index_dir: str | Path):
         self.reader = IndexReader(index_dir)
 
-    def topk(self, query: str, k: int, method: str = "bmw") -> list[tuple[int, float]]:
+    # below this many candidate postings, vectorized exhaustive scoring beats
+    # the per-posting Python cost of WAND; above it, WAND's skipping wins.
+    AUTO_BRUTE_MAX_POSTINGS = 200_000
+
+    def topk(self, query: str, k: int, method: str = "auto") -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         term_rows = self.reader.fetch_terms(terms)
         kw = dict(
@@ -33,6 +37,9 @@ class SearchEngine:
             block_size=self.reader.block_size,
             k=k,
         )
+        if method == "auto":
+            total = sum(int(r["n_postings"]) for rows in term_rows.values() for r in rows)
+            method = "brute" if total <= self.AUTO_BRUTE_MAX_POSTINGS else "bmw"
         if method == "bmw":
             return block_max_wand_topk(term_rows, **kw)
         if method == "brute":
