@@ -1,0 +1,191 @@
+"""Unit tests for the training-data operator pack (the paths without SQL
+oracles: near-dup detection, simhash, IVF ANN, multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(ray_session):
+    """Corpus with constructed near-duplicates: docs 100/101 and 200/201 are
+    ~95% overlapping token streams; everything else is random."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(300):
+        toks = list(rng.choice(vocab, size=80))
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    base1 = list(np.random.default_rng(1).choice(vocab, size=100))
+    near1 = base1[:95] + ["xx1", "xx2", "xx3", "xx4", "xx5"]
+    base2 = list(np.random.default_rng(2).choice(vocab, size=100))
+    near2 = base2[:96] + ["yy1", "yy2", "yy3", "yy4"]
+    rows += [
+        {"doc_id": 1100, "text": " ".join(base1)},
+        {"doc_id": 1101, "text": " ".join(near1)},
+        {"doc_id": 1200, "text": " ".join(base2)},
+        {"doc_id": 1201, "text": " ".join(near2)},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_minhash_lsh_finds_neardups(neardup_docs):
+    from gxdindexer_ray.ops.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+
+    cand = minhash_lsh_candidates(neardup_docs).to_pandas()
+    pairs = set(map(tuple, cand[["a", "b"]].to_numpy()))
+    assert (1100, 1101) in pairs
+    assert (1200, 1201) in pairs
+    verified = verify_pairs_jaccard(neardup_docs, cand, threshold=0.5)
+    vp = set(map(tuple, verified[["a", "b"]].to_numpy()))
+    assert (1100, 1101) in vp and (1200, 1201) in vp
+    # random docs shouldn't survive verification
+    assert all(a in (1100, 1200) for a, _ in vp)
+
+
+def test_exact_jaccard_and_signatures_deterministic():
+    from gxdindexer_ray.ops.dedup import (
+        _perm_params, exact_jaccard, minhash_signature, minhash_signature_batch, shingle_set,
+    )
+
+    toks = ["a", "b", "c", "d", "e", "f"]
+    assert exact_jaccard(toks, toks) == 1.0
+    assert exact_jaccard(toks, ["z", "q", "r"]) == 0.0
+    a, b = _perm_params(16)
+    sig1 = minhash_signature(shingle_set(toks), a, b)
+    sig2 = minhash_signature_batch([toks], a, b)[0]
+    assert np.array_equal(sig1, sig2)
+
+
+def test_simhash_near_for_neardups(neardup_docs):
+    from gxdindexer_ray.ops.dedup import simhash
+
+    out = simhash(neardup_docs).to_pandas().set_index("doc_id")["simhash"]
+
+    def ham(x, y):
+        return bin(int(x) ^ int(y)).count("1")
+
+    assert ham(out[1100], out[1101]) <= 12
+    assert ham(out[1200], out[1201]) <= 12
+    rand_pairs = [(0, 1), (2, 3), (4, 5)]
+    assert min(ham(out[a], out[b]) for a, b in rand_pairs) > 12
+
+
+def test_ivf_knn_recall(ray_session):
+    """Clustered synthetic embeddings: IVF with nprobe=4/16 cells must
+    recover most of brute-force top-10."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.similarity import brute_knn, ivf_knn
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 32))
+    vecs = []
+    for i in range(800):
+        c = centers[i % 8]
+        vecs.append(c + 0.15 * rng.normal(size=32))
+    df = pd.DataFrame({
+        "vec_id": np.arange(800, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    ds = rd.from_pandas(df)
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    qmat = np.stack([vecs[0], vecs[1], vecs[2]])
+    exact = brute_knn(ds, qids, qmat, k=10)
+    approx = ivf_knn(ds, qids, qmat, k=10, n_clusters=16, nprobe=4)
+    recall = 0
+    for q in qids:
+        e = set(exact[exact.qid == q]["nid"])
+        a = set(approx[approx.qid == q]["nid"])
+        recall += len(e & a) / len(e)
+    assert recall / len(qids) >= 0.8
+
+
+def test_multimodal_stage(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.multimodal import (
+        ImageMetaStage, blob_metadata, decode_image, fake_features, text_to_blob,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+    h1 = fake_features(b"hello")
+    assert h1 == fake_features(b"hello")  # deterministic
+    assert h1 != fake_features(b"hellp")
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abc", "", "日本語"]})
+    out = blob_metadata(text_to_blob(rd.from_pandas(df)), fake=True).to_pandas()
+    assert out["n_bytes"].tolist() == [3, 0, 9]
+    assert out["fake_width"].between(64, 64 + 1920).all()
+
+    # non-fake stage raises through the actor path too
+    stage = ImageMetaStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"doc_id": [1], "blob": [b"x"]}))
+
+
+def test_fingerprints_overlap(ray_session):
+    from gxdindexer_ray.ops.textops import fingerprint_doc
+
+    a = [f"t{i}" for i in range(50)]
+    b = a[:40] + [f"u{i}" for i in range(10)]
+    fa, fb = set(fingerprint_doc(a)), set(fingerprint_doc(b))
+    assert fa and fb
+    assert len(fa & fb) > 0  # shared prefix -> shared fingerprints
+    assert fa != fb
+    assert fingerprint_doc([]) == []
+    assert fingerprint_doc(["one"]) == []  # shorter than k
+
+
+def test_partitioned_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import partitioned_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 200).astype(np.int64),
+                         "lv": rng.normal(200).round(3) if False else rng.normal(size=200)})
+    right = pd.DataFrame({"rk": rng.integers(0, 50, 300).astype(np.int64),
+                          "rv": rng.integers(0, 9, 300).astype(np.int64)})
+    for how in ("inner", "left"):
+        got = partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                               "k", "rk", how=how).to_pandas()
+        exp = left.merge(right, left_on="k", right_on="rk", how=how)
+        got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+        exp_s = exp[got.columns].sort_values(list(got.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_distributed_topk_matches_sort(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import distributed_topk
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"a": rng.normal(size=5000), "b": np.arange(5000, dtype=np.int64)})
+    got = distributed_topk(rd.from_pandas(df), ["a", "b"], [False, True], 25)
+    exp = df.sort_values(["a", "b"], ascending=[False, True]).head(25).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lang_id_markers(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import lang_id
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the cat and the dog of a house",
+            "der hund und die katze ist nicht da",
+            "le chat est dans la maison pour les amis",
+            "zzz qqq www",
+        ],
+    })
+    out = lang_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
