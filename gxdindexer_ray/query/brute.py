@@ -40,7 +40,10 @@ def brute_force_topk(
             continue
         w = idf(N, df)
         for r in rows:
-            pl = decode_postings(r, block_size=block_size)
+            pl = r.get("_pl")  # decoded-postings memo (rows are LRU-cached by the reader)
+            if pl is None:
+                pl = decode_postings(r, block_size=block_size)
+                r["_pl"] = pl
             contrib = w * bm25_tf_factor(pl.tfs, pl.dls, avgdl, k1, b)
             all_docs.append(pl.doc_ids.astype(np.int64))
             all_scores.append(contrib)
