@@ -67,6 +67,14 @@ def run_benchmark() -> dict:
             "phases": metrics["phases"],
         }
 
+        if os.environ.get("GRAFT_BENCH_ONLY") == "build":
+            total = round(sum(timings.values()), 3)
+            return {
+                "metric": "index-build wall time",
+                "value": total, "unit": "sec", "queries": timings,
+                "sf": SF_DIR, "num_cpus": NUM_CPUS, "pages_rows": PAGES_ROWS, **extra,
+            }
+
         # ---- query latency over the built index --------------------------
         eng = SearchEngine(INDEX_DIR)
         qset = generate_queries(200, seed=42).to_pylist()

@@ -697,6 +697,76 @@ FROM scores ORDER BY score_r DESC, doc_id LIMIT 10
 """
 
 
+def q34_json_extract(sf: str):
+    """M13 JSON-serialized struct fields (the reference Jackson-serializes
+    pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
+    extract a typed value from the events props JSON column."""
+    ds = read_table(sf, "events", columns=["props"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["k_val"] = df["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype(np.int64)
+        return df[["k_val"]]
+
+    ds = ds.map_batches(f, batch_format="pandas")
+    return pre_aggregate(ds, ["k_val"], counts="n")
+
+
+SQL_Q34 = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
+FROM events GROUP BY k_val
+"""
+
+
+def q35_customer_profile(sf: str):
+    """A3 grouped collect -> per-group profile doc (the reference's clearest
+    groupby-aggregate: one profile doc per marker aggregating its structure
+    sets, GxdProfileMarkerIndexer.java:890-947). The collect happens inside
+    the co-partitioned join bucket — no second shuffle."""
+    from ..ops.relational import partitioned_join
+
+    cust = read_table(sf, "customer", columns=["c_custkey"])
+    orders = read_table(sf, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def profile(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_custkey", sort=False)
+        out = pd.DataFrame({
+            "n_orders": g.size(),
+            "priorities": g["o_orderpriority"].agg(lambda s: ",".join(sorted(set(s)))),
+            "max_price": g["o_totalprice"].max().round(2),
+        }).reset_index()
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return partitioned_join(cust, orders, "c_custkey", "o_custkey",
+                            how="inner", bucket_post=profile)
+
+
+SQL_Q35 = """
+SELECT c_custkey, count(*) AS n_orders,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       round(max(o_totalprice),2) AS max_price
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q36_enriched_docs(sf: str):
+    """Reference-parity enrichment pack smoke (T1-T13/D2/M12 semantics,
+    see pipelines/enrich.py): enriched docs over documents-as-pages.
+    Rows-only check; exact semantics are unit-tested."""
+    from .enrich import build_side_state, enrich_docs
+    from ..fixtures.pages import vocabulary
+
+    ix = _index_for(sf)
+    import ray.data as rd
+
+    docs = rd.read_parquet(str(ix / "docs"), columns=["doc_id", "url", "text"])
+    urls = [r["url"] for r in docs.select_columns(["url"]).take_all()]
+    side = build_side_state(vocabulary(42), urls)
+    out = enrich_docs(docs, side)
+    return out.select_columns(["doc_id", "site", "category", "region"])
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -735,6 +805,9 @@ CATALOG: dict[str, tuple] = {
     "q31_embedding_neardup": (q31_embedding_neardup, SQL_Q31),
     "q32_blob_meta": (q32_blob_meta, SQL_Q32),
     "q33_bm25_topk": (q33_bm25_topk, SQL_Q33),
+    "q34_json_extract": (q34_json_extract, SQL_Q34),
+    "q35_customer_profile": (q35_customer_profile, SQL_Q35),
+    "q36_enriched_docs": (q36_enriched_docs, None),
 }
 
 

@@ -1,0 +1,110 @@
+"""Enrichment-parity pack (T1-T13/D2/M12 semantics) and CLI registry tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_nodup_extend_order_preserving():
+    from gxdindexer_ray.pipelines.enrich import nodup_extend
+
+    acc, seen = [], set()
+    nodup_extend(acc, seen, ["b", "a", "b", "c", "a"])
+    assert acc == ["b", "a", "c"]  # first-occurrence order, dups suppressed
+    nodup_extend(acc, seen, ["c", "d"])
+    assert acc == ["b", "a", "c", "d"]
+
+
+def test_position_boost_decay():
+    from gxdindexer_ray.pipelines.enrich import position_boost
+
+    assert position_boost(0) == 100.0
+    assert position_boost(1) == pytest.approx(100 / 1.5)
+    assert position_boost(50) == 1.0  # floored
+
+
+def test_side_tables_deterministic():
+    from gxdindexer_ray.fixtures.pages import vocabulary
+    from gxdindexer_ray.fixtures.sidetables import site_attrs, term_ancestors, term_synonyms
+
+    v = vocabulary(42)
+    assert site_attrs(42).equals(site_attrs(42))
+    assert term_synonyms(v, 42).equals(term_synonyms(v, 42))
+    anc = term_ancestors(v, 42)
+    assert anc.equals(term_ancestors(v, 42))
+    # closure property: ancestor-of-ancestor is an ancestor
+    pairs = set(zip(anc["term"].to_pylist(), anc["ancestor"].to_pylist()))
+    by_term: dict[str, set] = {}
+    for t, a in pairs:
+        by_term.setdefault(t, set()).add(a)
+    for t, ancs in list(by_term.items())[:100]:
+        for a in ancs:
+            assert by_term.get(a, set()) <= ancs, (t, a)
+
+
+def test_enrich_docs_semantics(ray_session, pages_1k, tmp_path):
+    import ray.data as rd
+
+    from gxdindexer_ray.config import IndexConfig
+    from gxdindexer_ray.fixtures.pages import vocabulary
+    from gxdindexer_ray.pipelines import build_index
+    from gxdindexer_ray.pipelines.enrich import build_side_state, enrich_docs, position_boost
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    out = tmp_path / "ix"
+    build_index(pages_1k, out, IndexConfig())
+    docs = rd.read_parquet(str(out / "docs"), columns=["doc_id", "url", "text"])
+    docs_pd = docs.to_pandas()
+    side = build_side_state(vocabulary(42), docs_pd["url"].tolist())
+    enriched = enrich_docs(docs, side).to_pandas().set_index("url")
+
+    assert len(enriched) == len(docs_pd)
+    checked_anc = checked_lab = 0
+    for _, row in docs_pd.head(300).iterrows():
+        e = enriched.loc[row["url"]]
+        # site attrs: J1 broadcast join, J3 null-on-miss
+        assert e["site"].startswith("site")
+        cat, reg = side["site_attrs"][e["site"]]
+        assert e["category"] == cat and e["region"] == reg
+
+        # top terms: tf desc, term asc, k=5, from the frozen tokenizer
+        toks = tokenize(row["text"])
+        if toks:
+            from collections import Counter
+
+            cnt = Counter(toks)
+            expected = [t for _, t in sorted((-c, t) for t, c in cnt.items())[:5]]
+            assert list(e["top_terms"]) == expected
+            assert list(e["term_boosts"]) == [position_boost(j) for j in range(len(expected))]
+
+            # expanded = top terms + ancestors, order-preserving nodup (D2/T7)
+            exp = list(e["expanded_terms"])
+            assert exp[: len(expected)] == expected
+            assert len(exp) == len(set(exp))
+            for t in expected:
+                for a in side["ancestors"].get(t, []):
+                    assert a in exp
+                    checked_anc += 1
+        # labels deduped (T12/D2)
+        labs = list(e["labels"])
+        assert len(labs) == len(set(labs))
+        if row["url"] in side["labels"]:
+            assert set(labs) == set(side["labels"][row["url"]])
+            checked_lab += 1
+    assert checked_anc > 0 and checked_lab > 0
+
+
+def test_cli_list_and_run(ray_session, capsys):
+    # `list` needs no ray; `run` reuses the active session via is_initialized
+    from gxdindexer_ray.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "q33_bm25_topk" in out
+
+    rc = main(["run", "--pipeline", "q02_event_normalize", "--sf", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "ok" in capsys.readouterr().out
+
+    rc = main(["run", "--pipeline", "nope_not_real", "--sf", "/root/testdata/sf0.001"])
+    assert rc == 1
