@@ -59,6 +59,19 @@ MANIFEST_SCHEMA = pa.schema(
 )
 
 
+def merge_bucket_files(bucket_files: list[str], segments_dir: str, avgdl: float,
+                       cfg: IndexConfig | None = None) -> dict:
+    """Reducer for the file-based exchange: read one bucket's partial files,
+    merge, write its segment. Run as one Ray task per bucket
+    (``ray.remote(merge_bucket_files)``) — this is the rare drop below the
+    Dataset API: a 32-way fixed fan-out that the groupby sort shuffle would
+    only make slower. Returns the bucket's lineage/manifest row."""
+    tbl = pa.concat_tables(pq.read_table(f) for f in sorted(bucket_files))
+    merger = BucketMerger(segments_dir=segments_dir, avgdl=avgdl, cfg=cfg)
+    out = merger(tbl)
+    return out.to_pylist()[0]
+
+
 class BucketMerger:
     """map_groups callable. Stateless besides config; written as a class so
     segments_dir/avgdl arrive once via fn_constructor_kwargs."""

@@ -47,6 +47,78 @@ def bucket_of(term: str, shard: int, n_buckets: int) -> int:
     return int.from_bytes(h, "big") % n_buckets
 
 
+def make_spimi_fn(hot_terms_ref, cfg: IndexConfig):
+    """Task-pool variant: a plain function with a worker-process-local
+    builder cache. SPIMI's per-worker state (the hot-term set + bucket
+    cache) is tiny, so stateless TASKS — which scale to every free CPU
+    without actor-pool ramp-up — beat an actor pool here. (Stages with
+    heavy state — extraction models, query readers — stay actor pools.)"""
+    _local: dict = {}
+
+    def spimi_partials(batch: pa.Table) -> pa.Table:
+        b = _local.get("b")
+        if b is None:
+            b = SpimiPartialBuilder(hot_terms_ref=hot_terms_ref, cfg=cfg)
+            _local["b"] = b
+        return b(batch)
+
+    return spimi_partials
+
+
+def make_spimi_writer_fn(hot_terms_ref, cfg: IndexConfig, partials_dir: str):
+    """File-exchange variant: each task writes its batch's partials split by
+    bucket to ``partials_dir/bucket=NNN/part-*.parquet`` and returns one
+    tiny manifest row per written file.
+
+    This replaces the groupby sort shuffle with a direct hash exchange
+    through storage — the same data movement a sort-based shuffle performs,
+    minus the global sort nobody needs (rows only have to be grouped by a
+    32-value bucket key, and the merge re-sorts by docID anyway). It is
+    also the multi-node shape: bucket directories live on shared storage,
+    and each reducer reads exactly its bucket."""
+    import os
+    import uuid
+
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    _local: dict = {}
+
+    def spimi_write(batch: pa.Table) -> pa.Table:
+        b = _local.get("b")
+        if b is None:
+            b = SpimiPartialBuilder(hot_terms_ref=hot_terms_ref, cfg=cfg)
+            _local["b"] = b
+        tbl = b(batch)
+        buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(buckets, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        buckets = buckets[order]
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]])
+        tag = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        out_b, out_path, out_rows, out_bytes = [], [], [], []
+        for i in range(bounds.size - 1):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            bk = int(buckets[s])
+            d = Path(partials_dir) / f"bucket={bk:05d}"
+            d.mkdir(parents=True, exist_ok=True)
+            f = d / f"part-{tag}-{i}.parquet"
+            pq.write_table(tbl.slice(s, e - s), f, compression="lz4")
+            out_b.append(bk)
+            out_path.append(str(f))
+            out_rows.append(e - s)
+            out_bytes.append(f.stat().st_size)
+        return pa.table({
+            "bucket": pa.array(out_b, pa.int32()),
+            "path": pa.array(out_path, pa.string()),
+            "rows": pa.array(out_rows, pa.int64()),
+            "bytes": pa.array(out_bytes, pa.int64()),
+        })
+
+    return spimi_write
+
+
 class SpimiPartialBuilder:
     def __init__(self, hot_terms_ref=None, cfg: IndexConfig | None = None):
         import ray

@@ -32,11 +32,11 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, IndexConfig
 from ..index.docid import doc_id_column
-from ..index.merge import BucketMerger, MANIFEST_SCHEMA
-from ..index.spimi import SpimiPartialBuilder
+from ..index.merge import merge_bucket_files, MANIFEST_SCHEMA
+from ..index.spimi import make_spimi_writer_fn
 from ..state.manifest import PhaseManifest, atomic_write_json, config_key, fingerprint_inputs, read_json
 from ..text.extract import extract_column
-from ..text.tokenize import doc_term_counts
+from ..text.tokenize import doc_term_counts  # noqa: F401 (P2 sampling)
 
 DOCSTORE_SCHEMA = pa.schema(
     [
@@ -90,10 +90,12 @@ def _extract_stage(batch: pa.Table) -> pa.Table:
     """HTML -> text (frozen spec v1) + doc length; html dropped immediately
     after extraction so the wide binary column never crosses another stage."""
     text = extract_column(batch["html"])
-    _, doc_idx, _, tf = doc_term_counts(text)
-    dl = np.zeros(len(text), dtype=np.int64)
-    if doc_idx.size:
-        np.add.at(dl, doc_idx, tf)
+    # dl = number of tokenizer matches — one C kernel, no token
+    # materialization (the full tokenize happens once, in the SPIMI phase)
+    from ..text.tokenize import TOKEN_PATTERN
+
+    dl = pc.count_substring_regex(pc.utf8_lower(text), pattern=TOKEN_PATTERN)
+    dl = dl.to_numpy(zero_copy_only=False).astype(np.int64)
     out = pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -217,25 +219,35 @@ def build_index(
     t0 = time.perf_counter()
     seg_manifest_path = out / "segments_manifest.json"
     if not (resume and p3.is_complete()):
+        import shutil
+
         hot_ref = ray.put(hot_terms)
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        pool = cfg.extract_concurrency or (1, max(2, ncpu))
+        partials_dir = out / ".partials.tmp"
+        if partials_dir.exists():
+            shutil.rmtree(partials_dir)
+
+        # map side: SPIMI tasks write compressed partials straight into
+        # per-bucket directories (hash exchange through storage — no global
+        # sort; see make_spimi_writer_fn)
         docs = rd.read_parquet(doc_files, columns=["doc_id", "text"])
-        partials = docs.map_batches(
-            SpimiPartialBuilder,
-            fn_constructor_kwargs={"hot_terms_ref": hot_ref, "cfg": cfg},
+        writes = docs.map_batches(
+            make_spimi_writer_fn(hot_ref, cfg, str(partials_dir)),
             batch_format="pyarrow",
             batch_size=cfg.spimi_batch_size,
-            concurrency=pool,
         )
-        merger = BucketMerger(segments_dir=str(segments_dir), avgdl=stats["avgdl"], cfg=cfg)
+        by_bucket: dict[int, list[str]] = {}
+        for w in writes.take_all():
+            by_bucket.setdefault(int(w["bucket"]), []).append(w["path"])
 
-        def merge_bucket(group: pa.Table) -> pa.Table:
-            return merger(group)
-
-        merged = partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
-        rows = merged.take_all()
+        # reduce side: one task per bucket
+        merge_task = ray.remote(merge_bucket_files)
+        futs = [
+            merge_task.remote(files, str(segments_dir), stats["avgdl"], cfg)
+            for _, files in sorted(by_bucket.items())
+        ]
+        rows = ray.get(futs)
         rows.sort(key=lambda r: r["bucket"])
+        shutil.rmtree(partials_dir, ignore_errors=True)
         atomic_write_json(seg_manifest_path, {"buckets": rows})
         p3.seal(
             n_buckets=len(rows),
