@@ -49,16 +49,19 @@ class OracleIndex:
     @classmethod
     def build_from_rows(cls, rows, k1: float = 0.9, b: float = 0.4) -> "OracleIndex":
         """rows: iterable of (url, warc_ts_us:int, html:bytes|None)."""
-        # exact dedup, first-wins: min (warc_ts, html-bytes) per url —
-        # the total order both engines implement (D3, SURVEY.md §2.8)
-        best: dict[str, tuple[int, bytes]] = {}
+        # exact dedup, first-wins: min (warc_ts, extracted_text) per url —
+        # the total order both engines implement (D3, SURVEY.md §2.8).
+        # Tie-breaking on post-extraction text (not raw html) lets the
+        # distributed engine drop the wide html column BEFORE the dedup
+        # shuffle; for distinct timestamps (the normal case) the rule is
+        # plain first-wins-by-warc_ts either way.
+        best: dict[str, tuple[int, str]] = {}
         for url, ts, html in rows:
-            key = (ts, html if html is not None else b"")
+            key = (ts, extract_text(html))
             if url not in best or key < best[url]:
                 best[url] = key
         ix = cls(k1=k1, b=b)
-        for url, (ts, html) in best.items():
-            text = extract_text(html)
+        for url, (ts, text) in best.items():
             ix.text_by_url[url] = text
             did = doc_id_of(url)
             toks = tokenize(text)

@@ -4,13 +4,14 @@ Phase structure (each phase seals an atomic manifest; a re-run with the same
 input fingerprint + config skips completed phases — the checkpoint-resume
 the reference lacks, see state/manifest.py):
 
-  P0 docstore : read pages -> in-batch pre-dedup -> doc-range-bucketed exact
-                url dedup (first-wins by (warc_ts, html)) -> HTML extract ->
-                docID + doc length -> docs/ parquet (doc_id-range clustered)
+  P0 docstore : read pages -> HTML extract (html dropped immediately) ->
+                docID + doc length -> in-batch pre-dedup -> doc-range-
+                bucketed exact url dedup (first-wins by (warc_ts, text)) ->
+                docs/ parquet (doc_id-range clustered)
   P1 stats    : columnar scan of dl only -> N, avgdl -> stats.json
   P2 hotterms : deterministic doc_id hash-sample -> sampled df -> hot set
-  P3 segments : tokenize + SPIMI partials (actor pool, hot set broadcast)
-                -> groupby(bucket) shuffle -> BucketMerger -> segment files
+  P3 segments : tokenize + SPIMI partial tasks writing a per-bucket file
+                exchange -> one merge task per bucket -> segment files
                 + per-bucket lineage rows -> segments_manifest.json
 
 Reference parity: this is GxdResultIndexer.index()'s scan->derive->write
@@ -53,16 +54,13 @@ _DEDUP_RANGE_BITS = 9  # 512 doc-range dedup buckets -> docstore files are
                        # doc_id-range clustered (parquet stats prune lookups)
 
 
-def _prededup_batch(batch: pa.Table) -> pa.Table:
-    """Assign doc_id + drop in-batch duplicate urls (keep min (warc_ts, html)).
-
-    Arrow-native: no pandas conversion, html stays zero-copy binary."""
-    batch = batch.combine_chunks()
-    batch = batch.append_column("doc_id", doc_id_column(batch["url"]))
+def _dedup_slim(batch: pa.Table) -> pa.Table:
+    """First-wins url dedup over SLIM rows: keep min (warc_ts, text) per
+    url. Used both in-batch (pre-dedup) and per doc-range bucket (final)."""
     order = pc.sort_indices(
         batch,
-        sort_keys=[("url", "ascending"), ("warc_ts", "ascending"), ("html", "ascending")],
-        null_placement="at_start",  # null html sorts first = smallest, matches oracle b""
+        sort_keys=[("url", "ascending"), ("warc_ts", "ascending"), ("text", "ascending")],
+        null_placement="at_start",
     )
     batch = batch.take(order)
     urls = batch["url"].combine_chunks()
@@ -72,42 +70,42 @@ def _prededup_batch(batch: pa.Table) -> pa.Table:
     else:
         same_as_prev = pc.equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
         first = pa.concat_arrays([pa.array([True]), pc.invert(same_as_prev)])
-    batch = batch.filter(first)
-    rb = (batch["doc_id"].to_numpy(zero_copy_only=False) >> (63 - _DEDUP_RANGE_BITS)).astype(np.int32)
-    return batch.append_column("range_bucket", pa.array(rb, pa.int32()))
+    return batch.filter(first)
 
 
-def _dedup_group(group: pa.Table) -> pa.Table:
-    """Exact first-wins dedup within a doc-range bucket (D3, SURVEY.md §2.8)."""
-    return _strip(_prededup_batch(group.drop_columns(["doc_id", "range_bucket"])))
-
-
-def _strip(t: pa.Table) -> pa.Table:
-    return t.drop_columns(["range_bucket"]) if "range_bucket" in t.column_names else t
-
-
-def _extract_stage(batch: pa.Table) -> pa.Table:
-    """HTML -> text (frozen spec v1) + doc length; html dropped immediately
-    after extraction so the wide binary column never crosses another stage."""
+def _extract_prededup(batch: pa.Table) -> pa.Table:
+    """Map side of P0: extract text (frozen spec v1) FIRST, drop the wide
+    html column, assign docIDs, then in-batch pre-dedup. Only slim rows
+    (text, ~1/3 of html bytes) ever cross the dedup exchange — extracting a
+    duplicate row wastes a little CPU on <0.2%% of rows and saves shipping
+    every row's html through the shuffle."""
+    batch = batch.combine_chunks()
     text = extract_column(batch["html"])
     # dl = number of tokenizer matches — one C kernel, no token
     # materialization (the full tokenize happens once, in the SPIMI phase)
     from ..text.tokenize import TOKEN_PATTERN
 
     dl = pc.count_substring_regex(pc.utf8_lower(text), pattern=TOKEN_PATTERN)
-    dl = dl.to_numpy(zero_copy_only=False).astype(np.int64)
-    out = pa.table(
+    slim = pa.table(
         {
-            "doc_id": batch["doc_id"],
+            "doc_id": doc_id_column(batch["url"]),
             "url": batch["url"],
             "warc_ts": batch["warc_ts"],
             "lang": batch["lang"],
             "text": text,
-            "dl": pa.array(dl, pa.int64()),
+            "dl": dl.cast(pa.int64()),
         },
         schema=DOCSTORE_SCHEMA,
     )
-    return out
+    slim = _dedup_slim(slim)
+    rb = (slim["doc_id"].to_numpy(zero_copy_only=False) >> (63 - _DEDUP_RANGE_BITS)).astype(np.int32)
+    return slim.append_column("range_bucket", pa.array(rb, pa.int32()))
+
+
+def _dedup_group(group: pa.Table) -> pa.Table:
+    """Reduce side of P0: exact first-wins dedup within a doc-range bucket
+    (D3, SURVEY.md §2.8)."""
+    return _dedup_slim(group).drop_columns(["range_bucket"])
 
 
 def build_index(
@@ -134,12 +132,11 @@ def build_index(
     t0 = time.perf_counter()
     if not (resume and p0.is_complete()):
         ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"])
-        ds = ds.map_batches(_prededup_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
-        # Scale note: this groupby ships full rows (html included) — the
-        # price of exact dedup on unpartitioned input. On re-crawls whose
-        # storage is already url-range-partitioned, dedup stays map-side.
+        ds = ds.map_batches(_extract_prededup, batch_format="pyarrow", batch_size=cfg.batch_size)
+        # Scale note: only slim (text) rows cross this exchange; on
+        # re-crawls whose storage is already url-range-partitioned, the
+        # dedup stays entirely map-side.
         ds = ds.groupby("range_bucket").map_groups(_dedup_group, batch_format="pyarrow")
-        ds = ds.map_batches(_extract_stage, batch_format="pyarrow", batch_size=cfg.batch_size)
         import shutil
 
         tmp_docs = out / ".docs.tmp"
