@@ -144,7 +144,9 @@ def build_index(
             shutil.rmtree(tmp_docs)
         if docs_dir.exists():
             shutil.rmtree(docs_dir)
-        ds.write_parquet(str(tmp_docs), compression="zstd", min_rows_per_file=cfg.min_rows_per_file)
+        # lz4: the docstore is a per-build intermediate read back twice
+        # (stats/sample + SPIMI); cheap codec beats ratio here
+        ds.write_parquet(str(tmp_docs), compression="lz4", min_rows_per_file=cfg.min_rows_per_file)
         tmp_docs.rename(docs_dir)
         p0.seal(files=len(list(docs_dir.glob("*.parquet"))))
     metrics["phases"]["docstore"] = round(time.perf_counter() - t0, 3)
