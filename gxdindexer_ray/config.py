@@ -36,7 +36,7 @@ class IndexConfig:
     dedup_buckets: int = 512       # url-hash buckets for exact first-wins dedup
 
     # --- execution knobs (do NOT affect artifact bytes) ---
-    batch_size: int = 256          # docs per extract batch (html can be wide — bytes bound this)
+    batch_size: int = 1024         # docs per extract batch (html can be wide — bytes bound this)
     spimi_batch_size: int = 4096   # docs per SPIMI batch (text only; larger batches
                                    # -> fewer, bigger partials -> cheaper shuffle+merge)
     extract_concurrency: int | None = None   # None -> stateless tasks sized by Ray
