@@ -160,7 +160,7 @@ class BucketMerger:
         self.segments_dir.mkdir(parents=True, exist_ok=True)
         final = self.segments_dir / f"bucket-{bucket:05d}.parquet"
         tmp = self.segments_dir / f".bucket-{bucket:05d}.parquet.tmp"
-        pq.write_table(seg, tmp, compression="zstd", row_group_size=1024)
+        pq.write_table(seg, tmp, compression="zstd", row_group_size=256)
         tmp.rename(final)
 
         return pa.table(

@@ -31,7 +31,8 @@ _PAYLOAD_COLUMNS = [
 
 
 class IndexReader:
-    def __init__(self, index_dir: str | Path, cache_terms: int = 4096):
+    def __init__(self, index_dir: str | Path, cache_terms: int = 4096,
+                 warm_top_terms: int = 64):
         self.index_dir = Path(index_dir)
         stats = read_json(self.index_dir / "stats.json")
         if not stats:
@@ -63,6 +64,15 @@ class IndexReader:
                 in_g += 1
         self._cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._cache_terms = cache_terms
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._io_pool = ThreadPoolExecutor(max_workers=8)
+        if warm_top_terms:
+            # pre-fetch the highest-df terms once per reader: hot terms are
+            # exactly the ones every query mix hits, and their shard rows
+            # span the most row groups (the cold-tail latency)
+            by_df = sorted(self._lex.items(), key=lambda kv: -sum(r[3] for r in kv[1]))
+            self.fetch_terms([t for t, _ in by_df[:warm_top_terms]])
 
     @property
     def n_terms(self) -> int:
@@ -82,10 +92,21 @@ class IndexReader:
             for fi, g, row, _, _, _ in self._lex.get(t, []):
                 wanted.setdefault((fi, g), []).append((t, row))
         fetched: dict[str, list[dict]] = {}
-        for (fi, g), items in wanted.items():
-            tbl = self._pf[fi].read_row_group(g, columns=_PAYLOAD_COLUMNS)
-            for t, row in items:
-                fetched.setdefault(t, []).append(tbl.slice(row, 1).to_pylist()[0])
+        if wanted:
+            # parquet row-group reads release the GIL — fetch a query's
+            # groups concurrently (a query fans out over files/row groups)
+            def read_one(key):
+                fi, g = key
+                return key, self._pf[fi].read_row_group(g, columns=_PAYLOAD_COLUMNS)
+
+            if len(wanted) > 1:
+                results = dict(self._io_pool.map(read_one, list(wanted)))
+            else:
+                results = dict([read_one(next(iter(wanted)))])
+            for key, items in wanted.items():
+                tbl = results[key]
+                for t, row in items:
+                    fetched.setdefault(t, []).append(tbl.slice(row, 1).to_pylist()[0])
         for t, rows in fetched.items():
             rows.sort(key=lambda r: int(r["shard"]))
             self._cache[t] = rows
