@@ -88,14 +88,14 @@ class OracleIndex:
         return sorted((d, tf, self.docs[d][1]) for d, tf in p.items())
 
     # --- query ----------------------------------------------------------
-    def topk(self, query: str, k: int) -> list[tuple[int, float]]:
+    def topk(self, query: str, k: int, boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         scores: dict[int, float] = {}
         for t in terms:
             plist = self.postings.get(t)
             if not plist:
                 continue
-            w = idf(self.N, len(plist))
+            w = idf(self.N, len(plist)) * (boosts.get(t, 1.0) if boosts else 1.0)
             for did, tf in plist.items():
                 dl = self.docs[did][1]
                 s = w * tf_factor(float(tf), float(dl), self.k1, self.b, self.avgdl)

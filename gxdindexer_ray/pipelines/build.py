@@ -108,6 +108,17 @@ def _dedup_group(group: pa.Table) -> pa.Table:
     return _dedup_slim(group).drop_columns(["range_bucket"])
 
 
+def _save_exec_stats(out: Path, tag: str, ds) -> None:
+    """Persist Ray Data's per-stage execution stats (wall/cpu/memory
+    breakdown) for capacity planning — the analog of the reference's
+    per-indexer timing files (bin/buildIndexes:262)."""
+    try:
+        (out / "_manifests").mkdir(parents=True, exist_ok=True)
+        (out / "_manifests" / f"exec-stats-{tag}.txt").write_text(ds.stats())
+    except Exception:
+        pass  # stats are advisory; never fail a build over them
+
+
 def build_index(
     pages_dir: str | Path,
     out_dir: str | Path,
@@ -148,6 +159,7 @@ def build_index(
         # (stats/sample + SPIMI); cheap codec beats ratio here
         ds.write_parquet(str(tmp_docs), compression="lz4", min_rows_per_file=cfg.min_rows_per_file)
         tmp_docs.rename(docs_dir)
+        _save_exec_stats(out, "p0-docstore", ds)
         p0.seal(files=len(list(docs_dir.glob("*.parquet"))))
     metrics["phases"]["docstore"] = round(time.perf_counter() - t0, 3)
 
@@ -237,6 +249,7 @@ def build_index(
         by_bucket: dict[int, list[str]] = {}
         for w in writes.take_all():
             by_bucket.setdefault(int(w["bucket"]), []).append(w["path"])
+        _save_exec_stats(out, "p3-spimi-map", writes)
 
         # reduce side: one task per bucket
         merge_task = ray.remote(merge_bucket_files)

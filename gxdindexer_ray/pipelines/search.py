@@ -29,7 +29,8 @@ class SearchEngine:
     # WAND pivot step costs ~5-10us.
     AUTO_BRUTE_MAX_POSTINGS = 5_000_000
 
-    def topk(self, query: str, k: int, method: str = "auto") -> list[tuple[int, float]]:
+    def topk(self, query: str, k: int, method: str = "auto",
+             boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         term_rows = self.reader.fetch_terms(terms)
         kw = dict(
@@ -39,6 +40,7 @@ class SearchEngine:
             b=self.reader.b,
             block_size=self.reader.block_size,
             k=k,
+            boosts=boosts,
         )
         if method == "auto":
             total = sum(int(r["n_postings"]) for rows in term_rows.values() for r in rows)

@@ -28,9 +28,11 @@ def brute_force_topk(
     b: float,
     block_size: int,
     k: int,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """term_rows: term -> segment rows (its shards). Returns [(doc_id, score)]
-    ranked by (score desc, doc_id asc)."""
+    ranked by (score desc, doc_id asc). ``boosts`` multiplies a term's idf
+    weight (the reference's per-field boost, shr/SolrUtils.java:13-27)."""
     all_docs: list[np.ndarray] = []
     all_scores: list[np.ndarray] = []
     for term in sorted(term_rows):
@@ -38,7 +40,7 @@ def brute_force_topk(
         df = term_rows_df(rows)
         if df == 0:
             continue
-        w = idf(N, df)
+        w = idf(N, df) * (boosts.get(term, 1.0) if boosts else 1.0)
         for r in rows:
             pl = r.get("_pl")  # decoded-postings memo (rows are LRU-cached by the reader)
             if pl is None:

@@ -104,6 +104,7 @@ def block_max_wand_topk(
     b: float,
     block_size: int,
     k: int,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     cursors: list[_Cursor] = []
     for term in sorted(term_rows):
@@ -111,7 +112,7 @@ def block_max_wand_topk(
         df = term_rows_df(rows)
         if df == 0:
             continue
-        w = idf(N, df)
+        w = idf(N, df) * (boosts.get(term, 1.0) if boosts else 1.0)
         for r in rows:
             cursors.append(_Cursor(term, r, w, block_size))
     cursors = [c for c in cursors if c.doc != _EXHAUSTED]

@@ -108,3 +108,22 @@ def test_cli_list_and_run(ray_session, capsys):
 
     rc = main(["run", "--pipeline", "nope_not_real", "--sf", "/root/testdata/sf0.001"])
     assert rc == 1
+
+
+def test_cli_build_and_query(ray_session, tmp_path, capsys):
+    from gxdindexer_ray.__main__ import main
+    from gxdindexer_ray.fixtures import generate_pages
+
+    pages = generate_pages(tmp_path / "pages", 200, seed=42)
+    out = tmp_path / "ix"
+    assert main(["build", "--pages", str(pages), "--out", str(out)]) == 0
+    captured = capsys.readouterr().out
+    assert '"N": 200' in captured
+    assert (out / "stats.json").exists()
+    assert (out / "_manifests" / "exec-stats-p0-docstore.txt").exists()
+
+    assert main(["query", "--index", str(out), "--q", "zerg", "--k", "3"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 3
+    rank, doc, score = lines[0].split("\t")
+    assert rank == "1" and float(score) > 0

@@ -100,3 +100,22 @@ def test_wand_equals_brute_random_corpora():
                 kw = dict(N=ix.N, avgdl=ix.avgdl, k1=0.9, b=0.4, block_size=128, k=k)
                 assert brute_force_topk(tr, **kw) == expected
                 assert block_max_wand_topk(tr, **kw) == expected
+
+
+def test_boosted_scoring_matches_oracle(encoded):
+    """M12 per-term boost (position-decayed field boost analog,
+    shr/SolrUtils.java:13-27): boosted weights flow through brute, WAND and
+    the oracle identically, including upper bounds in WAND's skipping."""
+    ix, store = encoded
+    terms = sorted(ix.postings)[:40:10] + [HOT_TERM]
+    query = " ".join(terms)
+    boosts = {t: 1.0 + i * 0.75 for i, t in enumerate(sorted(set(terms)))}
+    expected = ix.topk(query, 25, boosts=boosts)
+    tr = _rows_for(store, sorted(set(terms)))
+    kw = dict(N=ix.N, avgdl=ix.avgdl, k1=CFG.k1, b=CFG.b,
+              block_size=CFG.block_size, k=25, boosts=boosts)
+    assert brute_force_topk(tr, **kw) == expected
+    assert block_max_wand_topk(tr, **kw) == expected
+    # boost actually changes the ranking vs unboosted
+    unboosted = ix.topk(query, 25)
+    assert unboosted != expected
