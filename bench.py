@@ -92,6 +92,20 @@ def run_benchmark() -> dict:
             "qps": round(len(lat) / timings["query_topk_200"], 1),
         }
 
+        # ---- scale-out query throughput: actor pool, index opened once per
+        # actor (contrast with the sequential driver-side numbers above)
+        import ray.data as rd
+
+        from gxdindexer_ray.fixtures import generate_queries as _gq
+        from gxdindexer_ray.pipelines.search import batch_search
+
+        qds = rd.from_arrow(_gq(200, seed=42))
+        t0 = time.perf_counter()
+        n_hits = batch_search(qds, INDEX_DIR).count()
+        timings["query_batch_pool"] = round(time.perf_counter() - t0, 3)
+        extra["query"]["pool_qps"] = round(200 / timings["query_batch_pool"], 1)
+        extra["query"]["pool_hits"] = n_hits
+
         # ---- representative operator pipelines over $GRAFT_SF_DIR --------
         for name in ("q01_pricing_summary", "q04_order_revenue", "q09_first_event",
                      "q21_sessionize", "q23_term_stats", "q30_knn"):

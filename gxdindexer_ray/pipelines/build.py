@@ -132,7 +132,11 @@ def build_index(
     input_files = sorted(str(p) for p in pages_dir.glob("*.parquet"))
     if not input_files:
         raise FileNotFoundError(f"no parquet files in {pages_dir}")
-    key = fingerprint_inputs(input_files) + "-" + config_key(cfg)
+    from ..text.extract import EXTRACT_SPEC_VERSION
+
+    # frozen-spec versions are part of the checkpoint key: a spec bump must
+    # invalidate resume state even though it isn't an IndexConfig field
+    key = f"{fingerprint_inputs(input_files)}-{config_key(cfg)}-x{EXTRACT_SPEC_VERSION}"
     out.mkdir(parents=True, exist_ok=True)
     docs_dir = out / "docs"
     segments_dir = out / "segments"
