@@ -19,8 +19,8 @@ from ..text.tokenize import tokenize
 
 
 class SearchEngine:
-    def __init__(self, index_dir: str | Path):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str | Path, warm_top_terms: int = 64):
+        self.reader = IndexReader(index_dir, warm_top_terms=warm_top_terms)
 
     # below this many candidate postings, vectorized exhaustive scoring beats
     # the per-posting Python cost of WAND; above it, WAND's skipping (which
@@ -55,8 +55,10 @@ class SearchEngine:
 class _QueryActor:
     """Callable class for map_batches: index opened once per actor."""
 
-    def __init__(self, index_dir: str, method: str = "bmw"):
-        self.engine = SearchEngine(index_dir)
+    def __init__(self, index_dir: str, method: str = "auto"):
+        # no eager warm-up in pool actors: N actors re-reading the hottest
+        # row groups concurrently just thrashes shared memory bandwidth
+        self.engine = SearchEngine(index_dir, warm_top_terms=0)
         self.method = method
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -79,12 +81,17 @@ class _QueryActor:
         )
 
 
-def batch_search(queries_ds, index_dir: str | Path, *, method: str = "bmw", concurrency=None):
-    """Run a Dataset of (query_id, query, k) through the index actor pool."""
+def batch_search(queries_ds, index_dir: str | Path, *, method: str = "auto", concurrency=None):
+    """Run a Dataset of (query_id, query, k) through the index actor pool.
+
+    Pool is deliberately modest (each actor amortizes one lexicon load over
+    many query batches; query serving is read+decode bound, so a few actors
+    saturate a node's memory bandwidth — scale QUERY throughput by adding
+    nodes, each with its own reader pool)."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = concurrency or (1, max(2, ncpu))
+    pool = concurrency or (1, max(2, min(8, ncpu)))
     return queries_ds.map_batches(
         _QueryActor,
         fn_constructor_kwargs={"index_dir": str(index_dir), "method": method},

@@ -189,3 +189,32 @@ def test_lang_id_markers(ray_session):
     })
     out = lang_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")["lang_pred"]
     assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.sketches import HLL, approx_distinct, approx_distinct_by_key
+
+    rng = np.random.default_rng(17)
+    true_n = 20_000
+    vals = [f"user-{i}" for i in rng.integers(0, true_n, size=100_000)]
+    actual = len(set(vals))
+    df = pd.DataFrame({"v": vals, "k": (np.arange(100_000) % 3)})
+    est = approx_distinct(rd.from_pandas(df), "v")
+    # plain HLL has a known bias dip around n ~ 2.5m-5m (HLL++ fixes it with
+    # empirical tables); allow 8% there
+    assert abs(est - actual) / actual < 0.08
+
+    # merge == union
+    a, b = HLL(), HLL()
+    a.add_strings([f"x{i}" for i in range(5000)])
+    b.add_strings([f"x{i}" for i in range(2500, 7500)])
+    m = a.merge(b)
+    assert abs(m.estimate() - 7500) / 7500 < 0.05
+
+    per_key = approx_distinct_by_key(rd.from_pandas(df), "k", "v")
+    assert len(per_key) == 3
+    for _, row in per_key.iterrows():
+        true_k = df[df.k == row["k"]]["v"].nunique()
+        assert abs(row["approx_distinct"] - true_k) / true_k < 0.10
