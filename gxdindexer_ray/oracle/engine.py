@@ -88,6 +88,36 @@ class OracleIndex:
         return sorted((d, tf, self.docs[d][1]) for d, tf in p.items())
 
     # --- query ----------------------------------------------------------
+    def boolean_topk(self, must: list[str], k: int, must_not: list[str] | None = None):
+        """AND over must terms minus must_not, BM25-ranked (scalar sets)."""
+        must = sorted(set(must))
+        cand: set[int] | None = None
+        for t in must:
+            docs = set(self.postings.get(t, {}))
+            cand = docs if cand is None else (cand & docs)
+            if not cand:
+                return []
+        for t in set(must_not or ()):
+            cand -= set(self.postings.get(t, {}))
+        ranked = [(d, s) for d, s in self.topk(" ".join(must), self.N) if d in cand]
+        return ranked[:k]
+
+    def phrase_topk(self, phrase: str, k: int):
+        """Exact adjacent-token phrase over every doc's text, BM25-ranked."""
+        toks = tokenize(phrase)
+        if not toks:
+            return []
+        n = len(toks)
+        matched = set()
+        for did, (url, _) in self.docs.items():
+            dtoks = tokenize(self.text_by_url[url])
+            for i in range(len(dtoks) - n + 1):
+                if dtoks[i:i + n] == toks:
+                    matched.add(did)
+                    break
+        ranked = [(d, s) for d, s in self.topk(" ".join(sorted(set(toks))), self.N) if d in matched]
+        return ranked[:k]
+
     def topk(self, query: str, k: int, boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         scores: dict[int, float] = {}

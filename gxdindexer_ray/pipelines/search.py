@@ -18,7 +18,105 @@ from ..query.wand import block_max_wand_topk
 from ..text.tokenize import tokenize
 
 
-class SearchEngine:
+def _decoded(rows: list[dict], block_size: int):
+    from ..codecs.postings import decode_postings
+
+    out = []
+    for r in sorted(rows, key=lambda r: int(r["shard"])):
+        pl = r.get("_pl")
+        if pl is None:
+            pl = decode_postings(r, block_size=block_size)
+            r["_pl"] = pl
+        out.append(pl)
+    return out
+
+
+class PhraseAndBooleanMixin:
+    """Boolean and phrase retrieval over the same segments.
+
+    - boolean: vectorized posting-set algebra (np.intersect1d/setdiff1d on
+      docID arrays) -> BM25-score the survivors; ranks/scores match the
+      oracle because survivors are scored with the standard scorer.
+    - phrase: candidate docs = AND of the phrase terms' postings, then
+      exact adjacency verification against the doc-store text (docstore
+      files are docID-range clustered, so the candidate reads are pruned
+      row-group reads, not scans). This is the verify-on-candidates design:
+      no positions in the postings, exact results, cost bounded by the
+      rarest term's df."""
+
+    def _candidate_docs(self, terms: list[str]) -> "np.ndarray":
+        import numpy as np
+
+        term_rows = self.reader.fetch_terms(sorted(set(terms)))
+        if len(term_rows) < len(set(terms)):
+            return np.empty(0, dtype=np.uint64)  # some term matches nothing
+        sets = []
+        for t, rows in term_rows.items():
+            pls = _decoded(rows, self.reader.block_size)
+            sets.append(np.concatenate([pl.doc_ids for pl in pls]))
+        sets.sort(key=len)
+        cand = sets[0]
+        for s in sets[1:]:
+            cand = np.intersect1d(cand, s, assume_unique=True)
+            if cand.size == 0:
+                break
+        return cand
+
+    def boolean_topk(self, must: list[str], k: int, must_not: list[str] | None = None,
+                     ) -> list[tuple[int, float]]:
+        """AND semantics over ``must`` terms minus ``must_not``, BM25-ranked."""
+        import numpy as np
+
+        cand = self._candidate_docs(must)
+        if cand.size and must_not:
+            for t, rows in self.reader.fetch_terms(sorted(set(must_not))).items():
+                excl = np.concatenate([pl.doc_ids for pl in _decoded(rows, self.reader.block_size)])
+                cand = np.setdiff1d(cand, excl, assume_unique=True)
+        if cand.size == 0:
+            return []
+        full = self.topk(" ".join(sorted(set(must))), k=1 << 62, method="brute")
+        cset = set(int(c) for c in cand)
+        hits = [(d, s) for d, s in full if d in cset]
+        return hits[:k]
+
+    def phrase_topk(self, phrase: str, k: int) -> list[tuple[int, float]]:
+        """Exact phrase match (tokens adjacent in spec order), BM25-ranked
+        over the phrase's terms."""
+        from ..text.tokenize import tokenize
+
+        toks = tokenize(phrase)
+        if not toks:
+            return []
+        cand = self._candidate_docs(toks)
+        if cand.size == 0:
+            return []
+        texts = self._texts_for(cand)
+        matched = []
+        n = len(toks)
+        for did in cand.tolist():
+            dtoks = tokenize(texts.get(int(did), ""))
+            for i in range(len(dtoks) - n + 1):
+                if dtoks[i:i + n] == toks:
+                    matched.append(int(did))
+                    break
+        if not matched:
+            return []
+        full = self.topk(" ".join(sorted(set(toks))), k=1 << 62, method="brute")
+        mset = set(matched)
+        hits = [(d, s) for d, s in full if d in mset]
+        return hits[:k]
+
+    def _texts_for(self, doc_ids) -> dict[int, str]:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(str(Path(self.reader.index_dir) / "docs"), format="parquet")
+        ids = [int(d) for d in doc_ids]
+        tbl = ds.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids))
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+
+class SearchEngine(PhraseAndBooleanMixin):
     def __init__(self, index_dir: str | Path, warm_top_terms: int = 64):
         self.reader = IndexReader(index_dir, warm_top_terms=warm_top_terms)
 

@@ -115,3 +115,50 @@ def test_batch_search_matches(built, oracle_1k, ray_session):
         sub = res[res.query_id == qrow["query_id"]].sort_values("rank")
         assert sub["doc_id"].tolist() == [d for d, _ in expected]
         assert sub["score"].tolist() == [s for _, s in expected]
+
+
+def test_phrase_and_boolean_match_oracle(built, oracle_1k):
+    from gxdindexer_ray.fixtures.pages import HOT_TERM, vocabulary
+    from gxdindexer_ray.pipelines import SearchEngine
+
+    out, _ = built
+    eng = SearchEngine(out)
+    vocab = vocabulary(42)
+    common = vocab[:4]
+
+    # boolean: AND pairs incl. a hot term, with and without NOT
+    cases = [
+        ([HOT_TERM, common[0]], None),
+        ([common[0], common[1]], [common[2]]),
+        ([common[0], "doesnotexistxyz"], None),
+        ([HOT_TERM], [common[0]]),
+    ]
+    nonempty = 0
+    for must, must_not in cases:
+        got = eng.boolean_topk(must, 15, must_not)
+        exp = oracle_1k.boolean_topk(must, 15, must_not)
+        assert got == exp, (must, must_not)
+        nonempty += bool(exp)
+    assert nonempty >= 2
+
+    # phrase: take real adjacent token pairs/triples from corpus docs
+    texts = list(oracle_1k.text_by_url.values())
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    checked = 0
+    for txt in texts:
+        toks = tokenize(txt)
+        if len(toks) >= 6:
+            for phrase_toks in (toks[2:4], toks[1:4]):
+                phrase = " ".join(phrase_toks)
+                got = eng.phrase_topk(phrase, 10)
+                exp = oracle_1k.phrase_topk(phrase, 10)
+                assert got == exp, phrase
+                assert exp, f"phrase from a real doc must match: {phrase}"
+                checked += 1
+        if checked >= 6:
+            break
+    assert checked >= 6
+
+    # negative: shuffled unlikely phrase
+    assert eng.phrase_topk("zzz yyy xxx", 5) == oracle_1k.phrase_topk("zzz yyy xxx", 5) == []
