@@ -767,6 +767,47 @@ def q36_enriched_docs(sf: str):
     return out.select_columns(["doc_id", "site", "category", "region"])
 
 
+def q37_approx_distinct(sf: str):
+    """A7 mergeable sketches: HLL approximate distinct users per event type
+    (registers travel, rows never do). Approximate -> rows-only check; the
+    accuracy contract is unit-tested."""
+    from ..ops.sketches import approx_distinct_by_key
+
+    ds = read_table(sf, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
+_PHRASE = ("hash", "merge")
+
+
+def q38_phrase_match(sf: str):
+    """Phrase search through the built index (candidate intersection +
+    docstore adjacency verify). SQL oracle: token-boundary regex — the
+    same adjacency semantics as the tokenizer."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix, warm_top_terms=0)
+    hits = eng.phrase_topk(" ".join(_PHRASE), k=1 << 60)
+    if not hits:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+    import pyarrow.dataset as pads
+
+    ids = [h for h, _ in hits]
+    docs = pads.dataset(str(ix / "docs"), format="parquet").to_table(
+        columns=["doc_id", "url"], filter=pc.field("doc_id").isin(ids)
+    )
+    url_of = dict(zip(docs["doc_id"].to_pylist(), docs["url"].to_pylist()))
+    orig = sorted(int(url_of[d].rsplit("/", 1)[1]) for d, _ in hits)
+    return pd.DataFrame({"doc_id": pd.Series(orig, dtype=np.int64)})
+
+
+SQL_Q38 = """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+merge($|[^a-z0-9])')
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -808,6 +849,8 @@ CATALOG: dict[str, tuple] = {
     "q34_json_extract": (q34_json_extract, SQL_Q34),
     "q35_customer_profile": (q35_customer_profile, SQL_Q35),
     "q36_enriched_docs": (q36_enriched_docs, None),
+    "q37_approx_distinct": (q37_approx_distinct, None),
+    "q38_phrase_match": (q38_phrase_match, SQL_Q38),
 }
 
 
