@@ -108,3 +108,46 @@ def blob_metadata(ds, *, fake: bool = True, concurrency=(1, 4), batch_size: int 
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def resize_image(blob: bytes, width: int, height: int):
+    """Stub: real resize needs an image library this container lacks."""
+    raise NotImplementedError("image resize is stubbed in this environment")
+
+
+def sample_frames(blob: bytes, every_n: int = 30):
+    """Stub: real video frame sampling needs a codec library."""
+    raise NotImplementedError("video frame sampling is stubbed in this environment")
+
+
+class FrameSampleStage:
+    """Actor-pool stage signature for video payloads: emits one row per
+    sampled frame index with deterministic fake frame hashes when
+    ``fake=True`` (the Ray-side plumbing — fan-out rows per input row,
+    schema, batch sizing — is real and tested; decode is not)."""
+
+    def __init__(self, every_n: int = 30, fake: bool = False):
+        self.every_n = every_n
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blob_col = batch["blob"]
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        doc_ids, frame_idx, frame_hash = [], [], []
+        for i, v in enumerate(blob_col):
+            blob = bytes(v.as_buffer()) if v.is_valid else b""
+            if not self.fake:
+                sample_frames(blob, self.every_n)  # raises: stub
+            n_fake_frames = max(1, len(blob) // 1024)  # pretend 1 frame/KB
+            did = batch["doc_id"][i].as_py()
+            for f in range(0, n_fake_frames, self.every_n):
+                h = hashlib.blake2b(blob + f.to_bytes(4, "big"), digest_size=8).hexdigest()
+                doc_ids.append(did)
+                frame_idx.append(f)
+                frame_hash.append(h)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame_hash": pa.array(frame_hash, pa.string()),
+        })

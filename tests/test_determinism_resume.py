@@ -104,3 +104,23 @@ def test_salting_engages_on_hot_term(ray_session, pages_1k, tmp_path):
         filter=pc.field("term") == HOT_TERM, columns=["term", "shard"]
     )
     assert seg.num_rows > 1  # hot term split across doc-range shards
+
+
+def test_resume_with_leftover_partials_tmp(ray_session, pages_1k, tmp_path):
+    """A crash mid-P3 leaves a .partials.tmp directory; the rerun must
+    clear it and produce correct segments."""
+    from gxdindexer_ray.pipelines import build_index
+
+    out = tmp_path / "ix"
+    build_index(pages_1k, out, CFG)
+    ref = _segment_bytes(out)
+
+    shutil.rmtree(out / "segments")
+    (out / "_manifests" / "phase-segments.json").unlink()
+    junk = out / ".partials.tmp" / "bucket=00001"
+    junk.mkdir(parents=True)
+    (junk / "part-stale.parquet").write_bytes(b"not parquet at all")
+
+    build_index(pages_1k, out, CFG)
+    assert _segment_bytes(out) == ref
+    assert not (out / ".partials.tmp").exists()

@@ -218,3 +218,25 @@ def test_hll_accuracy_and_merge(ray_session):
     for _, row in per_key.iterrows():
         true_k = df[df.k == row["k"]]["v"].nunique()
         assert abs(row["approx_distinct"] - true_k) / true_k < 0.10
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.multimodal import FrameSampleStage, sample_frames, text_to_blob
+
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"fake-video")
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["x" * 5000, "y" * 100]})
+    blobs = text_to_blob(rd.from_pandas(df))
+    out = blobs.map_batches(FrameSampleStage, fn_constructor_kwargs={"fake": True},
+                            batch_format="pyarrow", concurrency=2).to_pandas()
+    assert set(out.doc_id) == {1, 2}
+    assert (out.frame_idx >= 0).all()
+    # deterministic
+    out2 = blobs.map_batches(FrameSampleStage, fn_constructor_kwargs={"fake": True},
+                             batch_format="pyarrow", concurrency=2).to_pandas()
+    a = out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
