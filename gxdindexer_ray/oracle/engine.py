@@ -90,7 +90,10 @@ class OracleIndex:
     # --- query ----------------------------------------------------------
     def boolean_topk(self, must: list[str], k: int, must_not: list[str] | None = None):
         """AND over must terms minus must_not, BM25-ranked (scalar sets)."""
-        must = sorted(set(must))
+        must = sorted({t for m in must for t in tokenize(m)})
+        must_not = [t for m in (must_not or []) for t in tokenize(m)]
+        if not must:
+            return []
         cand: set[int] | None = None
         for t in must:
             docs = set(self.postings.get(t, {}))

@@ -47,6 +47,8 @@ class PhraseAndBooleanMixin:
     def _candidate_docs(self, terms: list[str]) -> "np.ndarray":
         import numpy as np
 
+        if not terms:
+            return np.empty(0, dtype=np.uint64)
         term_rows = self.reader.fetch_terms(sorted(set(terms)))
         if len(term_rows) < len(set(terms)):
             return np.empty(0, dtype=np.uint64)  # some term matches nothing
@@ -67,6 +69,10 @@ class PhraseAndBooleanMixin:
         """AND semantics over ``must`` terms minus ``must_not``, BM25-ranked."""
         import numpy as np
 
+        from ..text.tokenize import tokenize
+
+        must = [t for m in must for t in tokenize(m)]
+        must_not = [t for m in (must_not or []) for t in tokenize(m)]
         cand = self._candidate_docs(must)
         if cand.size and must_not:
             for t, rows in self.reader.fetch_terms(sorted(set(must_not))).items():
