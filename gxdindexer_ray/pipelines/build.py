@@ -108,6 +108,39 @@ def _dedup_group(group: pa.Table) -> pa.Table:
     return _dedup_slim(group).drop_columns(["range_bucket"])
 
 
+_REQUIRED_INPUT = {
+    "url": pa.string(),
+    "warc_ts": pa.timestamp("us"),
+    "html": pa.binary(),
+    "lang": pa.string(),
+}
+
+
+def _validate_pages_schema(path: str) -> None:
+    """Fail fast with a precise message when the input is not the
+    BASELINE.json input_hint shape (explicit-schema stance, SURVEY.md §1.3:
+    the reference lets Solr type fields server-side; we validate at the
+    door instead)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    problems = []
+    for name, typ in _REQUIRED_INPUT.items():
+        if name not in schema.names:
+            problems.append(f"missing column {name!r} ({typ})")
+        else:
+            got = schema.field(name).type
+            ok = got == typ or (name == "html" and got in (pa.binary(), pa.large_binary()))
+            if not ok:
+                problems.append(f"column {name!r} is {got}, expected {typ}")
+    if problems:
+        raise ValueError(
+            f"input corpus schema mismatch in {path}: " + "; ".join(problems)
+            + " (expected pages shape: url string, warc_ts timestamp[us], html binary, "
+              "text string, lang string)"
+        )
+
+
 def _save_exec_stats(out: Path, tag: str, ds) -> None:
     """Persist Ray Data's per-stage execution stats (wall/cpu/memory
     breakdown) for capacity planning — the analog of the reference's
@@ -132,6 +165,7 @@ def build_index(
     input_files = sorted(str(p) for p in pages_dir.glob("*.parquet"))
     if not input_files:
         raise FileNotFoundError(f"no parquet files in {pages_dir}")
+    _validate_pages_schema(input_files[0])
     from ..text.extract import EXTRACT_SPEC_VERSION
 
     # frozen-spec versions are part of the checkpoint key: a spec bump must

@@ -124,3 +124,16 @@ def test_resume_with_leftover_partials_tmp(ray_session, pages_1k, tmp_path):
     build_index(pages_1k, out, CFG)
     assert _segment_bytes(out) == ref
     assert not (out / ".partials.tmp").exists()
+
+
+def test_schema_validation_fails_fast(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gxdindexer_ray.pipelines import build_index
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(pa.table({"url": ["a"], "body": ["x"]}), bad / "p.parquet")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        build_index(bad, tmp_path / "out", CFG)
