@@ -98,6 +98,10 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # normalize to Arrow blocks: pandas-backed Datasets report numpy dtypes,
+    # and the typed-null union below needs real Arrow types
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t, batch_format="pyarrow")
     l_schema = left.schema()
     r_schema = right.schema()
     l_fields = list(zip(l_schema.names, l_schema.types))
@@ -115,8 +119,13 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
                     cols[name] = batch[name].combine_chunks().cast(typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
-            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            cols["__jb"] = pa.array((keys % n_buckets).astype(np.int32))
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            if np.issubdtype(keys.dtype, np.integer):
+                jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
+            else:  # string/object keys: stable hash (never Python's salted hash)
+                jb = (pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
+                      % n_buckets).astype(np.int32)
+            cols["__jb"] = pa.array(jb)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(cols)
 

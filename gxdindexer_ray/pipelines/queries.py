@@ -808,6 +808,43 @@ WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+merge($|[^a-z0-9])
 """
 
 
+def q39_dag_closure(sf: str):
+    """DAG transitive closure (GxdDagEdgeIndexer / SharedQueries ancestor
+    closure parity): edges customer->nation->region (+supplier->nation),
+    closure via semi-naive distributed joins; oracle is a recursive CTE."""
+    from ..ops.graph import transitive_closure
+
+    def edge(tbl, a, b, pa_, pb_):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": pa_ + df[a].astype(str),
+                "dst": pb_ + df[b].astype(str),
+            })
+
+        return read_table(sf, tbl, columns=[a, b]).map_batches(f, batch_format="pandas")
+
+    edges = (
+        edge("customer", "c_custkey", "c_nationkey", "c", "n")
+        .union(edge("nation", "n_nationkey", "n_regionkey", "n", "r"))
+        .union(edge("supplier", "s_suppkey", "s_nationkey", "s", "n"))
+    )
+    return transitive_closure(edges)
+
+
+SQL_Q39 = """
+WITH RECURSIVE edges AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+), closure AS (
+  SELECT DISTINCT src, dst FROM edges
+  UNION
+  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+)
+SELECT src, dst FROM closure
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -851,6 +888,7 @@ CATALOG: dict[str, tuple] = {
     "q36_enriched_docs": (q36_enriched_docs, None),
     "q37_approx_distinct": (q37_approx_distinct, None),
     "q38_phrase_match": (q38_phrase_match, SQL_Q38),
+    "q39_dag_closure": (q39_dag_closure, SQL_Q39),
 }
 
 

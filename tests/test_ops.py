@@ -240,3 +240,45 @@ def test_frame_sample_stage(ray_session):
     a = out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_transitive_closure_deep_chain(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.graph import transitive_closure
+
+    # chain a->b->c->d->e plus a branch and a diamond
+    edges = pd.DataFrame({
+        "src": ["a", "b", "c", "d", "x", "a", "y"],
+        "dst": ["b", "c", "d", "e", "b", "y", "e"],
+    })
+    out = transitive_closure(rd.from_pandas(edges))
+    pairs = set(map(tuple, out.to_numpy()))
+    assert ("a", "e") in pairs  # depth-4 reachability
+    assert ("x", "e") in pairs
+    assert ("a", "c") in pairs and ("a", "d") in pairs
+    assert ("e", "a") not in pairs
+    # exact closure count: compute reference with floyd-ish python
+    adj = {}
+    for s, d in edges.itertuples(index=False):
+        adj.setdefault(s, set()).add(d)
+    ref = set()
+    def dfs(start, node):
+        for nxt in adj.get(node, ()):
+            if (start, nxt) not in ref:
+                ref.add((start, nxt))
+                dfs(start, nxt)
+    for s in list(adj):
+        dfs(s, s)
+    assert pairs == ref
+
+
+def test_transitive_closure_cycle_raises(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.graph import transitive_closure
+
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "a"]})
+    # a 2-cycle converges (closure is finite) — must NOT raise
+    out = transitive_closure(rd.from_pandas(edges))
+    assert set(map(tuple, out.to_numpy())) == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
