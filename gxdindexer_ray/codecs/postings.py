@@ -171,6 +171,24 @@ def decode_postings(row: dict, *, block_size: int) -> PostingList:
     return PostingList(doc_ids=doc_ids, tfs=tfs, dls=dls)
 
 
+def decode_positions(row: dict, pl: PostingList) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a segment row's optional position stream.
+
+    Returns ``(offsets, positions)``: ``positions[offsets[i]:offsets[i+1]]``
+    are the ascending 0-based token positions of posting i. Position gaps
+    reset per posting (first is absolute), mirroring the docID-gap scheme."""
+    tfs = np.asarray(pl.tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    gaps = varint_decode(row["pos_payload"], count=total)
+    off = np.concatenate([[0], np.cumsum(tfs)])
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    base = np.zeros(tfs.size, dtype=np.uint64)
+    nz = off[:-1] > 0
+    base[nz] = cs[off[:-1][nz] - 1]
+    positions = cs - np.repeat(base, tfs)
+    return off, positions
+
+
 def decode_block(row: dict, block: int, *, block_size: int) -> PostingList:
     """Decode a single block (for block-max WAND's lazy deep pointer moves)."""
     n = int(row["n_postings"])

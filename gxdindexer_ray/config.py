@@ -32,6 +32,10 @@ class IndexConfig:
     shard_bits: int = 5            # 32 shards per hot term
     hot_sample_target: int = 50_000  # deterministic hash-sample size for hot-term detection
 
+    # --- positions (optional; enables index-resident phrase matching) ---
+    store_positions: bool = False  # adds a per-posting position-gap stream
+                                   # (~cf varints per segment); artifact-affecting
+
     # --- dedup ---
     dedup_buckets: int = 512       # url-hash buckets for exact first-wins dedup
 

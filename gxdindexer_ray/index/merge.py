@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..codecs.postings import encode_postings_bulk
-from ..codecs.varint import varint_decode
+from ..codecs.varint import varint_decode, varint_encode_segments
 from ..config import IndexConfig
 
 SEGMENT_SCHEMA = pa.schema(
@@ -43,6 +43,7 @@ SEGMENT_SCHEMA = pa.schema(
         pa.field("skip_tf_off", pa.list_(pa.int64())),
         pa.field("skip_dl_off", pa.list_(pa.int64())),
         pa.field("block_max", pa.list_(pa.float32())),
+        pa.field("pos_payload", pa.large_binary()),  # null when positions disabled
     ]
 )
 
@@ -91,7 +92,9 @@ class BucketMerger:
         t_pay = group["tfs_payload"].to_pylist()
         l_pay = group["dls_payload"].to_pylist()
         n_rows = len(terms)
+        pos_in = group["pos_payload"].to_pylist() if "pos_payload" in group.column_names else []
         bytes_in = sum(len(d_pay[i]) + len(t_pay[i]) + len(l_pay[i]) for i in range(n_rows))
+        bytes_in += sum(len(p) for p in pos_in if p is not None)
 
         # Vectorized bulk decode: 3 varint_decode calls for the WHOLE bucket
         # (per-partial decode costs ~3 numpy calls x millions of partials).
@@ -133,6 +136,34 @@ class BucketMerger:
             docs_s, tfs_s, dls_s, seg_starts,
             block_size=cfg.block_size, avgdl=self.avgdl, k1=cfg.k1, b=cfg.b,
         )
+
+        # --- optional position stream: decode, permute per the posting
+        # order (variable-length gather via repeat arithmetic), re-encode
+        pos_slices = None
+        p_pay = group["pos_payload"].to_pylist() if "pos_payload" in group.column_names else []
+        if p_pay and all(p is not None for p in p_pay):
+            tfs_i = tfs_all.astype(np.int64)
+            total_pos = int(tfs_i.sum())
+            gaps_p = varint_decode(b"".join(p_pay), count=total_pos)
+            value_starts = np.concatenate([[0], np.cumsum(tfs_i)])[:-1]
+            cs_p = np.cumsum(gaps_p, dtype=np.uint64)
+            base_p = np.zeros(total, dtype=np.uint64)
+            nz = value_starts > 0
+            base_p[nz] = cs_p[value_starts[nz] - 1]
+            abs_pos = cs_p - np.repeat(base_p, tfs_i)
+            tf_o = tfs_i[order]
+            out_off = np.concatenate([[0], np.cumsum(tf_o)])
+            rep = np.repeat(value_starts[order], tf_o)
+            within = np.arange(total_pos, dtype=np.int64) - np.repeat(out_off[:-1], tf_o)
+            pos_s = abs_pos[rep + within]
+            gaps_n = pos_s.copy()
+            gaps_n[1:] -= pos_s[:-1]
+            pair_starts_n = out_off[:-1]
+            gaps_n[pair_starts_n] = pos_s[pair_starts_n]
+            pos_seg_starts = out_off[seg_starts]
+            p_buf, p_off = varint_encode_segments(gaps_n, pos_seg_starts)
+            nseg = seg_starts.size
+            pos_slices = [p_buf[p_off[i]:p_off[i + 1]] for i in range(nseg)]
         seg_terms = uniq_terms[codes_s[seg_starts]].tolist()
         seg_shards = shards_s[seg_starts].astype(np.int32)
         total_postings = total
@@ -154,6 +185,10 @@ class BucketMerger:
                 "skip_tf_off": pa.array(cols["skip_tf_off"], pa.list_(pa.int64())),
                 "skip_dl_off": pa.array(cols["skip_dl_off"], pa.list_(pa.int64())),
                 "block_max": pa.array(cols["block_max"], pa.list_(pa.float32())),
+                "pos_payload": pa.array(
+                    pos_slices if pos_slices is not None else [None] * seg_starts.size,
+                    pa.large_binary(),
+                ),
             },
             schema=SEGMENT_SCHEMA,
         )

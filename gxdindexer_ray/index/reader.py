@@ -25,7 +25,7 @@ from ..state.manifest import read_json
 
 _PAYLOAD_COLUMNS = [
     "term", "shard", "df", "cf", "n_postings", "min_doc", "max_doc",
-    "docs_payload", "tfs_payload", "dls_payload",
+    "docs_payload", "tfs_payload", "dls_payload", "pos_payload",
     "skip_last_doc", "skip_doc_off", "skip_tf_off", "skip_dl_off", "block_max",
 ]
 

@@ -38,6 +38,7 @@ PARTIAL_SCHEMA = pa.schema(
         pa.field("docs_payload", pa.large_binary()),
         pa.field("tfs_payload", pa.large_binary()),
         pa.field("dls_payload", pa.large_binary()),
+        pa.field("pos_payload", pa.large_binary()),  # null when positions disabled
     ]
 )
 
@@ -146,18 +147,31 @@ class SpimiPartialBuilder:
         batch = batch.take(order)
         docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-        vocab, doc_idx, codes, tf = doc_term_counts(batch["text"])
-        if len(vocab) == 0:
-            return PARTIAL_SCHEMA.empty_table()
-        dls = np.bincount(doc_idx, weights=tf, minlength=len(docs)).astype(np.int64)
+        if cfg.store_positions:
+            from ..text.tokenize import doc_term_positions
 
-        # posting-level arrays sorted by (term code, doc): one lexsort, then
-        # all boundaries/gaps/encodes are whole-array numpy ops
-        srt = np.lexsort((doc_idx, codes))
-        s_codes = codes[srt]
-        d_all = docs[doc_idx[srt]].astype(np.uint64)
-        s_tf = tf[srt].astype(np.uint64)
-        l_all = dls[doc_idx[srt]].astype(np.uint64)
+            vocab, p_doc, p_code, p_tf, pos_sorted, pair_starts = doc_term_positions(batch["text"])
+            if len(vocab) == 0:
+                return PARTIAL_SCHEMA.empty_table()
+            dls = np.bincount(p_doc, weights=p_tf, minlength=len(docs)).astype(np.int64)
+            # pairs arrive already sorted by (code, doc_idx)
+            s_codes, doc_idx_pairs, s_tf = p_code, p_doc, p_tf.astype(np.uint64)
+            d_all = docs[doc_idx_pairs].astype(np.uint64)
+            l_all = dls[doc_idx_pairs].astype(np.uint64)
+        else:
+            vocab, doc_idx, codes, tf = doc_term_counts(batch["text"])
+            if len(vocab) == 0:
+                return PARTIAL_SCHEMA.empty_table()
+            dls = np.bincount(doc_idx, weights=tf, minlength=len(docs)).astype(np.int64)
+
+            # posting-level arrays sorted by (term code, doc): one lexsort, then
+            # all boundaries/gaps/encodes are whole-array numpy ops
+            srt = np.lexsort((doc_idx, codes))
+            s_codes = codes[srt]
+            d_all = docs[doc_idx[srt]].astype(np.uint64)
+            s_tf = tf[srt].astype(np.uint64)
+            l_all = dls[doc_idx[srt]].astype(np.uint64)
+            pos_sorted = pair_starts = None
         vlist = vocab.to_pylist()
         shard_shift = np.uint64(63 - cfg.shard_bits)
 
@@ -183,6 +197,18 @@ class SpimiPartialBuilder:
         t_buf, t_off = varint_encode_segments(s_tf, seg_starts)
         l_buf, l_off = varint_encode_segments(l_all, seg_starts)
 
+        pos_slices = None
+        if cfg.store_positions:
+            # position gaps reset at every (term, doc) pair start; segment
+            # boundaries map pair-level seg_starts to the position stream
+            ps = pos_sorted.astype(np.uint64)
+            gaps_p = ps.copy()
+            gaps_p[1:] -= ps[:-1]
+            gaps_p[pair_starts] = ps[pair_starts]
+            pos_seg_starts = pair_starts[seg_starts]
+            p_buf, p_off = varint_encode_segments(gaps_p, pos_seg_starts)
+            pos_slices = [p_buf[p_off[i]:p_off[i + 1]] for i in range(nseg)]
+
         seg_codes = s_codes[seg_starts]
         seg_shards = shard_all[seg_starts].astype(np.int64)
         terms_out = [vlist[int(c)] for c in seg_codes]
@@ -199,6 +225,8 @@ class SpimiPartialBuilder:
                 "docs_payload": pa.array([d_buf[d_off[i]:d_off[i + 1]] for i in range(nseg)], pa.large_binary()),
                 "tfs_payload": pa.array([t_buf[t_off[i]:t_off[i + 1]] for i in range(nseg)], pa.large_binary()),
                 "dls_payload": pa.array([l_buf[l_off[i]:l_off[i + 1]] for i in range(nseg)], pa.large_binary()),
+                "pos_payload": pa.array(pos_slices if pos_slices is not None else [None] * nseg,
+                                        pa.large_binary()),
             },
             schema=PARTIAL_SCHEMA,
         )

@@ -87,7 +87,9 @@ class PhraseAndBooleanMixin:
 
     def phrase_topk(self, phrase: str, k: int) -> list[tuple[int, float]]:
         """Exact phrase match (tokens adjacent in spec order), BM25-ranked
-        over the phrase's terms."""
+        over the phrase's terms. Uses index-resident positions when the
+        index was built with ``store_positions``; otherwise verifies
+        adjacency against the doc-store text."""
         from ..text.tokenize import tokenize
 
         toks = tokenize(phrase)
@@ -96,21 +98,65 @@ class PhraseAndBooleanMixin:
         cand = self._candidate_docs(toks)
         if cand.size == 0:
             return []
-        texts = self._texts_for(cand)
-        matched = []
-        n = len(toks)
-        for did in cand.tolist():
-            dtoks = tokenize(texts.get(int(did), ""))
-            for i in range(len(dtoks) - n + 1):
-                if dtoks[i:i + n] == toks:
-                    matched.append(int(did))
-                    break
+        term_rows = self.reader.fetch_terms(sorted(set(toks)))
+        has_positions = all(
+            r.get("pos_payload") is not None for rows in term_rows.values() for r in rows
+        )
+        if has_positions:
+            matched = self._verify_phrase_positional(cand, toks, term_rows)
+        else:
+            texts = self._texts_for(cand)
+            matched = []
+            n = len(toks)
+            for did in cand.tolist():
+                dtoks = tokenize(texts.get(int(did), ""))
+                for i in range(len(dtoks) - n + 1):
+                    if dtoks[i:i + n] == toks:
+                        matched.append(int(did))
+                        break
         if not matched:
             return []
         full = self.topk(" ".join(sorted(set(toks))), k=1 << 62, method="brute")
         mset = set(matched)
         hits = [(d, s) for d, s in full if d in mset]
         return hits[:k]
+
+    def _verify_phrase_positional(self, cand, toks: list[str], term_rows) -> list[int]:
+        """Adjacency check straight from the position streams: doc survives
+        iff some position p of toks[0] has p+j in positions(toks[j]) for all
+        j — no docstore read at all."""
+        import numpy as np
+
+        from ..codecs.postings import decode_positions
+
+        # per term: (sorted doc array, offsets, positions) across shards
+        per_term: dict[str, list] = {}
+        for t, rows in term_rows.items():
+            parts = []
+            for r, pl in zip(sorted(rows, key=lambda r: int(r["shard"])),
+                             _decoded(rows, self.reader.block_size)):
+                off, pos = decode_positions(r, pl)
+                parts.append((pl.doc_ids, off, pos))
+            per_term[t] = parts
+
+        def positions_of(t: str, did: int) -> np.ndarray:
+            for doc_ids, off, pos in per_term[t]:
+                i = int(np.searchsorted(doc_ids, did))
+                if i < doc_ids.size and int(doc_ids[i]) == did:
+                    return pos[off[i]:off[i + 1]]
+            return np.empty(0, dtype=np.uint64)
+
+        matched = []
+        for did in cand.tolist():
+            surv = positions_of(toks[0], int(did))
+            for j, t in enumerate(toks[1:], 1):
+                if surv.size == 0:
+                    break
+                pj = positions_of(t, int(did))
+                surv = surv[np.isin(surv + np.uint64(j), pj)]
+            if surv.size:
+                matched.append(int(did))
+        return matched
 
     def _texts_for(self, doc_ids) -> dict[int, str]:
         import pyarrow.compute as pc

@@ -51,6 +51,41 @@ def tokenize_column(text_col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.
     return flat, parents.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def doc_term_positions(
+    text_col: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Token positions grouped per (term, doc), fully vectorized.
+
+    Returns ``(vocab, pair_doc_idx, pair_code, pair_tf, pos_sorted,
+    pair_starts)``: the distinct (doc, term) pairs sorted by (code,
+    doc_idx), their term frequencies, and the flat token-position stream
+    ``pos_sorted`` ordered by (code, doc_idx, position) with
+    ``pair_starts`` marking each pair's first position. Positions are
+    0-based token offsets within the document."""
+    flat, doc_idx = tokenize_column(text_col)
+    n = doc_idx.size
+    empty = (pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    if n == 0:
+        return empty
+    dic = pc.dictionary_encode(flat)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dic.dictionary
+    # token position within its doc: doc_idx is non-decreasing in token order
+    pos = np.arange(n, dtype=np.int64) - np.searchsorted(doc_idx, doc_idx, side="left")
+    order = np.lexsort((pos, doc_idx, codes))
+    s_codes = codes[order]
+    s_docs = doc_idx[order]
+    s_pos = pos[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (np.diff(s_codes) != 0) | (np.diff(s_docs) != 0)
+    pair_starts = np.flatnonzero(change)
+    pair_ends = np.append(pair_starts[1:], n)
+    pair_tf = pair_ends - pair_starts
+    return vocab, s_docs[pair_starts], s_codes[pair_starts], pair_tf, s_pos, pair_starts
+
+
 def doc_term_counts(
     text_col: pa.Array | pa.ChunkedArray,
 ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
