@@ -46,6 +46,9 @@ class IndexReader:
         # ---- lexicon: term -> [(file_idx, row_group, row_in_group, df, cf, shard)]
         self._files = sorted((self.index_dir / "segments").glob("*.parquet"))
         self._pf = [pq.ParquetFile(f) for f in self._files]
+        # tolerate segments written before optional columns existed
+        present = set(self._pf[0].schema_arrow.names) if self._pf else set()
+        self._payload_columns = [c for c in _PAYLOAD_COLUMNS if c in present]
         self._lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
         for fi, pf in enumerate(self._pf):
             meta = pf.read(columns=["term", "shard", "df", "cf"])
@@ -97,7 +100,7 @@ class IndexReader:
             # groups concurrently (a query fans out over files/row groups)
             def read_one(key):
                 fi, g = key
-                return key, self._pf[fi].read_row_group(g, columns=_PAYLOAD_COLUMNS)
+                return key, self._pf[fi].read_row_group(g, columns=self._payload_columns)
 
             if len(wanted) > 1:
                 results = dict(self._io_pool.map(read_one, list(wanted)))
