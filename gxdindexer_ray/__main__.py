@@ -33,6 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", default="auto", choices=["auto", "bmw", "brute"])
+    q.add_argument("--phrase", action="store_true", help="exact phrase match instead of ranked OR")
 
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
     r.add_argument("--pipeline", nargs="+", required=True,
@@ -71,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines import SearchEngine
 
             eng = SearchEngine(args.index)
-            for rank, (doc, score) in enumerate(eng.topk(args.q, args.k, args.method), 1):
+            hits = (eng.phrase_topk(args.q, args.k) if args.phrase
+                    else eng.topk(args.q, args.k, args.method))
+            for rank, (doc, score) in enumerate(hits, 1):
                 print(f"{rank}\t{doc}\t{score:.6f}")
             return 0
         if args.cmd == "run":

@@ -137,3 +137,17 @@ def test_schema_validation_fails_fast(ray_session, tmp_path):
     pq.write_table(pa.table({"url": ["a"], "body": ["x"]}), bad / "p.parquet")
     with pytest.raises(ValueError, match="schema mismatch"):
         build_index(bad, tmp_path / "out", CFG)
+
+
+def test_positional_segments_invariant_to_batching(ray_session, pages_1k, tmp_path):
+    """Position streams must also be invariant to partial granularity."""
+    from gxdindexer_ray.pipelines import build_index
+
+    cfg = replace(CFG, store_positions=True)
+    a, b = tmp_path / "pa", tmp_path / "pb"
+    build_index(pages_1k, a, replace(cfg, spimi_batch_size=256))
+    build_index(pages_1k, b, replace(cfg, spimi_batch_size=3000))
+    sa, sb = _segment_bytes(a), _segment_bytes(b)
+    assert sa.keys() == sb.keys()
+    for name in sa:
+        assert sa[name] == sb[name], f"positional segment {name} differs"
