@@ -289,8 +289,13 @@ def build_index(
             by_bucket.setdefault(int(w["bucket"]), []).append(w["path"])
         _save_exec_stats(out, "p3-spimi-map", writes)
 
-        # reduce side: one task per bucket
-        merge_task = ray.remote(merge_bucket_files)
+        # reduce side: one task per bucket. On wide single boxes more than
+        # ~16 concurrent merges just thrash shared memory bandwidth (see
+        # BASELINE.md §3), so each task claims extra CPU slots to cap
+        # effective concurrency without changing results.
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        merge_cpus = max(1, ncpu // 16)
+        merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
         futs = [
             merge_task.remote(files, str(segments_dir), stats["avgdl"], cfg)
             for _, files in sorted(by_bucket.items())

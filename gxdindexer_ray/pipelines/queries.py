@@ -570,6 +570,15 @@ SELECT qid, rank, nid FROM r WHERE rank <= 5
 """
 
 
+def q40_ivf_knn(sf: str):
+    """IVF approximate ANN (the scale path past brute-force): deterministic
+    k-means cells, nprobe probing. Approximate -> rows-only check; recall
+    vs brute is unit-tested."""
+    ids, mat = _query_vectors(sf, 3)
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return sim_ops.ivf_knn(ds, ids, mat, k=5, n_clusters=8, nprobe=3)
+
+
 def q31_embedding_neardup(sf: str):
     out = sim_ops.embedding_near_dup(
         read_table(sf, "embeddings", columns=["vec_id", "embedding"]), threshold=0.45
@@ -889,6 +898,7 @@ CATALOG: dict[str, tuple] = {
     "q37_approx_distinct": (q37_approx_distinct, None),
     "q38_phrase_match": (q38_phrase_match, SQL_Q38),
     "q39_dag_closure": (q39_dag_closure, SQL_Q39),
+    "q40_ivf_knn": (q40_ivf_knn, None),
 }
 
 
