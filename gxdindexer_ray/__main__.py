@@ -34,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", default="auto", choices=["auto", "bmw", "brute"])
     q.add_argument("--phrase", action="store_true", help="exact phrase match instead of ranked OR")
+    q.add_argument("--num-cpus", type=int, default=None)
 
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
     r.add_argument("--pipeline", nargs="+", required=True,
