@@ -10,8 +10,9 @@ the reference delegated to Solr, reference Indexer.java:55-91):
   scale the lexicon itself shards across query actors by term hash, which
   is why locations are per-bucket-file.
 - **Postings (on disk, row-group granular)**: payload columns are read only
-  for the row groups containing the query terms (row_group_size=1024 keeps
-  the read unit small); decoded rows are LRU-cached.
+  for the row groups containing the query terms (segments are written with
+  row_group_size=256 — index/merge.py — keeping the read unit small);
+  decoded rows are LRU-cached.
 """
 
 from __future__ import annotations
@@ -46,9 +47,12 @@ class IndexReader:
         # ---- lexicon: term -> [(file_idx, row_group, row_in_group, df, cf, shard)]
         self._files = sorted((self.index_dir / "segments").glob("*.parquet"))
         self._pf = [pq.ParquetFile(f) for f in self._files]
-        # tolerate segments written before optional columns existed
-        present = set(self._pf[0].schema_arrow.names) if self._pf else set()
-        self._payload_columns = [c for c in _PAYLOAD_COLUMNS if c in present]
+        # tolerate segments written before optional columns existed —
+        # per FILE, so mixed-generation segment directories read correctly
+        self._payload_columns_by_file = [
+            [c for c in _PAYLOAD_COLUMNS if c in set(pf.schema_arrow.names)]
+            for pf in self._pf
+        ]
         self._lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
         for fi, pf in enumerate(self._pf):
             meta = pf.read(columns=["term", "shard", "df", "cf"])
@@ -100,7 +104,7 @@ class IndexReader:
             # groups concurrently (a query fans out over files/row groups)
             def read_one(key):
                 fi, g = key
-                return key, self._pf[fi].read_row_group(g, columns=self._payload_columns)
+                return key, self._pf[fi].read_row_group(g, columns=self._payload_columns_by_file[fi])
 
             if len(wanted) > 1:
                 results = dict(self._io_pool.map(read_one, list(wanted)))

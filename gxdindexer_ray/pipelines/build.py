@@ -296,13 +296,25 @@ def build_index(
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         merge_cpus = max(1, ncpu // 16)
         merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
+        # merge into a fresh tmp dir, then swap atomically: a rebuild whose
+        # new bucket set doesn't cover the old one (n_buckets reduced, input
+        # shrank) must never leave stale bucket files for the reader's glob
+        # to pick up alongside fresh ones (mirrors the P0 docstore pattern)
+        seg_tmp = out / ".segments.tmp"
+        if seg_tmp.exists():
+            shutil.rmtree(seg_tmp)
         futs = [
-            merge_task.remote(files, str(segments_dir), stats["avgdl"], cfg)
+            merge_task.remote(files, str(seg_tmp), stats["avgdl"], cfg)
             for _, files in sorted(by_bucket.items())
         ]
         rows = ray.get(futs)
         rows.sort(key=lambda r: r["bucket"])
         shutil.rmtree(partials_dir, ignore_errors=True)
+        if segments_dir.exists():
+            shutil.rmtree(segments_dir)
+        seg_tmp.rename(segments_dir)
+        for r in rows:  # lineage paths must point at the final location
+            r["path"] = str(segments_dir / Path(r["path"]).name)
         atomic_write_json(seg_manifest_path, {"buckets": rows})
         p3.seal(
             n_buckets=len(rows),

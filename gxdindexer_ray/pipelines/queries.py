@@ -431,7 +431,7 @@ def q19_filter_docs(sf: str):
 
 
 SQL_Q19 = """
-SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE lang = 'en' AND n_chars >= 200 GROUP BY source
 """
 
@@ -536,6 +536,36 @@ def q28_langid(sf: str):
     return textops.lang_id(read_table(sf, "documents", columns=["doc_id", "text"]))
 
 
+def _sql_q28() -> str:
+    """Marker-hit-count language ID is SQL-expressible; tie-break mirrors
+    the engine's argmax-first-in-code-order (de beats en beats fr)."""
+    from ..ops.textops import _LANG_MARKERS
+
+    def in_list(lang):
+        return ",".join(f"'{m}'" for m in sorted(_LANG_MARKERS[lang]))
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+  FROM documents),
+counts AS (
+  SELECT doc_id,
+         sum(CASE WHEN t IN ({in_list('de')}) THEN 1 ELSE 0 END) AS n_de,
+         sum(CASE WHEN t IN ({in_list('en')}) THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN t IN ({in_list('fr')}) THEN 1 ELSE 0 END) AS n_fr
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(greatest(n_de, n_en, n_fr), 0) = 0 THEN 'und'
+            WHEN n_de >= n_en AND n_de >= n_fr THEN 'de'
+            WHEN n_en >= n_fr THEN 'en'
+            ELSE 'fr' END AS lang_pred
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+"""
+
+
+SQL_Q28 = _sql_q28()
+
+
 def q29_fingerprints(sf: str):
     out = textops.fingerprints(read_table(sf, "documents", columns=["doc_id", "text"]))
     return out.select_columns(["doc_id", "n_fingerprints"])
@@ -612,21 +642,38 @@ SQL_Q32 = "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
 _BM25_TERMS = "hash merge scan"
 
 
+_PAGES_WRAP_VERSION = 2  # v2: site-bearing urls (https://site<id%503>.example.com/doc/<id>)
+_N_WRAP_SITES = 503      # matches fixtures/sidetables.py N_SITES
+
+
+def _documents_fingerprint(sf: str) -> str:
+    """Content key of documents.parquet (size + mtime): regenerating the
+    testdata in place must invalidate the /tmp pages + index caches."""
+    st = (Path(sf) / "documents.parquet").stat()
+    return f"{st.st_size}-{st.st_mtime_ns}-w{_PAGES_WRAP_VERSION}"
+
+
 def _documents_as_pages(sf: str, target: Path) -> Path:
     """Deterministically wrap the documents table as a pages corpus
-    (url tpc://doc/<id>, html = templated escape(text)); idempotent."""
+    (url https://site<id%503>.example.com/doc/<id> — site-bearing so the
+    enrichment regex join is exercised; html = templated escape(text));
+    idempotent per content fingerprint."""
     import html as _h
 
     import pyarrow.parquet as pq
 
+    fp = _documents_fingerprint(sf)
     done = target / "_done.json"
-    if done.exists():
+    from ..state.manifest import atomic_write_json, read_json
+
+    meta = read_json(done)
+    if meta and meta.get("fingerprint") == fp:
         return target
     target.mkdir(parents=True, exist_ok=True)
     tbl = pq.read_table(str(Path(sf) / "documents.parquet"), columns=["doc_id", "text"])
     urls, htmls = [], []
     for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-        urls.append(f"tpc://doc/{did}")
+        urls.append(f"https://site{did % _N_WRAP_SITES}.example.com/doc/{did}")
         htmls.append(f"<html><body><p>{_h.escape(text or '')}</p></body></html>".encode())
     out = pa.table(
         {
@@ -638,9 +685,7 @@ def _documents_as_pages(sf: str, target: Path) -> Path:
         }
     )
     pq.write_table(out, target / "part-00000.parquet", compression="zstd")
-    from ..state.manifest import atomic_write_json
-
-    atomic_write_json(done, {"rows": out.num_rows})
+    atomic_write_json(done, {"rows": out.num_rows, "fingerprint": fp})
     return target
 
 
@@ -650,7 +695,9 @@ def _index_for(sf: str) -> Path:
 
     from .build import build_index
 
-    tag = hashlib.blake2b(str(Path(sf).resolve()).encode(), digest_size=6).hexdigest()
+    tag = hashlib.blake2b(
+        f"{Path(sf).resolve()}|{_documents_fingerprint(sf)}".encode(), digest_size=6
+    ).hexdigest()
     base = Path("/tmp/gxdray") / f"docs-{tag}"
     pages = _documents_as_pages(sf, base / "pages")
     out = base / "index"
@@ -760,9 +807,12 @@ GROUP BY c_custkey
 
 
 def q36_enriched_docs(sf: str):
-    """Reference-parity enrichment pack smoke (T1-T13/D2/M12 semantics,
-    see pipelines/enrich.py): enriched docs over documents-as-pages.
-    Rows-only check; exact semantics are unit-tested."""
+    """Reference-parity enrichment pack (T1-T13/D2/M12 semantics, see
+    pipelines/enrich.py) over documents-as-pages: regex site extraction
+    from the url + broadcast entity-attribute join (left-outer: every site
+    here resolves). Checked against a DuckDB oracle whose category map is
+    the inlined deterministic site_attrs fixture. No driver-side
+    materialization: the side state is built from the fixture spec alone."""
     from .enrich import build_side_state, enrich_docs
     from ..fixtures.pages import vocabulary
 
@@ -770,10 +820,45 @@ def q36_enriched_docs(sf: str):
     import ray.data as rd
 
     docs = rd.read_parquet(str(ix / "docs"), columns=["doc_id", "url", "text"])
-    urls = [r["url"] for r in docs.select_columns(["url"]).take_all()]
-    side = build_side_state(vocabulary(42), urls)
+    side = build_side_state(vocabulary(42), [])  # labels unused below; no url pull
     out = enrich_docs(docs, side)
-    return out.select_columns(["doc_id", "site", "category", "region"])
+
+    def back_to_orig(batch: pa.Table) -> pa.Table:
+        # index doc_id is a url hash; report the original documents.doc_id
+        # (the url tail) so the oracle can join on it
+        orig = pc.cast(
+            pc.replace_substring_regex(batch["url"], pattern="^.*/", replacement=""),
+            pa.int64(),
+        )
+        return pa.table({
+            "doc_id": orig,
+            "site": batch["site"],
+            "category": batch["category"],
+            "region": batch["region"],
+        })
+
+    return out.map_batches(back_to_orig, batch_format="pyarrow")
+
+
+def _sql_q36() -> str:
+    """Oracle for q36 generated from the same deterministic fixture spec:
+    site = 'site' || (doc_id % 503); region = round-robin; category is the
+    seeded site_attrs table inlined as VALUES."""
+    from ..fixtures.sidetables import site_attrs
+
+    sa = site_attrs(42)
+    values = ",".join(
+        f"('{s}','{c}','{r}')"
+        for s, c, r in zip(sa["site"].to_pylist(), sa["category"].to_pylist(), sa["region"].to_pylist())
+    )
+    return f"""
+WITH attrs(site, category, region) AS (VALUES {values})
+SELECT d.doc_id, a.site, a.category, a.region
+FROM documents d JOIN attrs a ON a.site = 'site' || CAST(d.doc_id % {_N_WRAP_SITES} AS VARCHAR)
+"""
+
+
+SQL_Q36 = _sql_q36()
 
 
 def q37_approx_distinct(sf: str):
@@ -886,7 +971,7 @@ CATALOG: dict[str, tuple] = {
     "q25_quality": (q25_quality, SQL_Q25),
     "q26_minhash_neardup": (q26_minhash_neardup, None),
     "q27_simhash": (q27_simhash, None),
-    "q28_langid": (q28_langid, None),
+    "q28_langid": (q28_langid, SQL_Q28),
     "q29_fingerprints": (q29_fingerprints, None),
     "q30_knn": (q30_knn, SQL_Q30),
     "q31_embedding_neardup": (q31_embedding_neardup, SQL_Q31),
@@ -894,7 +979,7 @@ CATALOG: dict[str, tuple] = {
     "q33_bm25_topk": (q33_bm25_topk, SQL_Q33),
     "q34_json_extract": (q34_json_extract, SQL_Q34),
     "q35_customer_profile": (q35_customer_profile, SQL_Q35),
-    "q36_enriched_docs": (q36_enriched_docs, None),
+    "q36_enriched_docs": (q36_enriched_docs, SQL_Q36),
     "q37_approx_distinct": (q37_approx_distinct, None),
     "q38_phrase_match": (q38_phrase_match, SQL_Q38),
     "q39_dag_closure": (q39_dag_closure, SQL_Q39),

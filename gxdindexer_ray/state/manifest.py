@@ -34,8 +34,12 @@ def read_json(path: str | Path) -> Any | None:
 
 
 def fingerprint_inputs(paths: list[str | Path]) -> str:
-    """Stable fingerprint of input files: sorted (name, size)."""
-    items = sorted((Path(p).name, Path(p).stat().st_size) for p in paths)
+    """Stable fingerprint of input files: sorted (name, size, mtime_ns).
+    mtime guards against same-size in-place regeneration of the corpus
+    silently resuming from a stale checkpoint."""
+    items = sorted(
+        (Path(p).name, (st := Path(p).stat()).st_size, st.st_mtime_ns) for p in paths
+    )
     return hashlib.blake2b(json.dumps(items).encode(), digest_size=12).hexdigest()
 
 

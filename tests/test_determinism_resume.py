@@ -126,6 +126,26 @@ def test_resume_with_leftover_partials_tmp(ray_session, pages_1k, tmp_path):
     assert not (out / ".partials.tmp").exists()
 
 
+def test_rebuild_with_fewer_buckets_leaves_no_stale_segments(ray_session, pages_1k, tmp_path):
+    """Rebuilding into the same out_dir with a smaller n_buckets must not
+    leave the old run's extra bucket files behind (they would silently
+    inflate df/cf for every term the reader merges across segment files)."""
+    from gxdindexer_ray.pipelines import build_index
+
+    out = tmp_path / "ix"
+    build_index(pages_1k, out, replace(CFG, n_buckets=8))
+    assert len(list((out / "segments").glob("*.parquet"))) == 8
+
+    build_index(pages_1k, out, replace(CFG, n_buckets=4))
+    names = sorted(f.name for f in (out / "segments").glob("*.parquet"))
+    assert len(names) == 4, f"stale segment files survived the rebuild: {names}"
+
+    # df totals must equal a fresh 4-bucket build (no inflation)
+    fresh = tmp_path / "fresh"
+    build_index(pages_1k, fresh, replace(CFG, n_buckets=4))
+    assert _segment_bytes(out) == _segment_bytes(fresh)
+
+
 def test_schema_validation_fails_fast(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
