@@ -30,6 +30,12 @@ INDEX_DIR = Path(f"/tmp/gxdray/bench-index-{PAGES_ROWS}")
 
 
 def run_benchmark() -> dict:
+    # allocator env must be set BEFORE ray.init so raylet-spawned workers
+    # inherit it at libc startup (gxdindexer_ray.__init__ re-applies via
+    # mallopt for any process that misses the env; see BASELINE.md §3 on
+    # the page-fault ceiling this removes)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,

@@ -19,4 +19,37 @@ Nothing in this package calls ``ray.init``/``ray.shutdown``; sessions are
 owned by the caller (tests, bench.py, or the driver).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _tune_allocators() -> None:
+    """Keep freed pages resident in BOTH allocators that back the hot path.
+
+    Measured on this hardware class (BASELINE.md §3): the apparent
+    "memory-bandwidth ceiling" under concurrency is dominated by page-fault
+    handling for large FRESH allocations — glibc munmaps >128 KB frees and
+    Arrow's jemalloc purges dirty pages after ~1 s, so every batch re-faults
+    its working set and concurrent workers serialize in the kernel. Raising
+    jemalloc's dirty-decay and glibc's mmap/trim thresholds makes workers
+    reuse warm arenas; per-worker RSS grows by only the steady-state batch
+    working set (bounded by batch_size). Runs at import, i.e. once in every
+    Ray worker that imports any stage from this package.
+    """
+    try:
+        import pyarrow as pa
+
+        pa.jemalloc_set_decay_ms(60_000)
+    except Exception:
+        pass  # non-jemalloc build: glibc tuning below still applies
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_allocators()

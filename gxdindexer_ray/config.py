@@ -40,7 +40,10 @@ class IndexConfig:
     dedup_buckets: int = 512       # url-hash buckets for exact first-wins dedup
 
     # --- execution knobs (do NOT affect artifact bytes) ---
-    batch_size: int = 1024         # docs per extract batch (html can be wide — bytes bound this)
+    batch_size: int = 8192         # docs per extract batch; one docstore file
+                                   # per batch, so this also sets docstore file
+                                   # granularity (html can be wide — bytes
+                                   # bound it: ~8k x 10 KB ≈ 80 MB per task)
     spimi_batch_size: int = 4096   # docs per SPIMI batch (text only; larger batches
                                    # -> fewer, bigger partials -> cheaper shuffle+merge)
     extract_concurrency: int | None = None   # None -> stateless tasks sized by Ray

@@ -23,6 +23,14 @@ from ..text.extract import extract_text
 from ..text.tokenize import tokenize
 
 
+def dedup_tiebreak_hash(text: str) -> bytes:
+    """Frozen dedup tie-break hash (dedup-rule v2): blake2b-128 of the
+    extracted text. Shared by the oracle and the distributed engine."""
+    import hashlib
+
+    return hashlib.blake2b(text.encode("utf-8"), digest_size=16).digest()
+
+
 class OracleIndex:
     def __init__(self, k1: float = 0.9, b: float = 0.4):
         self.k1 = k1
@@ -49,19 +57,23 @@ class OracleIndex:
     @classmethod
     def build_from_rows(cls, rows, k1: float = 0.9, b: float = 0.4) -> "OracleIndex":
         """rows: iterable of (url, warc_ts_us:int, html:bytes|None)."""
-        # exact dedup, first-wins: min (warc_ts, extracted_text) per url —
-        # the total order both engines implement (D3, SURVEY.md §2.8).
-        # Tie-breaking on post-extraction text (not raw html) lets the
-        # distributed engine drop the wide html column BEFORE the dedup
-        # shuffle; for distinct timestamps (the normal case) the rule is
-        # plain first-wins-by-warc_ts either way.
-        best: dict[str, tuple[int, str]] = {}
+        # exact dedup, first-wins: min (warc_ts, blake2b-128(extracted_text))
+        # per url — the total order both engines implement (D3, SURVEY.md
+        # §2.8; dedup-rule v2). Tie-breaking on a HASH of the post-extraction
+        # text (not the text itself) lets the distributed engine shuffle
+        # ~50-byte key rows instead of document payloads; for distinct
+        # timestamps (the normal case) the rule is plain
+        # first-wins-by-warc_ts either way, and the hash keeps the rule a
+        # deterministic total order on ties (collisions would need equal
+        # blake2b-128, i.e. effectively equal text).
+        best: dict[str, tuple[int, bytes, str]] = {}
         for url, ts, html in rows:
-            key = (ts, extract_text(html))
-            if url not in best or key < best[url]:
+            text = extract_text(html)
+            key = (ts, dedup_tiebreak_hash(text), text)
+            if url not in best or key[:2] < best[url][:2]:
                 best[url] = key
         ix = cls(k1=k1, b=b)
-        for url, (ts, text) in best.items():
+        for url, (ts, _h, text) in best.items():
             ix.text_by_url[url] = text
             did = doc_id_of(url)
             toks = tokenize(text)

@@ -5,9 +5,14 @@ input fingerprint + config skips completed phases — the checkpoint-resume
 the reference lacks, see state/manifest.py):
 
   P0 docstore : read pages -> HTML extract (html dropped immediately) ->
-                docID + doc length -> in-batch pre-dedup -> doc-range-
-                bucketed exact url dedup (first-wins by (warc_ts, text)) ->
-                docs/ parquet (doc_id-range clustered)
+                docID + doc length -> in-batch pre-dedup -> docstore file
+                written MAP-SIDE per batch (doc_id-sorted) -> only ~50-byte
+                KEY rows (doc_id, warc_ts, text-hash, file, row) cross the
+                dedup shuffle -> per-bucket first-wins winner selection
+                (dedup-rule v2: min (warc_ts, blake2b128(text))) -> the few
+                duplicate LOSER rows are dropped from their files in a
+                sparse per-file rewrite ("ship keys, not payloads": at
+                <1%% duplicates the payload never moves twice)
   P1 stats    : columnar scan of dl only -> N, avgdl -> stats.json
   P2 hotterms : deterministic doc_id hash-sample -> sampled df -> hot set
   P3 segments : tokenize + SPIMI partial tasks writing a per-bucket file
@@ -50,35 +55,38 @@ DOCSTORE_SCHEMA = pa.schema(
     ]
 )
 
-_DEDUP_RANGE_BITS = 9  # 512 doc-range dedup buckets -> docstore files are
-                       # doc_id-range clustered (parquet stats prune lookups)
+_DEDUP_RANGE_BITS = 6  # 64 doc-range dedup buckets -> one docstore file per
+                       # doc_id range (file + row-group stats prune lookups).
+                       # Scale note: bucket bytes ~= slim_corpus/2^bits; raise
+                       # the bits with corpus size so one reducer's bucket
+                       # stays in worker memory (64 suits the 1-16M-doc tier).
 
 
-def _dedup_slim(batch: pa.Table) -> pa.Table:
-    """First-wins url dedup over SLIM rows: keep min (warc_ts, text) per
-    url. Used both in-batch (pre-dedup) and per doc-range bucket (final)."""
-    order = pc.sort_indices(
-        batch,
-        sort_keys=[("url", "ascending"), ("warc_ts", "ascending"), ("text", "ascending")],
-        null_placement="at_start",
-    )
-    batch = batch.take(order)
-    urls = batch["url"].combine_chunks()
-    n = len(urls)
-    if n <= 1:
-        first = pa.array([True] * n)
-    else:
-        same_as_prev = pc.equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
-        first = pa.concat_arrays([pa.array([True]), pc.invert(same_as_prev)])
-    return batch.filter(first)
+_KEY_SORT = ["doc_id", "warc_ts", "th_hi", "th_lo"]
 
 
-def _extract_prededup(batch: pa.Table) -> pa.Table:
-    """Map side of P0: extract text (frozen spec v1) FIRST, drop the wide
-    html column, assign docIDs, then in-batch pre-dedup. Only slim rows
-    (text, ~1/3 of html bytes) ever cross the dedup exchange — extracting a
-    duplicate row wastes a little CPU on <0.2%% of rows and saves shipping
-    every row's html through the shuffle."""
+def _tiebreak_cols(text: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """dedup-rule v2 tie-break (shared with oracle.engine.dedup_tiebreak_hash):
+    blake2b-128 of the text, as two big-endian int64 halves so the
+    lexicographic (th_hi, th_lo) int order equals the bytes order."""
+    import hashlib
+
+    b2b = hashlib.blake2b
+    hi = np.empty(len(text), np.int64)
+    lo = np.empty(len(text), np.int64)
+    for i, v in enumerate(text):
+        h = b2b((v.as_py() or "").encode("utf-8"), digest_size=16).digest()
+        # flip the sign bit so signed int64 order == unsigned bytes order
+        hi[i] = (int.from_bytes(h[:8], "big") ^ (1 << 63)) - (1 << 63)
+        lo[i] = (int.from_bytes(h[8:], "big") ^ (1 << 63)) - (1 << 63)
+    return pa.array(hi, pa.int64()), pa.array(lo, pa.int64())
+
+
+def _extract_slim(batch: pa.Table) -> pa.Table:
+    """Extract text (frozen spec) FIRST, drop the wide html column, assign
+    docIDs and doc lengths, compute the dedup tie-break hash, then in-batch
+    pre-dedup (first row per doc_id after the _KEY_SORT). Output rows are
+    doc_id-sorted — ready to write as a docstore partial."""
     batch = batch.combine_chunks()
     text = extract_column(batch["html"])
     # dl = number of tokenizer matches — one C kernel, no token
@@ -86,6 +94,7 @@ def _extract_prededup(batch: pa.Table) -> pa.Table:
     from ..text.tokenize import TOKEN_PATTERN
 
     dl = pc.count_substring_regex(pc.utf8_lower(text), pattern=TOKEN_PATTERN)
+    th_hi, th_lo = _tiebreak_cols(text)
     slim = pa.table(
         {
             "doc_id": doc_id_column(batch["url"]),
@@ -94,18 +103,120 @@ def _extract_prededup(batch: pa.Table) -> pa.Table:
             "lang": batch["lang"],
             "text": text,
             "dl": dl.cast(pa.int64()),
-        },
-        schema=DOCSTORE_SCHEMA,
+            "th_hi": th_hi,
+            "th_lo": th_lo,
+        }
     )
-    slim = _dedup_slim(slim)
-    rb = (slim["doc_id"].to_numpy(zero_copy_only=False) >> (63 - _DEDUP_RANGE_BITS)).astype(np.int32)
-    return slim.append_column("range_bucket", pa.array(rb, pa.int32()))
+    order = pc.sort_indices(slim, sort_keys=[(k, "ascending") for k in _KEY_SORT])
+    slim = slim.take(order)
+    ids = slim["doc_id"].combine_chunks()
+    n = len(ids)
+    if n <= 1:
+        first = pa.array([True] * n)
+    else:
+        same_as_prev = pc.equal(ids.slice(1, n - 1), ids.slice(0, n - 1))
+        first = pa.concat_arrays([pa.array([True]), pc.invert(same_as_prev)])
+    return slim.filter(first)
 
 
-def _dedup_group(group: pa.Table) -> pa.Table:
-    """Reduce side of P0: exact first-wins dedup within a doc-range bucket
-    (D3, SURVEY.md §2.8)."""
-    return _dedup_slim(group).drop_columns(["range_bucket"])
+def make_docstore_writer_fn(docs_tmp: str, sample_tmp: str | None = None,
+                            sample_cut: int = 0):
+    """Map side of P0: extract + pre-dedup a pages batch, write the batch's
+    docstore file (doc_id-sorted, lz4) straight to its FINAL directory, and
+    return only ~50-byte key rows for the dedup exchange. Measured rationale
+    (1M docs, 8 CPUs): shuffling slim text rows through Ray Data's
+    sort-based groupby cost 18.7s of a 20.7s P0; per-(batch,bucket) partial
+    files cost ~1 ms/file x 64k files. Shipping keys only makes the
+    exchange ~50 MB/1M docs and the payload is written exactly once."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    def write(batch: pa.Table) -> pa.Table:
+        tbl = _extract_slim(batch)
+        fname = f"part-{os.getpid()}-{uuid.uuid4().hex[:8]}.parquet"
+        # small row groups + per-file doc_id sort -> row-group-stat pruning
+        # for the P2 hash-sample scan and point lookups
+        pq.write_table(tbl.drop_columns(["th_hi", "th_lo"]).cast(DOCSTORE_SCHEMA),
+                       Path(docs_tmp) / fname, compression="lz4", row_group_size=1024)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if sample_tmp is not None:
+            # hot-term sample pairs computed HERE, while the text is already
+            # in memory — P2 then never re-reads the docstore. The cut is a
+            # pure function of the input metadata row count, and P2 excludes
+            # dedup-loser rows via the persisted loser list, so the sampled
+            # df stays invariant to batching/parallelism.
+            smask = ids < sample_cut
+            if smask.any():
+                sub = tbl.filter(pa.array(smask))
+                vocab, doc_idx, codes, _tf = doc_term_counts(sub["text"])
+                rows_in_file = np.flatnonzero(smask).astype(np.int32)
+                pair_term = vocab.take(pa.array(codes)) if len(vocab) else pa.array([], pa.string())
+                pair_row = rows_in_file[doc_idx] if len(vocab) else np.empty(0, np.int32)
+                n_sub = sub.num_rows
+                pq.write_table(pa.table({
+                    "term": pa.concat_arrays([pair_term.combine_chunks() if isinstance(pair_term, pa.ChunkedArray) else pair_term,
+                                              pa.array(["\x00__doc__"] * n_sub, pa.string())]),
+                    "file": pa.array([fname] * (len(pair_row) + n_sub), pa.string()),
+                    "row": pa.array(np.concatenate([pair_row, rows_in_file]), pa.int32()),
+                }), Path(sample_tmp) / fname, compression="lz4")
+        rb = (ids >> (63 - _DEDUP_RANGE_BITS)).astype(np.int32)
+        return pa.table({
+            "bucket": pa.array(rb, pa.int32()),
+            "doc_id": tbl["doc_id"],
+            "warc_ts": tbl["warc_ts"],
+            "th_hi": tbl["th_hi"],
+            "th_lo": tbl["th_lo"],
+            "dl": tbl["dl"],  # lets P1 derive corpus stats with no re-scan
+            "file": pa.array([fname] * tbl.num_rows, pa.string()),
+            "row": pa.array(np.arange(tbl.num_rows, dtype=np.int32), pa.int32()),
+        })
+
+    return write
+
+
+def _find_losers(g: pa.Table) -> pa.Table:
+    """Reduce side of the key exchange: within one doc-range bucket, the
+    winner per doc_id is min (warc_ts, th_hi, th_lo) — dedup-rule v2,
+    first-wins (D3, SURVEY.md §2.8; the reference's first-write-wins
+    GxdResultIndexer.java:718-756). Emits the (file, row) addresses of
+    every LOSER row. Content-deterministic: ties beyond the hash can only
+    occur for byte-equal text, where either copy is the same document."""
+    order = pc.sort_indices(g, sort_keys=[(k, "ascending")
+                                          for k in _KEY_SORT + ["file", "row"]])
+    g = g.take(order)
+    ids = g["doc_id"].combine_chunks()
+    n = len(ids)
+    if n <= 1:
+        return g.select(["file", "row"]).slice(0, 0)
+    dup = pa.concat_arrays([pa.array([False]),
+                            pc.equal(ids.slice(1, n - 1), ids.slice(0, n - 1))])
+    return g.select(["file", "row", "dl"]).filter(dup)
+
+
+def make_loser_dropper(docs_tmp: str):
+    """Per-file sparse rewrite: drop the loser rows from one docstore file
+    (order — and therefore doc_id-sortedness — preserved). Only files that
+    actually contain duplicates are touched."""
+    import pyarrow.parquet as pq
+
+    def drop(g: pa.Table) -> pa.Table:
+        fname = g["file"][0].as_py()
+        path = Path(docs_tmp) / fname
+        rows = np.sort(g["row"].to_numpy(zero_copy_only=False).astype(np.int64))
+        tbl = pq.read_table(path)
+        mask = np.ones(tbl.num_rows, bool)
+        mask[rows] = False
+        tmp = path.with_name("." + fname + ".tmp")
+        pq.write_table(tbl.filter(pa.array(mask)), tmp, compression="lz4",
+                       row_group_size=1024)
+        tmp.rename(path)
+        return pa.table({"file": pa.array([fname], pa.string()),
+                         "dropped": pa.array([int(rows.size)], pa.int64()),
+                         "dropped_dl": pa.array([int(g["dl"].to_numpy(zero_copy_only=False).sum())], pa.int64())})
+
+    return drop
 
 
 _REQUIRED_INPUT = {
@@ -141,6 +252,10 @@ def _validate_pages_schema(path: str) -> None:
         )
 
 
+def _n_cpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+
+
 def _save_exec_stats(out: Path, tag: str, ds) -> None:
     """Persist Ray Data's per-stage execution stats (wall/cpu/memory
     breakdown) for capacity planning — the analog of the reference's
@@ -170,7 +285,8 @@ def build_index(
 
     # frozen-spec versions are part of the checkpoint key: a spec bump must
     # invalidate resume state even though it isn't an IndexConfig field
-    key = f"{fingerprint_inputs(input_files)}-{config_key(cfg)}-x{EXTRACT_SPEC_VERSION}"
+    # (d2 = dedup-rule v2: hash tie-break + key-exchange docstore layout)
+    key = f"{fingerprint_inputs(input_files)}-{config_key(cfg)}-x{EXTRACT_SPEC_VERSION}-d2"
     out.mkdir(parents=True, exist_ok=True)
     docs_dir = out / "docs"
     segments_dir = out / "segments"
@@ -180,25 +296,67 @@ def build_index(
     p0 = PhaseManifest(out, "docstore", key)
     t0 = time.perf_counter()
     if not (resume and p0.is_complete()):
-        ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"])
-        ds = ds.map_batches(_extract_prededup, batch_format="pyarrow", batch_size=cfg.batch_size)
-        # Scale note: only slim (text) rows cross this exchange; on
-        # re-crawls whose storage is already url-range-partitioned, the
-        # dedup stays entirely map-side.
-        ds = ds.groupby("range_bucket").map_groups(_dedup_group, batch_format="pyarrow")
         import shutil
 
+        # "Ship keys, not payloads": the docstore payload is written once,
+        # map-side; only (doc_id, warc_ts, hash, file, row) key rows cross
+        # the dedup exchange, and only files holding duplicate losers are
+        # rewritten. On re-crawls whose storage is already
+        # url-range-partitioned, the dedup stays entirely map-side.
         tmp_docs = out / ".docs.tmp"
-        if tmp_docs.exists():
-            shutil.rmtree(tmp_docs)
+        tmp_sample = out / ".hotsample.tmp"
+        for d in (tmp_docs, tmp_sample):
+            if d.exists():
+                shutil.rmtree(d)
+            d.mkdir(parents=True)
+        # hot-sample cut from input METADATA row counts (pre-dedup N is
+        # within dup-rate of post-dedup N — a sampling knob, not semantics)
+        import pyarrow.parquet as _pq
+
+        n0 = sum(_pq.ParquetFile(f).metadata.num_rows for f in input_files)
+        frac = min(1.0, cfg.hot_sample_target / max(1, n0))
+        sample_cut = min(int((1 << 63) * frac), (1 << 63) - 1)
+        ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"])
+        keys = ds.map_batches(make_docstore_writer_fn(str(tmp_docs), str(tmp_sample), sample_cut),
+                              batch_format="pyarrow", batch_size=cfg.batch_size)
+        # coalesce key blocks before the exchange: keys are ~50 B/doc, so
+        # one block per extract batch would make the sort all per-block
+        # overhead (keys stay a distributed Dataset — at crawl scale this
+        # groupby is the only part of dedup that shuffles at all).
+        # materialize() here is deliberate and cheap (key rows only): it
+        # splits the extract map from the downstream all-to-all stages so
+        # the streaming executor's per-operator memory reservations don't
+        # throttle the expensive extract (measured: fused lineage 45.5s vs
+        # split 16-20s for the same P0 at 8 CPUs / 1M docs)
+        keys = keys.repartition(max(8, _n_cpus() // 2)).materialize()
+        losers = keys.groupby("bucket").map_groups(
+            _find_losers, batch_format="pyarrow").materialize()
+        dropped = losers.groupby("file").map_groups(make_loser_dropper(str(tmp_docs)),
+                                                    batch_format="pyarrow").to_pandas()
+        _save_exec_stats(out, "p0-docstore", keys)
+        # persist the loser addresses: P2 excludes them from the hot sample
+        losers_dir = out / "losers"
+        if losers_dir.exists():
+            shutil.rmtree(losers_dir)
+        if losers.count() > 0:
+            losers.write_parquet(str(losers_dir))
+        else:
+            losers_dir.mkdir(parents=True)
+        sample_dir = out / "hotsample"
+        if sample_dir.exists():
+            shutil.rmtree(sample_dir)
+        tmp_sample.rename(sample_dir)
         if docs_dir.exists():
             shutil.rmtree(docs_dir)
-        # lz4: the docstore is a per-build intermediate read back twice
-        # (stats/sample + SPIMI); cheap codec beats ratio here
-        ds.write_parquet(str(tmp_docs), compression="lz4", min_rows_per_file=cfg.min_rows_per_file)
         tmp_docs.rename(docs_dir)
-        _save_exec_stats(out, "p0-docstore", ds)
-        p0.seal(files=len(list(docs_dir.glob("*.parquet"))))
+        n_losers = int(dropped["dropped"].sum()) if len(dropped) else 0
+        losers_dl = int(dropped["dropped_dl"].sum()) if len(dropped) else 0
+        # corpus stats fall out of the key rows for free (P1 needs no scan)
+        p0.seal(files=len(list(docs_dir.glob("*.parquet"))),
+                dup_losers_dropped=n_losers,
+                sample_cut=sample_cut,
+                n_docs=int(keys.count()) - n_losers,
+                total_dl=int(keys.sum("dl") or 0) - losers_dl)
     metrics["phases"]["docstore"] = round(time.perf_counter() - t0, 3)
 
     doc_files = sorted(str(p) for p in docs_dir.glob("*.parquet"))
@@ -208,9 +366,13 @@ def build_index(
     t0 = time.perf_counter()
     stats_path = out / "stats.json"
     if not (resume and p1.is_complete()):
-        dls = rd.read_parquet(doc_files, columns=["dl"])
-        N = int(dls.count())
-        total_dl = int(dls.sum("dl") or 0)
+        p0_meta = read_json(p0.path) or {}
+        if "n_docs" in p0_meta:  # derived from P0's key rows — no scan
+            N, total_dl = int(p0_meta["n_docs"]), int(p0_meta["total_dl"])
+        else:  # docstore from an older build layout: fall back to a dl scan
+            dls = rd.read_parquet(doc_files, columns=["dl"])
+            N = int(dls.count())
+            total_dl = int(dls.sum("dl") or 0)
         stats = {
             "N": N,
             "total_dl": total_dl,
@@ -231,32 +393,81 @@ def build_index(
     t0 = time.perf_counter()
     hot_path = out / "hot_terms.json"
     if not (resume and p2.is_complete()):
-        N = max(1, stats["N"])
-        frac = min(1.0, cfg.hot_sample_target / N)
-        cut = min(int((1 << 63) * frac), (1 << 63) - 1)
-        sample = rd.read_parquet(doc_files, columns=["doc_id", "text"],
-                                 filter=pc.field("doc_id") < cut)
+        sample_dir = out / "hotsample"
+        sample_files = sorted(str(p) for p in sample_dir.glob("*.parquet")) \
+            if sample_dir.exists() else []
+        if sample_files or sample_dir.exists():
+            # pairs were emitted during P0 (no docstore re-read); drop the
+            # pairs of dedup-loser rows so the sample covers winners only
+            loser_keys: set[tuple[str, int]] = set()
+            losers_dir = out / "losers"
+            if losers_dir.exists():
+                import pyarrow.parquet as _pq
 
-        def _sample_df(batch: pa.Table) -> pa.Table:
-            # df per term = count of distinct (doc, term) pairs in the batch
-            vocab, _, codes, _ = doc_term_counts(batch["text"])
-            df = np.bincount(codes, minlength=len(vocab)).astype(np.int64) if codes.size else np.empty(0, np.int64)
-            tbl = pa.table({"term": vocab, "df": pa.array(df, pa.int64())})
-            meta = pa.table({"term": pa.array(["\x00__sampled_docs__"]),
-                             "df": pa.array([batch.num_rows], pa.int64())})
-            return pa.concat_tables([tbl, meta])
+                for f in losers_dir.glob("*.parquet"):
+                    lt = _pq.read_table(f, columns=["file", "row"])
+                    loser_keys.update(zip(lt["file"].to_pylist(), lt["row"].to_pylist()))
+            from collections import Counter
 
-        sdf = sample.map_batches(_sample_df, batch_format="pyarrow", batch_size=1024)
-        from collections import Counter
+            counts: Counter = Counter()
+            sampled_docs = 0
+            sample = rd.read_parquet(sample_files) if sample_files else None
 
-        counts: Counter = Counter()
-        sampled_docs = 0
-        for b in sdf.iter_batches(batch_format="pyarrow"):
-            for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
-                if term == "\x00__sampled_docs__":
-                    sampled_docs += df
-                else:
-                    counts[term] += df
+            loser_files = sorted({f for f, _ in loser_keys})
+
+            def _pair_df(batch: pa.Table) -> pa.Table:
+                if loser_files:
+                    # file-level prefilter (losers touch few files), then a
+                    # row-level check on only the matching rows
+                    fmask = pc.is_in(batch["file"], value_set=pa.array(loser_files))
+                    hit = np.flatnonzero(pc.fill_null(fmask, False).to_numpy(zero_copy_only=False))
+                    if hit.size:
+                        files = batch["file"].take(pa.array(hit)).to_pylist()
+                        rows = batch["row"].take(pa.array(hit)).to_pylist()
+                        drop = hit[[(f, r) in loser_keys for f, r in zip(files, rows)]]
+                        if drop.size:
+                            keep = np.ones(batch.num_rows, bool)
+                            keep[drop] = False
+                            batch = batch.filter(pa.array(keep))
+                vc = pc.value_counts(batch["term"].combine_chunks())
+                return pa.table({"term": vc.field("values"),
+                                 "df": vc.field("counts").cast(pa.int64())})
+
+            if sample is not None:
+                for b in sample.map_batches(_pair_df, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+                    for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+                        if term == "\x00__doc__":
+                            sampled_docs += df
+                        else:
+                            counts[term] += df
+        else:
+            # older docstore layout: re-scan the docstore for the sample
+            N = max(1, stats["N"])
+            frac = min(1.0, cfg.hot_sample_target / N)
+            cut = min(int((1 << 63) * frac), (1 << 63) - 1)
+            sample = rd.read_parquet(doc_files, columns=["doc_id", "text"],
+                                     filter=pc.field("doc_id") < cut)
+
+            def _sample_df(batch: pa.Table) -> pa.Table:
+                # df per term = count of distinct (doc, term) pairs in batch
+                vocab, _, codes, _ = doc_term_counts(batch["text"])
+                df = np.bincount(codes, minlength=len(vocab)).astype(np.int64) if codes.size else np.empty(0, np.int64)
+                tbl = pa.table({"term": vocab, "df": pa.array(df, pa.int64())})
+                meta = pa.table({"term": pa.array(["\x00__doc__"]),
+                                 "df": pa.array([batch.num_rows], pa.int64())})
+                return pa.concat_tables([tbl, meta])
+
+            from collections import Counter
+
+            counts = Counter()
+            sampled_docs = 0
+            sdf = sample.map_batches(_sample_df, batch_format="pyarrow", batch_size=1024)
+            for b in sdf.iter_batches(batch_format="pyarrow"):
+                for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+                    if term == "\x00__doc__":
+                        sampled_docs += df
+                    else:
+                        counts[term] += df
         hot = sorted(t for t, c in counts.items() if sampled_docs and c / sampled_docs > cfg.hot_df_ratio)
         atomic_write_json(hot_path, {"hot_terms": hot, "sampled_docs": sampled_docs})
         p2.seal(n_hot=len(hot), sampled_docs=sampled_docs)
@@ -303,9 +514,15 @@ def build_index(
         seg_tmp = out / ".segments.tmp"
         if seg_tmp.exists():
             shutil.rmtree(seg_tmp)
+        # largest bucket first: the biggest merge sets the tail latency, so
+        # schedule it before the small ones (the reference's longest-first
+        # subprocess scheduling, bin/buildIndexes:175-207, applied to the
+        # reduce wave)
+        bucket_bytes = {bk: sum(Path(f).stat().st_size for f in files)
+                        for bk, files in by_bucket.items()}
         futs = [
-            merge_task.remote(files, str(seg_tmp), stats["avgdl"], cfg)
-            for _, files in sorted(by_bucket.items())
+            merge_task.remote(by_bucket[bk], str(seg_tmp), stats["avgdl"], cfg)
+            for bk in sorted(by_bucket, key=lambda b: -bucket_bytes[b])
         ]
         rows = ray.get(futs)
         rows.sort(key=lambda r: r["bucket"])

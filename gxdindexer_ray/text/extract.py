@@ -21,6 +21,18 @@ the reference's deterministic per-row field derivations
 
 Regexes are compiled once at import (module-level), which is the
 stateless-task analogue of actor-``__init__`` state.
+
+Engineering note (measured, round 2): a fully vectorized Arrow-RE2 +
+numpy-whitespace-collapse column path was built and property-tested
+byte-identical, then REJECTED on measurement: on this class of hardware
+the scalar loop runs 0.30s vs 0.59s per 21 MB batch and, critically,
+scales FLAT to 8 concurrent processes, while the vectorized path's large
+fresh buffer allocations serialize on page-fault handling (the real
+"bandwidth ceiling" seen in BASELINE.md §3 is allocator page faults, not
+DRAM). The per-row loop's small allocations recycle through CPython's
+pools and never fault. Kernel-level vectorization is not free when every
+batch allocates ~6x its size in fresh pages; see bench.py's allocator
+env tuning for the complementary fix.
 """
 
 from __future__ import annotations
@@ -53,11 +65,12 @@ def extract_text(html_bytes: bytes | None) -> str:
 
 
 def extract_column(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized wrapper for a ``binary`` Arrow column.
+    """Column wrapper for a ``binary`` Arrow column.
 
     HTML parsing is inherently per-document; the per-row loop here runs over
     zero-copy buffer views of one Arrow batch inside ``map_batches`` (the
-    batch is the vectorization unit — SURVEY.md §1.4).
+    batch is the vectorization unit — SURVEY.md §1.4). See the module
+    docstring for why this deliberately stays a scalar loop.
     """
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()

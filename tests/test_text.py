@@ -80,3 +80,55 @@ class TestTokenize:
         # doc lengths recoverable
         dls = np.bincount(doc_idx, weights=tf, minlength=len(texts)).astype(int)
         assert dls.tolist() == [len(tokenize(t)) for t in texts]
+
+
+class TestExtractColumnEquivalence:
+    """extract_column must equal the frozen scalar spec byte-for-byte on
+    arbitrary inputs (guards any future re-vectorization of the column
+    path — a vectorized variant was tried and rejected on measurement,
+    see text/extract.py docstring)."""
+
+    def test_fixture_corpus_equivalence(self, tmp_path):
+        from gxdindexer_ray.fixtures.pages import generate_pages
+        import pyarrow.parquet as pq
+
+        generate_pages(tmp_path / "p", n_rows=1500, seed=7)
+        f = sorted((tmp_path / "p").glob("*.parquet"))[0]
+        col = pq.read_table(f, columns=["html"])["html"].combine_chunks()
+        got = extract_column(col).to_pylist()
+        exp = [extract_text(v.as_py()) for v in col]
+        assert got == exp
+
+    def test_hypothesis_equivalence(self):
+        from hypothesis import given, settings, strategies as st
+
+        atoms = st.sampled_from([
+            "<script>", "</script>", "</script  >", "<SCRIPT a=b>", "<scripty>",
+            "<style>", "</style>", "<!--", "-->", "<", ">", "<p>", "</p>",
+            "<p a='x>y'>", "&lt;", "&amp;", "&#233;", "&nbsp;", "&bogus;", "&",
+            " ", "\t", "\n", "\x0b", "\x1c", "\x85", "\xa0", " ", "　",
+            "word", "a1", "é", "日本", "ſcript",
+        ])
+        row = st.lists(atoms, max_size=30).map("".join)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.one_of(st.none(), row), min_size=1, max_size=8))
+        def check(rows):
+            col = pa.array([None if r is None else r.encode("utf-8") for r in rows],
+                           type=pa.binary())
+            got = extract_column(col).to_pylist()
+            exp = [extract_text(None if r is None else r.encode("utf-8")) for r in rows]
+            assert got == exp
+
+        check()
+
+    def test_invalid_utf8_batch(self):
+        col = pa.array([b"<p>ok</p>", b"<p>bad \xff\xfe</p>", None], type=pa.binary())
+        got = extract_column(col).to_pylist()
+        exp = [extract_text(v) for v in [b"<p>ok</p>", b"<p>bad \xff\xfe</p>", None]]
+        assert got == exp
+
+    def test_sliced_input_column(self):
+        col = pa.array([b"<p>a</p>", b"<p>b  c</p>", b"<p>d</p>"], type=pa.binary())
+        sl = col.slice(1, 2)
+        assert extract_column(sl).to_pylist() == ["b c", "d"]
