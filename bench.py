@@ -143,17 +143,25 @@ def run_benchmark() -> dict:
 def run_scaling() -> dict:
     """N -> 4N scaling protocol: fresh process per level, same input.
 
-    Primary pair is 2 -> 8 CPUs; 8 -> 32 is reported alongside. This VM
-    saturates DRAM bandwidth at ~4-8 concurrent memory-streaming workers
-    (see BASELINE.md §3 microbenchmark), so wide levels measure the
-    hardware ceiling, not the engine — on a real multi-node cluster each
-    node brings its own memory bandwidth."""
+    Primary pair is 2 -> 8 CPUs; 8 -> 32 is reported alongside. Two
+    hardware caveats measured in BASELINE.md §3: wide single-box levels
+    share one memory system (a real cluster adds bandwidth per node), and
+    this VM's background THP compaction adds ±10%% run-to-run noise — so
+    each level is run GRAFT_SCALING_REPS times (default 2) and the MEDIAN
+    build time is used."""
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="build")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        runs = []
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="build")
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        runs.sort(key=lambda r: r["queries"]["build_index"])
+        med = runs[(len(runs) - 1) // 2]
+        med["all_build_secs"] = [r["queries"]["build_index"] for r in runs]
+        return med
 
     r = {n: one(n) for n in (2, 8, 32)}
     t = {n: r[n]["queries"]["build_index"] for n in r}

@@ -16,6 +16,7 @@ import itertools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import AggregateFn  # noqa: F401  (documented alternative)
 
@@ -146,34 +147,166 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float
     return len(sa & sb) / len(sa | sb)
 
 
-def verify_pairs_jaccard(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id",
-                         text_col: str = "text", k: int = 3,
-                         threshold: float = 0.5) -> pd.DataFrame:
-    """Exact n-gram Jaccard on candidate pairs. Texts for the (small)
-    candidate id set are collected and broadcast; verification is driver-side
-    because the pair set is the output of LSH pruning (provably small)."""
-    if pairs.empty:
-        return pd.DataFrame(columns=["a", "b", "jaccard"]).astype(
-            {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+def _empty_verified() -> pd.DataFrame:
+    return pd.DataFrame(columns=["a", "b", "jaccard"]).astype(
+        {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+
+
+def _shingle_hash_rows(ds, ids: list[int], id_col: str, text_col: str, k: int,
+                       out_id: str, out_sh: str):
+    """(doc_id, sorted unique shingle hashes) for the candidate id set —
+    hashes (blake2b-64) travel instead of shingle strings; a 64-bit
+    collision would need ~2^32 distinct shingles per pair to matter."""
     import pyarrow.compute as pc
 
-    ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+    id_arr = pa.array(sorted(ids), pa.int64())
 
     def grab(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch[id_col], value_set=pa.array(ids, pa.int64()))
-        return batch.filter(m).select([id_col, text_col])
+        m = pc.is_in(batch[id_col], value_set=id_arr)
+        sub = batch.filter(m)
+        toks = _tokens_by_doc(sub, text_col)
+        shl = [np.unique(_hash64_strings(shingle_set(t, k))).astype(np.int64)
+               for t in toks]
+        return pa.table({
+            out_id: sub[id_col],
+            out_sh: pa.array([s.tolist() for s in shl], pa.list_(pa.int64())),
+        })
 
-    texts_tbl = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
-    from ..text.tokenize import tokenize
+    return ds.map_batches(grab, batch_format="pyarrow")
 
-    toks = {int(r[id_col]): tokenize(r[text_col] or "") for _, r in texts_tbl.iterrows()}
-    rows = []
-    for _, r in pairs.iterrows():
-        j = exact_jaccard(toks.get(int(r["a"]), []), toks.get(int(r["b"]), []), k)
-        if j >= threshold:
-            rows.append((int(r["a"]), int(r["b"]), round(j, 6)))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
+
+def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         threshold: float = 0.5) -> pd.DataFrame:
+    """Exact n-gram Jaccard on candidate pairs, DISTRIBUTED: shingle-hash
+    sets for the candidate docs are partitioned-joined onto the pair set
+    (two key-hash shuffles of candidate-sized data); the per-bucket reducer
+    intersects sorted hash arrays and only (a, b, jaccard) rows survive.
+    Nothing document-sized ever reaches the driver; only the candidate ID
+    SET is broadcast for the docs-side filter (8 bytes per candidate —
+    beyond ~1e8 candidates, swap the filter for a hash semi-join)."""
+    import ray.data as rd
+    from .relational import partitioned_join
+
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return _empty_verified()
+        pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
+        ids = set(pairs["a"]) | set(pairs["b"])
+    else:
+        pair_ids = pairs.select_columns(["a", "b"]).take_all()
+        if not pair_ids:  # candidate ids only — not documents
+            return _empty_verified()
+        ids = {int(r["a"]) for r in pair_ids} | {int(r["b"]) for r in pair_ids}
+        pairs_ds = pairs
+
+    sh_a = _shingle_hash_rows(ds, ids, id_col, text_col, k, "a_key", "sh_a")
+    j1 = partitioned_join(pairs_ds, sh_a, "a", "a_key", how="inner")
+    sh_b = _shingle_hash_rows(ds, ids, id_col, text_col, k, "b_key", "sh_b")
+
+    def jac_post(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_verified()
+        jac = np.empty(len(df), np.float64)
+        for i, (sa, sb) in enumerate(zip(df["sh_a"].to_numpy(), df["sh_b"].to_numpy())):
+            sa = np.asarray(sa)
+            sb = np.asarray(sb)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = (inter / union) if union else 1.0
+        out = pd.DataFrame({"a": df["a"].to_numpy(np.int64),
+                            "b": df["b"].to_numpy(np.int64),
+                            "jaccard": np.round(jac, 6)})
+        return out[out["jaccard"] >= threshold]
+
+    j2 = partitioned_join(j1, sh_b, "b", "b_key", how="inner", bucket_post=jac_post)
+    out = j2.to_pandas()
+    if out.empty:
+        return _empty_verified()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype(
         {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+
+
+def connected_components(edges, *, max_iters: int = 50):
+    """Distributed min-label connected components over an (a, b) pair
+    Dataset/DataFrame: iterative label propagation — each round joins
+    current labels onto the edge list (one key-hash shuffle) and takes the
+    per-node min (one groupby). Rounds needed = component diameter, which
+    for near-dup clusters is tiny. Convergence is detected by the strictly
+    decreasing global label sum (no extra join). Returns a pandas
+    (node, comp) frame; comp is the component's min node id.
+
+    Partitioning assumption: labels/edges shuffle by node hash each round —
+    at web scale, pin both to one persistent bucketing (the relational
+    partitioned_join pattern) to avoid re-exchange per round."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    from .relational import partitioned_join
+
+    if isinstance(edges, pd.DataFrame):
+        if edges.empty:
+            return pd.DataFrame(columns=["node", "comp"]).astype(np.int64)
+        edges = rd.from_pandas(edges[["a", "b"]].astype(np.int64))
+
+    def undirected(batch: pd.DataFrame) -> pa.Table:
+        a = batch["a"].to_numpy(np.int64)
+        b = batch["b"].to_numpy(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    # arrow blocks end-to-end: a dataset mixing pandas and arrow blocks
+    # trips Ray Data's block-type inference in the groupby sort
+    e = edges.map_batches(undirected, batch_format="pandas")
+    # init + first propagation in one groupby: comp(u) = min(u, min nbr)
+    labels = e.map_batches(
+        lambda t: pa.table({"node": t["u"],
+                            "comp": pc.min_element_wise(t["u"], t["v"])}),
+        batch_format="pyarrow",
+    ).groupby("node").aggregate(Min("comp", alias_name="comp"))
+    prev_sum = None
+    for _ in range(max_iters):
+        cur_sum = labels.sum("comp")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+        def relabel(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["v"], "comp": df["comp"]})
+
+        cand = partitioned_join(e, labels, "u", "node", how="inner",
+                                bucket_post=relabel)
+        labels = labels.union(cand).groupby("node").aggregate(Min("comp", alias_name="comp"))
+    out = labels.to_pandas()
+    return out.astype({"node": np.int64, "comp": np.int64}).sort_values("node").reset_index(drop=True)
+
+
+def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
+                 shingle_k: int = 3):
+    """Near-dup dedup end-to-end: MinHash-LSH candidates -> distributed
+    exact-Jaccard verification -> connected components -> keep the MIN
+    doc_id per cluster (first-wins parity with the reference's
+    first-write-wins dedup, GxdResultIndexer.java:718-756). Returns the
+    kept-id Dataset (id column only). Only the LOSER id set (dup docs
+    minus one per cluster) is broadcast for the final filter."""
+    import pyarrow.compute as pc
+    import ray
+
+    cand = minhash_lsh_candidates(ds, id_col=id_col, text_col=text_col,
+                                  n_perm=n_perm, bands=bands, shingle_k=shingle_k)
+    verified = verify_pairs_jaccard(ds, cand, id_col=id_col, text_col=text_col,
+                                    k=shingle_k, threshold=threshold)
+    comp = connected_components(verified)
+    losers = comp.loc[comp["node"] != comp["comp"], "node"].to_numpy(np.int64)
+    loser_ref = ray.put(pa.array(np.sort(losers), pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(loser_ref)
+        m = pc.invert(pc.is_in(batch[id_col], value_set=drop)) if len(drop) \
+            else pa.array([True] * batch.num_rows)
+        return batch.filter(m).select([id_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -122,9 +122,9 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
             keys = batch[key_col].to_numpy(zero_copy_only=False)
             if np.issubdtype(keys.dtype, np.integer):
                 jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
-            else:  # string/object keys: stable hash (never Python's salted hash)
-                jb = (pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
-                      % n_buckets).astype(np.int32)
+            else:  # string/object keys: explicit deterministic hash (see
+                # stable_bucket_ids — pandas' hasher proved unstable here)
+                jb = stable_bucket_ids(pd.DataFrame({key_col: keys}), [key_col], n_buckets)
             cols["__jb"] = pa.array(jb)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(cols)
@@ -141,14 +141,29 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
 
         l_tbl = group.filter(pc2.equal(side, 0)).select(l_names)
         r_tbl = group.filter(pc2.equal(side, 1)).select(r_names)
+        group = None  # noqa: F841 (release before the merge)
         l_df = l_tbl.to_pandas()
         r_df = r_tbl.to_pandas()
         merged = l_df.merge(r_df, left_on=left_on, right_on=right_on, how=how)
         if bucket_post is not None:
-            merged = bucket_post(merged)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+            # bucket_post must return a frame with stable dtypes (empty
+            # buckets included) — from_pandas infers the schema from it
+            return pa.Table.from_pandas(bucket_post(merged), preserve_index=False)
+        # no post: enforce the unified schema so EMPTY buckets don't emit
+        # null-typed columns (object->null inference breaks list columns)
+        cols = {}
+        for name, typ in all_fields:
+            try:
+                cols[name] = pa.Array.from_pandas(merged[name], type=typ)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # e.g. outer-join NaNs in an int column -> let Arrow widen
+                cols[name] = pa.Array.from_pandas(merged[name])
+        return pa.table(cols)
 
-    return u.groupby("__jb").map_groups(join_bucket, batch_format="pyarrow")
+    # whole-bucket integrity required (a split bucket silently loses join
+    # matches) -> explicit exchange, not groupby().map_groups
+    return hash_exchange_apply(u, "__jb", join_bucket, batch_format="pyarrow",
+                               drop_bucket_col=False)
 
 
 # ---------------------------------------------------------------------------
@@ -217,16 +232,135 @@ def pre_aggregate(
 
 
 # ---------------------------------------------------------------------------
+# group-integral hash exchange (raw Ray tasks — deliberate drop below the
+# Dataset API, see hash_exchange_apply docstring for the measured reason)
+# ---------------------------------------------------------------------------
+
+
+def _partition_block(tbl: pa.Table, col: str) -> dict:
+    """Split one Arrow block by a bucket column; returns {value: ObjectRef}.
+    One sort + run slicing (not one filter pass per distinct value)."""
+    import pyarrow.compute as pc
+
+    out: dict = {}
+    if tbl.num_rows == 0:
+        return out
+    order = pc.sort_indices(tbl[col])
+    tbl = tbl.take(order)
+    vals = tbl[col].to_numpy(zero_copy_only=False)
+    bounds = np.concatenate([[0], np.flatnonzero(vals[1:] != vals[:-1]) + 1, [len(vals)]])
+    for i in range(bounds.size - 1):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        v = vals[s]
+        v = v.item() if hasattr(v, "item") else v
+        out[v] = ray.put(tbl.slice(s, e - s))
+    return out
+
+
+def _reduce_bucket(fn, batch_format: str, drop_col: str | None, refs: list) -> pa.Table:
+    tables = ray.get(list(refs))
+    tbl = pa.concat_tables(tables).combine_chunks()
+    if drop_col and drop_col in tbl.column_names:
+        tbl = tbl.drop_columns([drop_col])
+    batch = tbl.to_pandas() if batch_format == "pandas" else tbl
+    out = fn(batch)
+    if isinstance(out, pd.DataFrame):
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    return out
+
+
+def hash_exchange_apply(ds, bucket_col: str, fn, *, batch_format: str = "pandas",
+                        drop_bucket_col: bool = True, num_cpus: float = 1):
+    """Apply ``fn`` to ALL rows of each bucket value, with GUARANTEED group
+    integrity, via an explicit object-store hash exchange built on raw Ray
+    tasks.
+
+    Why not ``groupby(col).map_groups(fn)``: under this Ray build the
+    sort-based shuffle can deliver one key's rows across more than one fn
+    invocation (reproduced on this machine: a 25-row candidate dataset over
+    64 bucket values intermittently yielded one bucket's rows as an 8-copy
+    call plus a separate 1-row call, ~1-in-4 runs), which silently breaks
+    dedup/join/window semantics. Aggregates (combiner trees) are immune —
+    30/30 clean trials — so ``groupby().aggregate`` stays on the Dataset
+    API; whole-group applies route through here instead.
+
+    Mechanics: one partition task per input block splits it by the bucket
+    column (rows stay in the object store, one ``ray.put`` per
+    (block, bucket) run); one reduce task per bucket value concatenates its
+    slices in block order and applies ``fn`` to the complete group. Output
+    is a Dataset over the reduce results. Co-location is by construction —
+    the partition map is the exchange, exactly like the index build's
+    SPIMI/file exchanges but through the object store."""
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
+    block_refs = ds.to_arrow_refs()
+    part = ray.remote(_partition_block)
+    dicts = ray.get([part.remote(r, bucket_col) for r in block_refs])
+    by_bucket: dict = {}
+    for d in dicts:
+        for v, ref in d.items():
+            by_bucket.setdefault(v, []).append(ref)
+    red = ray.remote(num_cpus=num_cpus)(_reduce_bucket)
+    drop = bucket_col if drop_bucket_col else None
+    out_refs = [red.remote(fn, batch_format, drop, refs)
+                for _, refs in sorted(by_bucket.items(), key=lambda kv: str(kv[0]))]
+    if not out_refs:
+        # empty input: preserve fn's output schema by applying it to a
+        # typed empty table (schema from any input block if one exists)
+        empty = ray.get(block_refs[0]).schema.empty_table() if block_refs else pa.table({})
+        if drop and drop in empty.column_names:
+            empty = empty.drop_columns([drop])
+        out = fn(empty.to_pandas() if batch_format == "pandas" else empty)
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return rd.from_arrow(out)
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
 # bucketed per-key ops (D3 dedup-first, O1 ordinals, windows)
 # ---------------------------------------------------------------------------
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def stable_bucket_ids(df: pd.DataFrame, cols: list[str], n_buckets: int) -> np.ndarray:
+    """Value-deterministic bucket ids for shuffle keys.
+
+    NEVER ``pd.util.hash_pandas_object`` here: observed on this stack
+    (pandas 2.2.2) hashing the IDENTICAL string to two different values in
+    different map tasks of one run, which silently breaks any exchange
+    keyed on it (duplicate keys land in different buckets). All-integer
+    keys mix via vectorized splitmix64; anything else goes through
+    blake2b-64 of the canonical joined string (Python's builtin ``hash``
+    is salted and equally forbidden)."""
+    import hashlib
+
+    if all(np.issubdtype(df[c].dtype, np.integer) for c in cols):
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in cols:
+            h = _splitmix64(h ^ _splitmix64(df[c].to_numpy(np.int64).view(np.uint64)))
+        return (h % np.uint64(n_buckets)).astype(np.int32)
+    b2b = hashlib.blake2b
+    keys = df[cols].astype(str).agg("\x00".join, axis=1)
+    out = np.empty(len(df), dtype=np.int64)
+    for i, k in enumerate(keys):
+        out[i] = int.from_bytes(b2b(k.encode("utf-8"), digest_size=8).digest(), "big") % n_buckets
+    return out.astype(np.int32)
+
+
 def add_hash_bucket(ds, cols: list[str], n_buckets: int, out: str = "__bucket"):
-    """Deterministic key-hash bucket column (pd.util.hash_pandas_object with
-    its fixed default hash key — stable across processes)."""
+    """Deterministic key-hash bucket column (see stable_bucket_ids)."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[cols].astype(str).agg("\x00".join, axis=1), index=False)
-        batch[out] = (h % n_buckets).astype(np.int32)
+        batch[out] = stable_bucket_ids(batch, cols, n_buckets)
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
@@ -241,13 +375,10 @@ def add_mod_bucket(ds, col: str, n_buckets: int, out: str = "__bucket"):
 
 
 def bucketed_apply(ds, bucket_col: str, fn):
-    """groupby(bucket) -> vectorized pandas fn per bucket (fn sees ALL rows
-    of the bucket and must handle multiple keys internally)."""
-
-    def g(group: pd.DataFrame) -> pd.DataFrame:
-        return fn(group.drop(columns=[bucket_col]))
-
-    return ds.groupby(bucket_col).map_groups(g, batch_format="pandas")
+    """Vectorized pandas fn per bucket — fn sees ALL rows of the bucket
+    (guaranteed: routed through hash_exchange_apply, not map_groups) and
+    must handle multiple keys internally."""
+    return hash_exchange_apply(ds, bucket_col, fn, batch_format="pandas")
 
 
 def dedup_first(ds, key_cols: list[str], order_cols: list[str], n_buckets: int = 64):

@@ -182,9 +182,11 @@ def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_bucke
         # local partial: min id + count per hash
         g = batch.groupby("__h", sort=False)
         out = pd.DataFrame({"keep_id": g[id_col].min(), "n_copies": g.size()}).reset_index()
-        out["__bucket"] = (
-            pd.util.hash_pandas_object(out["__h"], index=False) % n_buckets
-        ).astype(np.int32)
+        # bucket straight from the md5 hex prefix — value-deterministic
+        # (pandas' hasher is not; see relational.stable_bucket_ids)
+        out["__bucket"] = np.array(
+            [int(h[:8], 16) % n_buckets for h in out["__h"]], dtype=np.int32
+        )
         return out
 
     parts = ds.map_batches(add_hash, batch_format="pandas")

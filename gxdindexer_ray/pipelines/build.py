@@ -189,7 +189,7 @@ def _find_losers(g: pa.Table) -> pa.Table:
     ids = g["doc_id"].combine_chunks()
     n = len(ids)
     if n <= 1:
-        return g.select(["file", "row"]).slice(0, 0)
+        return g.select(["file", "row", "dl"]).slice(0, 0)
     dup = pa.concat_arrays([pa.array([False]),
                             pc.equal(ids.slice(1, n - 1), ids.slice(0, n - 1))])
     return g.select(["file", "row", "dl"]).filter(dup)
@@ -202,6 +202,10 @@ def make_loser_dropper(docs_tmp: str):
     import pyarrow.parquet as pq
 
     def drop(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # no duplicate losers anywhere
+            return pa.table({"file": pa.array([], pa.string()),
+                             "dropped": pa.array([], pa.int64()),
+                             "dropped_dl": pa.array([], pa.int64())})
         fname = g["file"][0].as_py()
         path = Path(docs_tmp) / fname
         rows = np.sort(g["row"].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -328,11 +332,16 @@ def build_index(
         # the streaming executor's per-operator memory reservations don't
         # throttle the expensive extract (measured: fused lineage 45.5s vs
         # split 16-20s for the same P0 at 8 CPUs / 1M docs)
+        from ..ops.relational import hash_exchange_apply
+
         keys = keys.repartition(max(8, _n_cpus() // 2)).materialize()
-        losers = keys.groupby("bucket").map_groups(
-            _find_losers, batch_format="pyarrow").materialize()
-        dropped = losers.groupby("file").map_groups(make_loser_dropper(str(tmp_docs)),
-                                                    batch_format="pyarrow").to_pandas()
+        # whole-group integrity is load-bearing here (a split bucket would
+        # silently keep duplicate docs) -> explicit exchange, not map_groups
+        losers = hash_exchange_apply(keys, "bucket", _find_losers,
+                                     batch_format="pyarrow").materialize()
+        dropped = hash_exchange_apply(losers, "file", make_loser_dropper(str(tmp_docs)),
+                                      batch_format="pyarrow",
+                                      drop_bucket_col=False).to_pandas()
         _save_exec_stats(out, "p0-docstore", keys)
         # persist the loser addresses: P2 excludes them from the hot sample
         losers_dir = out / "losers"

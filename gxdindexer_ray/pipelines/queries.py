@@ -519,13 +519,66 @@ FROM documents
 
 
 def q26_minhash_neardup(sf: str):
-    """MinHash+LSH candidates -> exact n-gram Jaccard verification.
-    No SQL oracle (rows-only check); operator correctness is covered by
-    unit tests with constructed near-duplicates."""
+    """MinHash+LSH candidates -> DISTRIBUTED exact n-gram Jaccard
+    verification (partitioned joins of shingle-hash sets onto the pair
+    set; ops/dedup.py). SQL oracle computes exact Jaccard via a shared-
+    shingle self-join — equality holds because the corpus's near-dups sit
+    at j>=0.9 where 16x4 banded LSH recall is ~1-4e-8."""
     ds = read_table(sf, "documents", columns=["doc_id", "text"])
-    cand = dedup_ops.minhash_lsh_candidates(ds).to_pandas()
+    cand = dedup_ops.minhash_lsh_candidates(ds)
     ds2 = read_table(sf, "documents", columns=["doc_id", "text"])
     return dedup_ops.verify_pairs_jaccard(ds2, cand, threshold=0.5)
+
+
+_SQL_SHINGLE_CTES = """
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+  FROM documents),
+tri AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+  FROM toks WHERE len(arr) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s FROM tri
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS s FROM toks WHERE len(arr) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+"""
+
+SQL_Q26 = f"""
+WITH {_SQL_SHINGLE_CTES}
+SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def q41_dedup_corpus(sf: str):
+    """Near-dup dedup end-to-end (the training-data pipeline's headline
+    operator): LSH candidates -> distributed exact verify -> connected
+    components -> keep min doc_id per cluster (first-wins parity with
+    GxdResultIndexer.java:718-756). Returns the kept doc_id set."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return dedup_ops.dedup_corpus(ds, threshold=0.5)
+
+
+SQL_Q41 = f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTES},
+pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS m FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m),
+comp AS (SELECT node, least(node, min(m)) AS comp FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE comp < node)
+"""
 
 
 def q27_simhash(sf: str):
@@ -969,7 +1022,7 @@ CATALOG: dict[str, tuple] = {
     "q23_term_stats": (q23_term_stats, SQL_Q23),
     "q24_exact_dedup": (q24_exact_dedup, SQL_Q24),
     "q25_quality": (q25_quality, SQL_Q25),
-    "q26_minhash_neardup": (q26_minhash_neardup, None),
+    "q26_minhash_neardup": (q26_minhash_neardup, SQL_Q26),
     "q27_simhash": (q27_simhash, None),
     "q28_langid": (q28_langid, SQL_Q28),
     "q29_fingerprints": (q29_fingerprints, None),
@@ -984,6 +1037,7 @@ CATALOG: dict[str, tuple] = {
     "q38_phrase_match": (q38_phrase_match, SQL_Q38),
     "q39_dag_closure": (q39_dag_closure, SQL_Q39),
     "q40_ivf_knn": (q40_ivf_knn, None),
+    "q41_dedup_corpus": (q41_dedup_corpus, SQL_Q41),
 }
 
 

@@ -282,3 +282,57 @@ def test_transitive_closure_cycle_raises(ray_session):
     # a 2-cycle converges (closure is finite) — must NOT raise
     out = transitive_closure(rd.from_pandas(edges))
     assert set(map(tuple, out.to_numpy())) == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+class TestNearDupClusterResolution:
+    def test_connected_components_min_label(self, ray_session):
+        import pandas as pd
+        from gxdindexer_ray.ops.dedup import connected_components
+
+        # two chains and one isolated pair: {1-2-3-4}, {10-11}, {20-21}
+        edges = pd.DataFrame({"a": [1, 2, 3, 10, 20], "b": [2, 3, 4, 11, 21]})
+        comp = connected_components(edges)
+        got = dict(zip(comp["node"], comp["comp"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_connected_components_empty(self, ray_session):
+        import pandas as pd
+        from gxdindexer_ray.ops.dedup import connected_components
+
+        comp = connected_components(pd.DataFrame(columns=["a", "b"]))
+        assert len(comp) == 0
+
+    def test_dedup_corpus_first_wins_per_cluster(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.dedup import dedup_corpus
+
+        base = "the quick brown fox jumps over the lazy dog again and again today "
+        texts = {
+            0: base * 6,                               # cluster A winner
+            1: base * 6 + "tiny tail change",          # near-dup of 0
+            2: base * 6 + "another tiny tail",         # near-dup of 0
+            3: "completely different content about ray data pipelines " * 8,
+            4: "completely different content about ray data pipelines " * 8 + "x y",
+            5: "an entirely unrelated document with its own words " * 9,
+        }
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }))
+        kept = sorted(r["doc_id"] for r in dedup_corpus(ds, threshold=0.5).take_all())
+        assert kept == [0, 3, 5]
+
+    def test_stable_bucket_ids_value_deterministic(self):
+        import pandas as pd
+        import numpy as np
+        from gxdindexer_ray.ops.relational import stable_bucket_ids
+
+        a = pd.DataFrame({"a": [45, 7, 45], "b": [413, 9, 413]})
+        b = pd.DataFrame({"a": [45], "b": [413]})
+        ba = stable_bucket_ids(a, ["a", "b"], 64)
+        bb = stable_bucket_ids(b, ["a", "b"], 64)
+        assert ba[0] == ba[2] == bb[0]
+        s1 = pd.DataFrame({"k": ["x\x00y", "zz"]})
+        s2 = pd.DataFrame({"k": ["zz"]})
+        assert stable_bucket_ids(s1, ["k"], 32)[1] == stable_bucket_ids(s2, ["k"], 32)[0]
