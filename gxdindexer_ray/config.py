@@ -39,6 +39,11 @@ class IndexConfig:
     # --- dedup ---
     dedup_buckets: int = 512       # url-hash buckets for exact first-wins dedup
 
+    # --- merge memory bound (artifact-affecting: sets the segment file
+    # split; derived ONLY from content-invariant posting counts) ---
+    merge_max_postings: int = 32_000_000   # decoded postings per merge slot
+                                           # (~24 B each + sort temporaries)
+
     # --- execution knobs (do NOT affect artifact bytes) ---
     batch_size: int = 8192         # docs per extract batch; one docstore file
                                    # per batch, so this also sets docstore file

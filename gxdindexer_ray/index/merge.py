@@ -63,14 +63,56 @@ MANIFEST_SCHEMA = pa.schema(
 def merge_bucket_files(bucket_files: list[str], segments_dir: str, avgdl: float,
                        cfg: IndexConfig | None = None) -> dict:
     """Reducer for the file-based exchange: read one bucket's partial files,
-    merge, write its segment. Run as one Ray task per bucket
+    merge, write its segment(s). Run as one Ray task per bucket
     (``ray.remote(merge_bucket_files)``) — this is the rare drop below the
     Dataset API: a 32-way fixed fan-out that the groupby sort shuffle would
-    only make slower. Returns the bucket's lineage/manifest row."""
+    only make slower. Returns the bucket's lineage/manifest row.
+
+    Memory bound: the decoded working set (~24 B/posting + sort
+    temporaries) is capped by splitting oversized buckets into term-hash
+    SLOTS merged one at a time (cfg.merge_max_postings per slot). The
+    split count derives from the bucket's total n_postings — a pure
+    function of corpus content, never of batching or parallelism — so the
+    segment file set stays deterministic; compressed payloads (~10
+    B/posting) are held across slots, which is the documented residual
+    bound (raise cfg.n_buckets to shrink it)."""
+    cfg = cfg or IndexConfig()
     tbl = pa.concat_tables(pq.read_table(f) for f in sorted(bucket_files))
     merger = BucketMerger(segments_dir=segments_dir, avgdl=avgdl, cfg=cfg)
-    out = merger(tbl)
-    return out.to_pylist()[0]
+    total_postings = int(pa.compute.sum(tbl["n_postings"]).as_py() or 0)
+    slots = 1
+    while slots < 64 and total_postings / slots > cfg.merge_max_postings:
+        slots *= 2
+    if slots == 1:
+        return merger(tbl).to_pylist()[0]
+
+    import hashlib
+
+    terms = tbl["term"].to_pylist()
+    slot_of = {}
+    slot_ids = np.empty(len(terms), np.int8)
+    for i, t in enumerate(terms):
+        s = slot_of.get(t)
+        if s is None:
+            s = hashlib.blake2b(t.encode(), digest_size=2).digest()[0] & (slots - 1)
+            slot_of[t] = s
+        slot_ids[i] = s
+    rows = []
+    for s in range(slots):
+        sub = tbl.filter(pa.array(slot_ids == s))
+        if sub.num_rows == 0:
+            continue
+        rows.append(merger(sub, file_suffix=f"-{s:02d}").to_pylist()[0])
+    agg = dict(rows[0])
+    agg.update(
+        n_terms=sum(r["n_terms"] for r in rows),
+        n_rows=sum(r["n_rows"] for r in rows),
+        n_postings=sum(r["n_postings"] for r in rows),
+        bytes_in=sum(r["bytes_in"] for r in rows),
+        bytes_out=sum(r["bytes_out"] for r in rows),
+        path=";".join(r["path"] for r in rows),
+    )
+    return agg
 
 
 class BucketMerger:
@@ -82,7 +124,7 @@ class BucketMerger:
         self.avgdl = float(avgdl)
         self.cfg = cfg or IndexConfig()
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group: pa.Table, file_suffix: str = "") -> pa.Table:
         cfg = self.cfg
         bucket = int(group["bucket"][0].as_py())
         terms = group["term"].to_pylist()
@@ -193,8 +235,8 @@ class BucketMerger:
             schema=SEGMENT_SCHEMA,
         )
         self.segments_dir.mkdir(parents=True, exist_ok=True)
-        final = self.segments_dir / f"bucket-{bucket:05d}.parquet"
-        tmp = self.segments_dir / f".bucket-{bucket:05d}.parquet.tmp"
+        final = self.segments_dir / f"bucket-{bucket:05d}{file_suffix}.parquet"
+        tmp = self.segments_dir / f".bucket-{bucket:05d}{file_suffix}.parquet.tmp"
         pq.write_table(seg, tmp, compression="zstd", row_group_size=256)
         tmp.rename(final)
 

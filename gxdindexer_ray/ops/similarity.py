@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -76,38 +78,51 @@ def brute_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
     )
 
 
+def _block_pair_sims(tbl_i: pa.Table, tbl_j: pa.Table, same: bool, threshold: float,
+                     id_col: str, emb_col: str) -> pa.Table:
+    """One (block_i x block_j) tile of the exact similarity join."""
+    ids_i = tbl_i[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_j = tbl_j[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m_i = _normalize(_to_matrix(tbl_i[emb_col]))
+    m_j = _normalize(_to_matrix(tbl_j[emb_col]))
+    sims = m_i @ m_j.T
+    ai, bj = np.nonzero(sims > threshold)
+    a, b_ = ids_i[ai], ids_j[bj]
+    keep = a < b_ if same else a != b_
+    a2, b2 = np.minimum(a, b_)[keep], np.maximum(a, b_)[keep]
+    return pa.table({
+        "a": pa.array(a2, pa.int64()),
+        "b": pa.array(b2, pa.int64()),
+        "sim": pa.array(np.round(sims[ai, bj][keep], 6), pa.float64()),
+    })
+
+
 def embedding_near_dup(ds, *, threshold: float, id_col: str = "vec_id",
-                       emb_col: str = "embedding", max_side: int | None = None) -> pd.DataFrame:
-    """All pairs (a < b) with cosine sim > threshold. The comparison side is
-    broadcast (valid when it fits one worker; beyond that, LSH-bucket first)."""
-    def limit_ids(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.less(batch[id_col], max_side))
-
-    side = ds if max_side is None else ds.map_batches(limit_ids, batch_format="pyarrow")
-    side_tbl = pa.concat_tables([ray.get(r) for r in side.to_arrow_refs()])
-    side_ids = side_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    side_m = _normalize(_to_matrix(side_tbl[emb_col]))
-    ref = ray.put((side_ids, side_m))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids_b, m_b = ray.get(ref)
-        m = _normalize(_to_matrix(batch[emb_col]))
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ m_b.T
-        ai, bi = np.nonzero(sims > threshold)
-        a, b_ = ids[ai], ids_b[bi]
-        keep = a < b_
-        return pa.table({
-            "a": pa.array(a[keep], pa.int64()),
-            "b": pa.array(b_[keep], pa.int64()),
-            "sim": pa.array(np.round(sims[ai, bi][keep], 6), pa.float64()),
-        })
-
-    src = ds if max_side is None else ds.map_batches(limit_ids, batch_format="pyarrow")
-    return src.map_batches(partial, batch_format="pyarrow").to_pandas().sort_values(
-        ["a", "b"]).reset_index(drop=True)
+                       emb_col: str = "embedding",
+                       block_rows: int = 4096) -> pd.DataFrame:
+    """EXACT all pairs (a < b) with cosine sim > threshold, as a streaming
+    block-pair similarity join: vectors stay as Arrow blocks in the object
+    store; one Ray task per (block_i, block_j) tile does a single matmul
+    and emits only qualifying pairs. No side is ever materialized into one
+    process — per-task memory is two blocks (O(block_rows * dim)), and the
+    O(n^2) flops are inherent to EXACT all-pairs (the approximate scale
+    path past that is the persisted IVF index / MinHash-LSH family; this
+    operator is the exact oracle-clean baseline)."""
+    ds = ds.map_batches(lambda t: t.select([id_col, emb_col]),
+                        batch_format="pyarrow", batch_size=block_rows)
+    refs = ds.to_arrow_refs()
+    tile = ray.remote(num_cpus=1)(_block_pair_sims)
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(tile.remote(refs[i], refs[j], i == j, threshold, id_col, emb_col))
+    if not futs:
+        return pd.DataFrame(columns=["a", "b", "sim"]).astype(
+            {"a": np.int64, "b": np.int64, "sim": np.float64})
+    out = pa.concat_tables(ray.get(futs)).to_pandas()  # qualifying pairs only
+    # cross-tile duplicates are impossible (each unordered id pair lives in
+    # exactly one tile), so this is a pure sort
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 0) -> np.ndarray:
@@ -125,44 +140,131 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: in
     return centroids
 
 
-def ivf_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
-            n_clusters: int = 16, nprobe: int = 4, sample_limit: int = 5000,
-            id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
-    """Approximate top-k: probe only the ``nprobe`` nearest IVF cells."""
-    sample_tbl = ds.limit(sample_limit).to_arrow_refs()
-    sample = pa.concat_tables([ray.get(r) for r in sample_tbl])
+def build_ivf_index(ds, index_dir, *, n_clusters: int = 16, sample_limit: int = 5000,
+                    id_col: str = "vec_id", emb_col: str = "embedding") -> dict:
+    """Build a PERSISTED IVF index: deterministic k-means centroids
+    (centroids.npy) + the vectors re-laid-out as one parquet file per cell.
+    The cell IS the partition key at rest — a query probing ``nprobe``
+    cells reads only those files (partition pruning), which is the IVF
+    scale path the query-time-only variant lacked. Atomic tmp+rename."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .relational import hash_exchange_apply
+
+    out = Path(index_dir)
+    tmp = out.with_name(out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    sample = pa.concat_tables([ray.get(r) for r in ds.limit(sample_limit).to_arrow_refs()])
     centroids = kmeans_fit(_to_matrix(sample[emb_col]), n_clusters)
-    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    probe = np.argsort(-(qn @ centroids.T), axis=1, kind="stable")[:, :nprobe]
-    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, centroids, probe))
+    cref = ray.put(centroids)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        qids, q, cents, prb = ray.get(ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
         m = _normalize(_to_matrix(batch[emb_col]))
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = np.argmax(m @ cents.T, axis=1)
-        sims = m @ q.T
-        out_q, out_n, out_s = [], [], []
-        for j in range(q.shape[0]):
-            mask = np.isin(cell, prb[j]) & (ids != qids[j])
-            cand_ids, cand_s = ids[mask], sims[mask, j]
-            if cand_ids.size == 0:
-                continue
-            top = min(k, cand_ids.size)
-            sel = np.lexsort((cand_ids, -cand_s))[:top]
-            out_q.extend([int(qids[j])] * top)
-            out_n.extend(cand_ids[sel].tolist())
-            out_s.extend(cand_s[sel].tolist())
-        return pa.table({
-            "qid": pa.array(out_q, pa.int64()),
-            "nid": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        })
+        cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        return batch.select([id_col, emb_col]).append_column("cell", pa.array(cell, pa.int32()))
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def write_cell(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        c = int(tbl["cell"][0].as_py())
+        pq.write_table(tbl.drop_columns(["cell"]), tmp / f"cell-{c:05d}.parquet",
+                       compression="lz4")
+        return pa.table({"cell": pa.array([c], pa.int32()),
+                         "rows": pa.array([tbl.num_rows], pa.int64())})
+
+    cells = hash_exchange_apply(assigned, "cell", write_cell,
+                                batch_format="pyarrow", drop_bucket_col=False).to_pandas()
+    np.save(tmp / "centroids.npy", centroids)
+    meta = {"n_clusters": int(n_clusters), "dim": int(centroids.shape[1]),
+            "cells": {int(r["cell"]): int(r["rows"]) for _, r in cells.iterrows()}}
+    (tmp / "meta.json").write_text(json.dumps(meta, sort_keys=True))
+    if out.exists():
+        shutil.rmtree(out)
+    tmp.rename(out)
+    return meta
+
+
+def _search_cell(cell_file: str, q_sub_ids: np.ndarray, q_sub: np.ndarray, k: int,
+                 id_col: str, emb_col: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(cell_file)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(_to_matrix(tbl[emb_col]))
+    sims = m @ q_sub.T
+    out_q, out_n, out_s = [], [], []
+    for j in range(q_sub.shape[0]):
+        mask = ids != q_sub_ids[j]
+        cand_ids, cand_s = ids[mask], sims[mask, j]
+        if cand_ids.size == 0:
+            continue
+        top = min(k, cand_ids.size)
+        sel = np.lexsort((cand_ids, -cand_s))[:top]
+        out_q.extend([int(q_sub_ids[j])] * top)
+        out_n.extend(cand_ids[sel].tolist())
+        out_s.extend(cand_s[sel].tolist())
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "nid": pa.array(out_n, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
+def ivf_search(index_dir, query_ids: np.ndarray, query_matrix: np.ndarray, *,
+               k: int, nprobe: int = 4, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> pd.DataFrame:
+    """Query a persisted IVF index: read ONLY the probed cell files (one
+    Ray task per touched cell), merge the per-cell partial top-k on the
+    driver (k x nprobe x n_queries rows)."""
+    index_dir = Path(index_dir)
+    centroids = np.load(index_dir / "centroids.npy")
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probe = np.argsort(-(qn @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
+    task = ray.remote(num_cpus=1)(_search_cell)
+    futs = []
+    for c, q_idx in sorted(by_cell.items()):
+        f = index_dir / f"cell-{c:05d}.parquet"
+        if not f.exists():  # empty cell
+            continue
+        futs.append(task.remote(str(f), qids[q_idx], qn[q_idx], k, id_col, emb_col))
+    if not futs:
+        return pd.DataFrame(columns=["qid", "rank", "nid"]).astype(np.int64)
+    parts = pa.concat_tables(ray.get(futs)).to_pandas()
     rows = []
     for qid, grp in parts.groupby("qid", sort=True):
-        grp = grp.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
+        grp = grp.drop_duplicates("nid").sort_values(
+            ["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
         for rank, (_, r) in enumerate(grp.iterrows(), 1):
             rows.append((int(qid), rank, int(r["nid"])))
     return pd.DataFrame(rows, columns=["qid", "rank", "nid"]).astype(np.int64)
+
+
+def ivf_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
+            n_clusters: int = 16, nprobe: int = 4, sample_limit: int = 5000,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            index_dir: str | Path | None = None) -> pd.DataFrame:
+    """Approximate top-k through the PERSISTED IVF layout: builds (or
+    reuses, when ``index_dir`` already holds an index) the cell-partitioned
+    index, then probes ``nprobe`` cells."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = Path(tempfile.mkdtemp(prefix="gxdray-ivf-")) / "ivf"
+    index_dir = Path(index_dir)
+    if not (index_dir / "meta.json").exists():
+        build_ivf_index(ds, index_dir, n_clusters=n_clusters,
+                        sample_limit=sample_limit, id_col=id_col, emb_col=emb_col)
+    return ivf_search(index_dir, query_ids, query_matrix, k=k, nprobe=nprobe,
+                      id_col=id_col, emb_col=emb_col)

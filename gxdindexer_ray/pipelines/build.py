@@ -540,7 +540,8 @@ def build_index(
             shutil.rmtree(segments_dir)
         seg_tmp.rename(segments_dir)
         for r in rows:  # lineage paths must point at the final location
-            r["path"] = str(segments_dir / Path(r["path"]).name)
+            r["path"] = ";".join(str(segments_dir / Path(p).name)
+                                 for p in r["path"].split(";"))
         atomic_write_json(seg_manifest_path, {"buckets": rows})
         p3.seal(
             n_buckets=len(rows),

@@ -654,12 +654,20 @@ SELECT qid, rank, nid FROM r WHERE rank <= 5
 
 
 def q40_ivf_knn(sf: str):
-    """IVF approximate ANN (the scale path past brute-force): deterministic
-    k-means cells, nprobe probing. Approximate -> rows-only check; recall
-    vs brute is unit-tested."""
+    """IVF approximate ANN through the PERSISTED index (centroids + one
+    parquet per cell; queries read only probed cells — partition pruning
+    at rest). Approximate -> rows-only check; recall vs brute is
+    unit-tested. The index build is cached per corpus fingerprint."""
+    import hashlib
+
     ids, mat = _query_vectors(sf, 3)
     ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
-    return sim_ops.ivf_knn(ds, ids, mat, k=5, n_clusters=8, nprobe=3)
+    st = (Path(sf) / "embeddings.parquet").stat()
+    tag = hashlib.blake2b(
+        f"{Path(sf).resolve()}|{st.st_size}-{st.st_mtime_ns}".encode(), digest_size=6
+    ).hexdigest()
+    ix = Path("/tmp/gxdray") / f"ivf-{tag}"
+    return sim_ops.ivf_knn(ds, ids, mat, k=5, n_clusters=8, nprobe=3, index_dir=ix)
 
 
 def q31_embedding_neardup(sf: str):

@@ -44,6 +44,18 @@ class PhraseAndBooleanMixin:
       no positions in the postings, exact results, cost bounded by the
       rarest term's df."""
 
+    def _score_candidates(self, terms: list[str], cand, k: int) -> list[tuple[int, float]]:
+        """Score ONLY the candidate set (searchsorted tf/dl gather) — cost
+        no longer proportional to the terms' total postings."""
+        from ..query.brute import candidate_topk
+
+        term_rows = self.reader.fetch_terms(terms)
+        return candidate_topk(
+            term_rows, cand,
+            N=self.reader.N, avgdl=self.reader.avgdl, k1=self.reader.k1,
+            b=self.reader.b, block_size=self.reader.block_size, k=k,
+        )
+
     def _candidate_docs(self, terms: list[str]) -> "np.ndarray":
         import numpy as np
 
@@ -80,10 +92,7 @@ class PhraseAndBooleanMixin:
                 cand = np.setdiff1d(cand, excl, assume_unique=True)
         if cand.size == 0:
             return []
-        full = self.topk(" ".join(sorted(set(must))), k=1 << 62, method="brute")
-        cset = set(int(c) for c in cand)
-        hits = [(d, s) for d, s in full if d in cset]
-        return hits[:k]
+        return self._score_candidates(sorted(set(must)), cand, k)
 
     def phrase_topk(self, phrase: str, k: int) -> list[tuple[int, float]]:
         """Exact phrase match (tokens adjacent in spec order), BM25-ranked
@@ -116,10 +125,9 @@ class PhraseAndBooleanMixin:
                         break
         if not matched:
             return []
-        full = self.topk(" ".join(sorted(set(toks))), k=1 << 62, method="brute")
-        mset = set(matched)
-        hits = [(d, s) for d, s in full if d in mset]
-        return hits[:k]
+        import numpy as np
+
+        return self._score_candidates(sorted(set(toks)), np.asarray(matched, dtype=np.uint64), k)
 
     def _verify_phrase_positional(self, cand, toks: list[str], term_rows) -> list[int]:
         """Adjacency check straight from the position streams: doc survives

@@ -58,3 +58,59 @@ def brute_force_topk(
     np.add.at(acc, inv, scores)  # in-order, matches oracle accumulation
     order = np.lexsort((uniq, -acc))[:k]
     return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
+def candidate_topk(
+    term_rows: dict[str, list[dict]],
+    cand: np.ndarray,
+    *,
+    N: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    k: int,
+    boosts: dict[str, float] | None = None,
+) -> list[tuple[int, float]]:
+    """BM25 top-k over a FIXED candidate doc set: per (term, shard) the
+    candidates' (tf, dl) are gathered by ``np.searchsorted`` into the
+    decoded (doc-sorted) posting arrays — O(|cand| log df) per shard
+    instead of scoring every posting of every term (the full-OR cost the
+    boolean/phrase paths used to pay). Contribution order per doc is
+    (term asc, shard asc), identical to ``brute_force_topk``, so scores
+    are float-for-float the same as scoring everything and filtering."""
+    cand = np.unique(np.asarray(cand, dtype=np.uint64))
+    if cand.size == 0:
+        return []
+    all_docs: list[np.ndarray] = []
+    all_scores: list[np.ndarray] = []
+    for term in sorted(term_rows):
+        rows = sorted(term_rows[term], key=lambda r: int(r["shard"]))
+        df = term_rows_df(rows)
+        if df == 0:
+            continue
+        w = idf(N, df) * (boosts.get(term, 1.0) if boosts else 1.0)
+        for r in rows:
+            pl = r.get("_pl")
+            if pl is None:
+                pl = decode_postings(r, block_size=block_size)
+                r["_pl"] = pl
+            ids = pl.doc_ids
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            valid = (pos < ids.size) & (ids[pos_c] == cand)
+            if not valid.any():
+                continue
+            sel = pos[valid]
+            contrib = w * bm25_tf_factor(pl.tfs[sel], pl.dls[sel], avgdl, k1, b)
+            all_docs.append(cand[valid].astype(np.int64))
+            all_scores.append(contrib)
+    if not all_docs:
+        return []
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, scores)
+    order = np.lexsort((uniq, -acc))[:k]
+    return [(int(uniq[i]), float(acc[i])) for i in order]

@@ -171,3 +171,25 @@ def test_positional_segments_invariant_to_batching(ray_session, pages_1k, tmp_pa
     assert sa.keys() == sb.keys()
     for name in sa:
         assert sa[name] == sb[name], f"positional segment {name} differs"
+
+
+def test_merge_slot_split_preserves_index(ray_session, pages_1k, tmp_path, oracle_1k):
+    """A tiny merge_max_postings forces the term-hash slot split; the
+    resulting multi-file-per-bucket index must serve identical stats and
+    rankings (the split is layout-only, keyed on content-invariant
+    posting counts)."""
+    from gxdindexer_ray.fixtures import generate_queries
+    from gxdindexer_ray.pipelines import SearchEngine, build_index
+
+    out = tmp_path / "split"
+    cfg = replace(CFG, merge_max_postings=2_000)  # ~60 slot files at 1k docs
+    build_index(pages_1k, out, cfg)
+    files = list((out / "segments").glob("*.parquet"))
+    assert len(files) > CFG.n_buckets, "slot split did not engage"
+
+    eng = SearchEngine(out)
+    stats = oracle_1k.term_stats()
+    got = eng.reader.term_stats()
+    assert got == stats
+    for q in generate_queries(15, seed=5).to_pylist():
+        assert eng.topk(q["query"], q["k"]) == oracle_1k.topk(q["query"], q["k"])
