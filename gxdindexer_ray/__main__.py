@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="pipeline names from `list`, or 'all'")
     r.add_argument("--sf", required=True)
     r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument("--concurrent", type=int, default=1,
+                   help="run up to N pipelines concurrently, scheduled "
+                        "longest-first from prior-run timings (the "
+                        "reference's bin/buildIndexes:36,175-207 strategy)")
 
     args = p.parse_args(argv)
 
@@ -81,21 +85,82 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run":
             names = list(CATALOG) if args.pipeline == ["all"] else args.pipeline
             failed = []
-            for name in names:
-                if name not in CATALOG:
-                    print(f"unknown pipeline: {name}", file=sys.stderr)
-                    failed.append(name)
-                    continue
+            unknown = [n for n in names if n not in CATALOG]
+            for name in unknown:
+                print(f"unknown pipeline: {name}", file=sys.stderr)
+                failed.append(name)
+            names = [n for n in names if n in CATALOG]
+
+            # prior-run timings drive longest-first scheduling (the
+            # reference persists per-indexer times and starts the longest
+            # first so the tail isn't a late-started big job —
+            # bin/buildIndexes:175-207, timing files :262); unknown
+            # pipelines are treated as longest so they get measured early
+            import json as _json
+            from pathlib import Path as _P
+
+            timings_path = _P("/tmp/gxdray") / "pipeline_timings.json"
+            try:
+                prior = _json.loads(timings_path.read_text())
+            except Exception:
+                prior = {}
+            names.sort(key=lambda n: -prior.get(n, float("inf")))
+
+            def run_one(name: str):
                 t0 = time.perf_counter()
-                try:
-                    res = CATALOG[name][0](args.sf)
+                res = CATALOG[name][0](args.sf)
+                import ray.data as rd
+
+                n = res.count() if isinstance(res, rd.Dataset) else len(res)
+                return n, time.perf_counter() - t0
+
+            if args.concurrent <= 1:
+                results = {}
+                for name in names:
+                    try:
+                        results[name] = run_one(name)
+                    except Exception as e:  # per-indexer failure accounting (Main.java:118-129)
+                        results[name] = e
+            else:
+                # pipelines are driver-side orchestration around Ray work,
+                # so threads suffice: the Ray scheduler interleaves their
+                # tasks (the reference used 3 subprocesses; same effect).
+                # Warm Ray's path/filesystem resolution ONCE in this thread
+                # first: its lazy imports (fsspec http, pyarrow.fs) race
+                # when two threads first-touch them (observed: ImportError
+                # on a half-initialized fsspec.implementations.http)
+                import glob as _glob
+
+                warm = sorted(_glob.glob(str(_P(args.sf) / "*.parquet")))
+                if warm:
                     import ray.data as rd
 
-                    n = res.count() if isinstance(res, rd.Dataset) else len(res)
-                    print(f"{name}\tok\trows={n}\t{time.perf_counter() - t0:.2f}s")
-                except Exception as e:  # mirror per-indexer failure accounting (Main.java:118-129)
-                    print(f"{name}\tFAILED\t{type(e).__name__}: {e}", file=sys.stderr)
+                    rd.read_parquet(warm[0]).schema()
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=args.concurrent) as ex:
+                    futs = {name: ex.submit(run_one, name) for name in names}
+                results = {}
+                for name, f in futs.items():
+                    try:
+                        results[name] = f.result()
+                    except Exception as e:
+                        results[name] = e
+
+            for name in names:
+                r = results[name]
+                if isinstance(r, Exception):
+                    print(f"{name}\tFAILED\t{type(r).__name__}: {r}", file=sys.stderr)
                     failed.append(name)
+                else:
+                    n, dt = r
+                    prior[name] = round(dt, 3)
+                    print(f"{name}\tok\trows={n}\t{dt:.2f}s")
+            try:
+                timings_path.parent.mkdir(parents=True, exist_ok=True)
+                timings_path.write_text(_json.dumps(prior, indent=1, sort_keys=True))
+            except OSError:
+                pass
             return 1 if failed else 0
     finally:
         if owns_session:

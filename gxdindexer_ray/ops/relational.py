@@ -28,8 +28,20 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+import threading
+
+# Dataset CREATION (schema inference / filesystem resolution) is serialized:
+# Ray's path resolution probes optional fsspec modules under guarded imports,
+# and two threads first-touching that probe race a half-initialized module
+# (observed: ImportError on fsspec.implementations.http.HTTPFileSystem when
+# pipelines run concurrently). Execution stays fully parallel — only the
+# ~ms-scale read_parquet() call itself is locked.
+_DATASET_CREATE_LOCK = threading.Lock()
+
+
 def read_table(sf_dir: str | Path, name: str, columns: list[str] | None = None, filter=None):
-    return rd.read_parquet(str(Path(sf_dir) / f"{name}.parquet"), columns=columns, filter=filter)
+    with _DATASET_CREATE_LOCK:
+        return rd.read_parquet(str(Path(sf_dir) / f"{name}.parquet"), columns=columns, filter=filter)
 
 
 # ---------------------------------------------------------------------------

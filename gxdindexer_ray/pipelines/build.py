@@ -484,9 +484,40 @@ def build_index(
     metrics["phases"]["hotterms"] = round(time.perf_counter() - t0, 3)
 
     # ---------------- P3: SPIMI partials -> shuffle -> merged segments -
-    p3 = PhaseManifest(out, "segments", key)
     t0 = time.perf_counter()
+    _segments_phase(out, doc_files, stats, hot_terms, cfg, key, resume)
+    metrics["phases"]["segments"] = round(time.perf_counter() - t0, 3)
+
+    seg_manifest = read_json(out / "segments_manifest.json")
+    metrics.update(
+        N=stats["N"],
+        avgdl=stats["avgdl"],
+        n_hot_terms=len(hot_terms),
+        n_postings=sum(r["n_postings"] for r in seg_manifest["buckets"]),
+        bytes_shuffled=sum(r["bytes_in"] for r in seg_manifest["buckets"]),
+        bytes_segments=sum(r["bytes_out"] for r in seg_manifest["buckets"]),
+    )
+    total = sum(metrics["phases"].values())
+    metrics["wall_sec"] = round(total, 3)
+    metrics["docs_per_sec"] = round(stats["N"] / total, 1) if total else None
+    metrics["postings_per_sec"] = round(metrics["n_postings"] / total, 1) if total else None
+    atomic_write_json(out / "metrics.json", metrics)
+    return metrics
+
+
+def _segments_phase(out: Path, doc_files: list[str], stats: dict, hot_terms: list[str],
+                    cfg: IndexConfig, key: str, resume: bool) -> None:
+    """Shared P3: tokenize + SPIMI partials -> per-bucket file exchange ->
+    largest-first merges -> atomic segment swap (used by the flagship build
+    and the derived filtered-index build)."""
+    segments_dir = out / "segments"
+    p3 = PhaseManifest(out, "segments", key)
     seg_manifest_path = out / "segments_manifest.json"
+    if not doc_files:
+        segments_dir.mkdir(parents=True, exist_ok=True)
+        atomic_write_json(seg_manifest_path, {"buckets": []})
+        p3.seal(n_buckets=0, n_postings=0, bytes_shuffled=0, bytes_segments=0)
+        return
     if not (resume and p3.is_complete()):
         import shutil
 
@@ -549,20 +580,120 @@ def build_index(
             bytes_shuffled=sum(r["bytes_in"] for r in rows),
             bytes_segments=sum(r["bytes_out"] for r in rows),
         )
+
+
+def build_filtered_index(
+    base_index_dir: str | Path,
+    out_dir: str | Path,
+    predicate,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    *,
+    predicate_tag: str,
+    resume: bool = True,
+) -> dict:
+    """Derived FILTERED sub-index: a predicate-restricted index built by
+    REUSING the base index's docstore — no re-crawl read, no re-extract,
+    no re-dedup. This is the reference's hasImage motivation made generic
+    (GxdResultHasImageIndexer.java:27-32: a hot predicate earned its own
+    index after >18 s queries against the big one): filter the docstore,
+    recompute corpus stats / hot terms over the SUBSET (BM25 idf and
+    salting must reflect the sub-corpus), then run the shared SPIMI ->
+    exchange -> merge phases.
+
+    ``predicate`` is a pyarrow dataset filter expression over docstore
+    columns (doc_id, url, warc_ts, lang, text, dl); ``predicate_tag`` is
+    its stable string form, part of the checkpoint key (expressions don't
+    hash stably)."""
+    base, out = Path(base_index_dir), Path(out_dir)
+    base_docs = sorted(str(p) for p in (base / "docs").glob("*.parquet"))
+    if not base_docs:
+        raise FileNotFoundError(f"no docstore under {base}")
+    key = f"{fingerprint_inputs(base_docs)}-{config_key(cfg)}-flt:{predicate_tag}"
+    out.mkdir(parents=True, exist_ok=True)
+    docs_dir = out / "docs"
+    metrics: dict = {"phases": {}}
+
+    # P0f: filtered docstore view (slim rows; one pass over the base)
+    p0 = PhaseManifest(out, "docstore-filtered", key)
+    t0 = time.perf_counter()
+    if not (resume and p0.is_complete()):
+        import shutil
+
+        tmp_docs = out / ".docs.tmp"
+        if tmp_docs.exists():
+            shutil.rmtree(tmp_docs)
+        ds = rd.read_parquet(base_docs, filter=predicate)
+        ds.write_parquet(str(tmp_docs), compression="lz4")
+        if docs_dir.exists():
+            shutil.rmtree(docs_dir)
+        tmp_docs.rename(docs_dir)
+        p0.seal(files=len(list(docs_dir.glob("*.parquet"))))
+    metrics["phases"]["docstore"] = round(time.perf_counter() - t0, 3)
+    doc_files = sorted(str(p) for p in docs_dir.glob("*.parquet"))
+
+    # P1f: sub-corpus stats (scan — the filtered subset defines idf/avgdl)
+    p1 = PhaseManifest(out, "stats", key)
+    t0 = time.perf_counter()
+    stats_path = out / "stats.json"
+    if not (resume and p1.is_complete()):
+        dls = rd.read_parquet(doc_files, columns=["dl"]) if doc_files else None
+        N = int(dls.count()) if dls is not None else 0
+        total_dl = int(dls.sum("dl") or 0) if (dls is not None and N) else 0
+        stats = {"N": N, "total_dl": total_dl, "avgdl": (total_dl / N) if N else 0.0,
+                 "k1": cfg.k1, "b": cfg.b, "block_size": cfg.block_size}
+        atomic_write_json(stats_path, stats)
+        p1.seal(**stats)
+    stats = read_json(stats_path)
+    metrics["phases"]["stats"] = round(time.perf_counter() - t0, 3)
+
+    # P2f: hot terms over the subset (doc_id hash-sample, scan variant)
+    p2 = PhaseManifest(out, "hotterms", key)
+    t0 = time.perf_counter()
+    hot_path = out / "hot_terms.json"
+    if not (resume and p2.is_complete()):
+        from collections import Counter
+
+        N = max(1, stats["N"])
+        frac = min(1.0, cfg.hot_sample_target / N)
+        cut = min(int((1 << 63) * frac), (1 << 63) - 1)
+        sample = rd.read_parquet(doc_files, columns=["doc_id", "text"],
+                                 filter=pc.field("doc_id") < cut)
+
+        def _sample_df(batch: pa.Table) -> pa.Table:
+            vocab, _, codes, _ = doc_term_counts(batch["text"])
+            df = np.bincount(codes, minlength=len(vocab)).astype(np.int64) if codes.size else np.empty(0, np.int64)
+            tbl = pa.table({"term": vocab, "df": pa.array(df, pa.int64())})
+            meta = pa.table({"term": pa.array(["\x00__doc__"]),
+                             "df": pa.array([batch.num_rows], pa.int64())})
+            return pa.concat_tables([tbl, meta])
+
+        counts: Counter = Counter()
+        sampled_docs = 0
+        for b in sample.map_batches(_sample_df, batch_format="pyarrow",
+                                    batch_size=1024).iter_batches(batch_format="pyarrow"):
+            for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+                if term == "\x00__doc__":
+                    sampled_docs += df
+                else:
+                    counts[term] += df
+        hot = sorted(t for t, c in counts.items() if sampled_docs and c / sampled_docs > cfg.hot_df_ratio)
+        atomic_write_json(hot_path, {"hot_terms": hot, "sampled_docs": sampled_docs})
+        p2.seal(n_hot=len(hot), sampled_docs=sampled_docs)
+    hot_terms = read_json(hot_path)["hot_terms"]
+    metrics["phases"]["hotterms"] = round(time.perf_counter() - t0, 3)
+
+    # P3: shared segments phase
+    t0 = time.perf_counter()
+    _segments_phase(out, doc_files, stats, hot_terms, cfg, key, resume)
     metrics["phases"]["segments"] = round(time.perf_counter() - t0, 3)
 
-    seg_manifest = read_json(seg_manifest_path)
+    seg_manifest = read_json(out / "segments_manifest.json")
     metrics.update(
-        N=stats["N"],
-        avgdl=stats["avgdl"],
-        n_hot_terms=len(hot_terms),
+        N=stats["N"], avgdl=stats["avgdl"], n_hot_terms=len(hot_terms),
         n_postings=sum(r["n_postings"] for r in seg_manifest["buckets"]),
         bytes_shuffled=sum(r["bytes_in"] for r in seg_manifest["buckets"]),
         bytes_segments=sum(r["bytes_out"] for r in seg_manifest["buckets"]),
     )
-    total = sum(metrics["phases"].values())
-    metrics["wall_sec"] = round(total, 3)
-    metrics["docs_per_sec"] = round(stats["N"] / total, 1) if total else None
-    metrics["postings_per_sec"] = round(metrics["n_postings"] / total, 1) if total else None
+    metrics["wall_sec"] = round(sum(metrics["phases"].values()), 3)
     atomic_write_json(out / "metrics.json", metrics)
     return metrics

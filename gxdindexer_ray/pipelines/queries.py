@@ -558,6 +558,48 @@ SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 
+def q42_filtered_index_topk(sf: str):
+    """Derived FILTERED sub-index (the reference's hasImage pattern,
+    GxdResultHasImageIndexer.java:27-32): build a dl>=50 sub-index that
+    REUSES the flagship's docstore (no re-extract/dedup), with BM25 stats
+    (N, avgdl, df) recomputed over the sub-corpus; top-10 for the standard
+    query. Oracle recomputes BM25 over exactly the filtered doc set."""
+    from .build import build_filtered_index
+    from .search import SearchEngine
+    from ..config import IndexConfig
+
+    base = _index_for(sf)
+    out = base.parent / "index-dl50"
+    build_filtered_index(base, out, pc.field("dl") >= 50, IndexConfig(),
+                         predicate_tag="dl>=50")
+    eng = SearchEngine(out, warm_top_terms=0)
+    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+    return _hits_to_orig_topk(out, hits)
+
+
+SQL_Q42 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl_all AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+docs_f AS (SELECT doc_id, dl FROM dl_all WHERE dl >= 50),
+stats AS (SELECT (SELECT count(*) FROM docs_f) AS n_docs,
+                 (SELECT sum(dl) * 1.0 / count(*) FROM docs_f) AS avgdl),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM toks2 t
+       JOIN docs_f f ON f.doc_id = t.doc_id
+       WHERE t.term IN ('hash','merge','scan') GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * 1.9) / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * (f.dl / stats.avgdl))) ) AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN docs_f f ON tf.doc_id = f.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r
+FROM scores ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
 def q41_dedup_corpus(sf: str):
     """Near-dup dedup end-to-end (the training-data pipeline's headline
     operator): LSH candidates -> distributed exact verify -> connected
@@ -750,8 +792,13 @@ def _documents_as_pages(sf: str, target: Path) -> Path:
     return target
 
 
+_INDEX_BUILD_LOCK = __import__("threading").Lock()
+
+
 def _index_for(sf: str) -> Path:
-    """Build (or reuse via checkpoint-resume) the index for a sf_dir."""
+    """Build (or reuse via checkpoint-resume) the index for a sf_dir.
+    Lock: concurrent catalog pipelines (CLI --concurrent) share this /tmp
+    cache; only one builder may run it at a time (the rest resume-skip)."""
     import hashlib
 
     from .build import build_index
@@ -760,21 +807,16 @@ def _index_for(sf: str) -> Path:
         f"{Path(sf).resolve()}|{_documents_fingerprint(sf)}".encode(), digest_size=6
     ).hexdigest()
     base = Path("/tmp/gxdray") / f"docs-{tag}"
-    pages = _documents_as_pages(sf, base / "pages")
-    out = base / "index"
-    build_index(pages, out, IndexConfig(), resume=True)
+    with _INDEX_BUILD_LOCK:
+        pages = _documents_as_pages(sf, base / "pages")
+        out = base / "index"
+        build_index(pages, out, IndexConfig(), resume=True)
     return out
 
 
-def q33_bm25_topk(sf: str):
-    """Full flagship path: build index over documents-as-pages, score ALL
-    matching docs, rank by fixed-point-rounded score with original-doc-id
-    tie-break (identical ordering rule in the SQL oracle)."""
-    from .search import SearchEngine
-
-    ix = _index_for(sf)
-    eng = SearchEngine(ix)
-    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+def _hits_to_orig_topk(ix: Path, hits, k: int = 10) -> pd.DataFrame:
+    """Map index hits to original documents.doc_id (the url tail) with the
+    fixed-point score rounding + original-id tie-break the oracles use."""
     if not hits:
         return pd.DataFrame(columns=["doc_id", "score_r"]).astype({"doc_id": np.int64, "score_r": np.float64})
     import pyarrow.dataset as pads
@@ -789,8 +831,20 @@ def q33_bm25_topk(sf: str):
         orig = int(url_of[did].rsplit("/", 1)[1])
         rows.append((orig, math.floor(score * 1_000_000 + 0.5) / 1_000_000))
     df = pd.DataFrame(rows, columns=["doc_id", "score_r"])
-    df = df.sort_values(["score_r", "doc_id"], ascending=[False, True], kind="mergesort").head(10)
+    df = df.sort_values(["score_r", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
     return df.reset_index(drop=True).astype({"doc_id": np.int64, "score_r": np.float64})
+
+
+def q33_bm25_topk(sf: str):
+    """Full flagship path: build index over documents-as-pages, score ALL
+    matching docs, rank by fixed-point-rounded score with original-doc-id
+    tie-break (identical ordering rule in the SQL oracle)."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix)
+    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+    return _hits_to_orig_topk(ix, hits)
 
 
 SQL_Q33 = """
@@ -1046,6 +1100,7 @@ CATALOG: dict[str, tuple] = {
     "q39_dag_closure": (q39_dag_closure, SQL_Q39),
     "q40_ivf_knn": (q40_ivf_knn, None),
     "q41_dedup_corpus": (q41_dedup_corpus, SQL_Q41),
+    "q42_filtered_index_topk": (q42_filtered_index_topk, SQL_Q42),
 }
 
 

@@ -127,3 +127,25 @@ def test_cli_build_and_query(ray_session, tmp_path, capsys):
     assert len(lines) == 3
     rank, doc, score = lines[0].split("\t")
     assert rank == "1" and float(score) > 0
+
+
+def test_cli_run_concurrent_longest_first(ray_session, capsys, tmp_path, monkeypatch):
+    """--concurrent N runs pipelines through a worker pool, longest-first
+    from persisted prior timings (U4; reference bin/buildIndexes:175-207)."""
+    import json
+    from pathlib import Path
+
+    from gxdindexer_ray.__main__ import main
+
+    timings = Path("/tmp/gxdray/pipeline_timings.json")
+    timings.parent.mkdir(parents=True, exist_ok=True)
+    timings.write_text(json.dumps({"q02_event_normalize": 99.0, "q13_global_minmax": 1.0}))
+
+    rc = main(["run", "--pipeline", "q13_global_minmax", "q02_event_normalize",
+               "--sf", "/root/testdata/sf0.001", "--concurrent", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q02_event_normalize\tok" in out and "q13_global_minmax\tok" in out
+    # timings refreshed with this run's measurements
+    saved = json.loads(timings.read_text())
+    assert saved["q02_event_normalize"] < 99.0
