@@ -146,9 +146,12 @@ def run_scaling() -> dict:
     Primary pair is 2 -> 8 CPUs; 8 -> 32 is reported alongside. Two
     hardware caveats measured in BASELINE.md §3: wide single-box levels
     share one memory system (a real cluster adds bandwidth per node), and
-    this VM's background THP compaction adds ±10%% run-to-run noise — so
-    each level is run GRAFT_SCALING_REPS times (default 2) and the MEDIAN
-    build time is used."""
+    this VM's background activity (THP compaction etc.) injects
+    intermittent multi-second stalls — observed 40s vs 56s for identical
+    back-to-back 8-CPU runs while 2-CPU runs repeat within 0.1%%. Each
+    level therefore runs GRAFT_SCALING_REPS times (default 2) and the MIN
+    build time is used (the standard least-interference estimator); every
+    rep is reported alongside."""
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 
     def one(ncpu: int) -> dict:
@@ -159,9 +162,9 @@ def run_scaling() -> dict:
                                  capture_output=True, text=True, check=True).stdout
             runs.append(json.loads(out.strip().splitlines()[-1]))
         runs.sort(key=lambda r: r["queries"]["build_index"])
-        med = runs[(len(runs) - 1) // 2]
-        med["all_build_secs"] = [r["queries"]["build_index"] for r in runs]
-        return med
+        best = runs[0]
+        best["all_build_secs"] = [r["queries"]["build_index"] for r in runs]
+        return best
 
     r = {n: one(n) for n in (2, 8, 32)}
     t = {n: r[n]["queries"]["build_index"] for n in r}

@@ -48,6 +48,13 @@ def _tune_allocators() -> None:
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
         libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
         libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        # opt THIS process (and its children) out of transparent huge
+        # pages: khugepaged/kcompactd churn on this VM class injects
+        # multi-second stalls into wide runs (the observed 40s-vs-56s
+        # variance on identical builds). prctl is process-scoped — no
+        # system-wide setting is touched.
+        PR_SET_THP_DISABLE = 41
+        libc.prctl(PR_SET_THP_DISABLE, 1, 0, 0, 0)
     except Exception:
         pass
 

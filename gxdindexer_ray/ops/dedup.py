@@ -24,6 +24,13 @@ from ..text.tokenize import tokenize_column
 
 _MERSENNE = (1 << 61) - 1
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 lacks np.bitwise_count)."""
+    return _POPCNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
 
 def _hash64_strings(strings: list[str]) -> np.ndarray:
     out = np.empty(len(strings), dtype=np.uint64)
@@ -84,10 +91,10 @@ def minhash_signature_batch(token_lists: list[list[str]], a: np.ndarray, b: np.n
 
 def _tokens_by_doc(batch: pa.Table, text_col: str) -> list[list[str]]:
     flat, doc_idx = tokenize_column(batch[text_col])
-    out: list[list[str]] = [[] for _ in range(batch.num_rows)]
-    for tok, d in zip(flat.to_pylist(), doc_idx):
-        out[int(d)].append(tok)
-    return out
+    toks = flat.to_pylist()
+    # doc_idx is nondecreasing (tokens are emitted row by row) -> slice runs
+    bounds = np.searchsorted(doc_idx, np.arange(batch.num_rows + 1))
+    return [toks[bounds[i]:bounds[i + 1]] for i in range(batch.num_rows)]
 
 
 def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -103,21 +110,26 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
     ref = ray.put((a_p, b_p))
 
     def sigs(batch: pa.Table) -> pa.Table:
+        from .relational import _splitmix64
+
         ap, bp = ray.get(ref)
         toks = _tokens_by_doc(batch, text_col)
         sig = minhash_signature_batch(toks, ap, bp, k=shingle_k)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        band_ids, band_hashes, doc_ids = [], [], []
+        n = len(ids)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_ids = np.tile(ids, bands)
+        band_hashes = np.empty(bands * n, dtype=np.uint64)
         for bi in range(bands):
-            chunk = sig[:, bi * rows_per_band:(bi + 1) * rows_per_band]
-            for r in range(len(ids)):
-                bh = hashlib.blake2b(chunk[r].tobytes(), digest_size=8).digest()
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(bh, "big") & ((1 << 63) - 1))
-                doc_ids.append(int(ids[r]))
+            # vectorized band fingerprint: splitmix64 chain over the band's
+            # minima, salted by the band id (deterministic, process-stable)
+            h = _splitmix64(np.full(n, np.uint64(bi + 1)))
+            for c in range(rows_per_band):
+                h = _splitmix64(h ^ sig[:, bi * rows_per_band + c])
+            band_hashes[bi * n:(bi + 1) * n] = h
         return pa.table({
             "band": pa.array(band_ids, pa.int32()),
-            "bhash": pa.array(band_hashes, pa.int64()),
+            "bhash": pa.array((band_hashes >> np.uint64(1)).astype(np.int64), pa.int64()),
             "doc": pa.array(doc_ids, pa.int64()),
         })
 
@@ -194,6 +206,7 @@ def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
         pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
         ids = set(pairs["a"]) | set(pairs["b"])
     else:
+        pairs = pairs.materialize()  # consumed twice: id set + join input
         pair_ids = pairs.select_columns(["a", "b"]).take_all()
         if not pair_ids:  # candidate ids only — not documents
             return _empty_verified()
@@ -335,3 +348,61 @@ def simhash(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table({id_col: batch[id_col], "simhash": pa.array(vals, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_near_dup(ds, *, max_hamming: int = 3, bands: int = 4,
+                     id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """SimHash near-dup pairs: Hamming-bucket candidate search + exact
+    popcount verification. Standard pigeonhole blocking: split the 64-bit
+    fingerprint into ``bands`` contiguous chunks — any pair within
+    ``bands - 1`` differing bits shares at least one identical chunk, so
+    recall is EXACT for ``max_hamming < bands``; for larger radii it is
+    the usual SimHash approximation. Only (band, chunk, id, simhash) rows
+    shuffle — never documents; per-bucket verification is vectorized
+    XOR + popcount over the (tiny) colliding groups."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    sh = simhash(ds, id_col=id_col, text_col=text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vals = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        chunks = np.empty(bands * n, np.int64)
+        for b in range(bands):
+            chunks[b * n:(b + 1) * n] = ((vals >> np.uint64(b * width))
+                                         & np.uint64((1 << width) - 1)).astype(np.int64)
+        return pa.table({
+            "band": pa.array(band_ids, pa.int32()),
+            "chunk": pa.array(chunks, pa.int64()),
+            "doc": pa.array(np.tile(ids, bands), pa.int64()),
+            "sh": pa.array(np.tile(vals.astype(np.int64), bands), pa.int64()),
+        })
+
+    rows = sh.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for (_, _), grp in group.groupby(["band", "chunk"], sort=False):
+            if len(grp) < 2:
+                continue
+            g = grp.drop_duplicates("doc").sort_values("doc")
+            ids = g["doc"].to_numpy(np.int64)
+            vals = g["sh"].to_numpy(np.int64).view(np.uint64)
+            for i in range(len(ids) - 1):
+                ham = _popcount64(vals[i] ^ vals[i + 1:])
+                hit = np.flatnonzero(ham <= max_hamming)
+                out_a.extend([int(ids[i])] * hit.size)
+                out_b.extend(ids[i + 1:][hit].tolist())
+                out_h.extend(ham[hit].astype(np.int64).tolist())
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h}).astype(np.int64)
+
+    from .relational import add_mod_bucket, bucketed_apply
+    from ray.data.aggregate import Min
+
+    cand = bucketed_apply(add_mod_bucket(rows, "chunk", 64), "__bucket", pairs)
+    out = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["a", "b", "hamming"]).astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype(np.int64)

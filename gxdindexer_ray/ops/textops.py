@@ -149,10 +149,10 @@ def fingerprint_doc(tokens: list[str], k: int = 4, window: int = 8) -> list[int]
 def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 4, window: int = 8):
     def f(batch: pa.Table) -> pa.Table:
         flat, doc_idx = tokenize_column(batch[text_col])
-        toks_by_doc: dict[int, list[str]] = {}
-        for tok, d in zip(flat.to_pylist(), doc_idx):
-            toks_by_doc.setdefault(int(d), []).append(tok)
-        fps = [fingerprint_doc(toks_by_doc.get(i, []), k, window) for i in range(batch.num_rows)]
+        toks = flat.to_pylist()
+        bounds = np.searchsorted(doc_idx, np.arange(batch.num_rows + 1))
+        fps = [fingerprint_doc(toks[bounds[i]:bounds[i + 1]], k, window)
+               for i in range(batch.num_rows)]
         return pa.table(
             {
                 id_col: batch[id_col],

@@ -320,9 +320,15 @@ def build_index(
         n0 = sum(_pq.ParquetFile(f).metadata.num_rows for f in input_files)
         frac = min(1.0, cfg.hot_sample_target / max(1, n0))
         sample_cut = min(int((1 << 63) * frac), (1 << 63) - 1)
-        ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"])
+        # one block per extract batch + batch_size=None -> Ray FUSES the
+        # read into the map task, so the wide html column goes straight
+        # from the parquet reader into extract without an object-store
+        # round trip (at 1M docs that skips ~9 GB of put+get)
+        n_blocks = max(1, -(-n0 // cfg.batch_size))
+        ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"],
+                             override_num_blocks=n_blocks)
         keys = ds.map_batches(make_docstore_writer_fn(str(tmp_docs), str(tmp_sample), sample_cut),
-                              batch_format="pyarrow", batch_size=cfg.batch_size)
+                              batch_format="pyarrow", batch_size=None)
         # coalesce key blocks before the exchange: keys are ~50 B/doc, so
         # one block per extract batch would make the sort all per-block
         # overhead (keys stay a distributed Dataset — at crawl scale this
@@ -334,7 +340,11 @@ def build_index(
         # split 16-20s for the same P0 at 8 CPUs / 1M docs)
         from ..ops.relational import hash_exchange_apply
 
-        keys = keys.repartition(max(8, _n_cpus() // 2)).materialize()
+        # extra materialize BEFORE the repartition all-to-all: any
+        # all-to-all in the same lineage as the extract map makes the
+        # executor's per-operator reservations throttle the map (measured
+        # ~44% map utilization at 8 CPUs with the fused variant)
+        keys = keys.materialize().repartition(max(8, _n_cpus() // 2)).materialize()
         # whole-group integrity is load-bearing here (a split bucket would
         # silently keep duplicate docs) -> explicit exchange, not map_groups
         losers = hash_exchange_apply(keys, "bucket", _find_losers,
@@ -420,7 +430,11 @@ def build_index(
 
             counts: Counter = Counter()
             sampled_docs = 0
-            sample = rd.read_parquet(sample_files) if sample_files else None
+            # coalesce the pair files into a few big blocks first: the
+            # driver merges one vocab-sized partial per BLOCK, so block
+            # count — not file count — sets the merge cost
+            sample = rd.read_parquet(sample_files).repartition(max(8, _n_cpus())) \
+                if sample_files else None
 
             loser_files = sorted({f for f, _ in loser_keys})
 
@@ -443,7 +457,8 @@ def build_index(
                                  "df": vc.field("counts").cast(pa.int64())})
 
             if sample is not None:
-                for b in sample.map_batches(_pair_df, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+                for b in sample.map_batches(_pair_df, batch_format="pyarrow",
+                                            batch_size=None).iter_batches(batch_format="pyarrow"):
                     for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
                         if term == "\x00__doc__":
                             sampled_docs += df

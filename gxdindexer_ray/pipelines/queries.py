@@ -627,6 +627,15 @@ def q27_simhash(sf: str):
     return dedup_ops.simhash(read_table(sf, "documents", columns=["doc_id", "text"]))
 
 
+def q43_simhash_neardup(sf: str):
+    """SimHash near-dup pairs via Hamming-bucket blocking (pigeonhole over
+    16-bit chunks; exact recall for hamming < bands) + vectorized popcount
+    verification. Fingerprints are blake2b-derived -> rows-only check;
+    recall/precision behavior is unit-tested on constructed near-dups."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return dedup_ops.simhash_near_dup(ds, max_hamming=3)
+
+
 def q28_langid(sf: str):
     return textops.lang_id(read_table(sf, "documents", columns=["doc_id", "text"]))
 
@@ -1101,6 +1110,7 @@ CATALOG: dict[str, tuple] = {
     "q40_ivf_knn": (q40_ivf_knn, None),
     "q41_dedup_corpus": (q41_dedup_corpus, SQL_Q41),
     "q42_filtered_index_topk": (q42_filtered_index_topk, SQL_Q42),
+    "q43_simhash_neardup": (q43_simhash_neardup, None),
 }
 
 

@@ -336,3 +336,29 @@ class TestNearDupClusterResolution:
         s1 = pd.DataFrame({"k": ["x\x00y", "zz"]})
         s2 = pd.DataFrame({"k": ["zz"]})
         assert stable_bucket_ids(s1, ["k"], 32)[1] == stable_bucket_ids(s2, ["k"], 32)[0]
+
+
+def test_simhash_near_dup_hamming_buckets(ray_session):
+    """Constructed near-identical docs must pair up (exact recall for
+    hamming < bands); unrelated docs must not."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gxdindexer_ray.ops.dedup import simhash_near_dup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 5
+    texts = {
+        0: base,
+        1: base + "one extra token",
+        2: base.replace("gamma", "gamma2", 1),
+        3: "wholly different words about distributed indexing engines " * 10,
+        4: "yet another unrelated corpus of tokens for the test " * 10,
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }))
+    out = simhash_near_dup(ds, max_hamming=3)
+    got = set(zip(out["a"], out["b"]))
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
