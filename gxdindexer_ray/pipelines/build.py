@@ -559,9 +559,9 @@ def _segments_phase(out: Path, doc_files: list[str], stats: dict, hot_terms: lis
         # ~16 concurrent merges just thrash shared memory bandwidth (see
         # BASELINE.md §3), so each task claims extra CPU slots to cap
         # effective concurrency without changing results.
+        import os as _os
+
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        merge_cpus = max(1, ncpu // 16)
-        merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
         # merge into a fresh tmp dir, then swap atomically: a rebuild whose
         # new bucket set doesn't cover the old one (n_buckets reduced, input
         # shrank) must never leave stale bucket files for the reader's glob
@@ -575,6 +575,17 @@ def _segments_phase(out: Path, doc_files: list[str], stats: dict, hot_terms: lis
         # reduce wave)
         bucket_bytes = {bk: sum(Path(f).stat().st_size for f in files)
                         for bk, files in by_bucket.items()}
+        # concurrent-merge cap scales with BUCKET SIZE, not CPU count: each
+        # merge streams ~2.5x its compressed input through decode/sort/
+        # encode, and concurrent merges contend on one node's memory system
+        # (measured at 32 CPUs on 2M docs: 8 concurrent 41.7s, 16
+        # concurrent 59-102s, 32 concurrent 81.6s; on 1M docs ~14-16
+        # concurrent is optimal). Budget ~768 MB of decoded working set in
+        # flight per node; GXDRAY_MERGE_CPUS overrides for experiments.
+        max_bucket = max(bucket_bytes.values(), default=1)
+        target_conc = max(4, min(ncpu, int((768 << 20) // max(1, max_bucket * 2.5))))
+        merge_cpus = int(_os.environ.get("GXDRAY_MERGE_CPUS", "0")) or max(1, ncpu // target_conc)
+        merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
         futs = [
             merge_task.remote(by_bucket[bk], str(seg_tmp), stats["avgdl"], cfg)
             for bk in sorted(by_bucket, key=lambda b: -bucket_bytes[b])

@@ -362,3 +362,30 @@ def test_simhash_near_dup_hamming_buckets(ray_session):
     got = set(zip(out["a"], out["b"]))
     assert (0, 1) in got and (0, 2) in got
     assert not any(3 in p or 4 in p for p in got)
+
+
+def test_hash_exchange_apply_group_integrity(ray_session):
+    """Regression for the Ray map_groups split-delivery bug: the same key
+    scattered across MANY tiny blocks must reach exactly ONE fn call.
+    (groupby().map_groups intermittently delivered a key's rows across two
+    calls on this Ray build — reproduced before hash_exchange_apply.)"""
+    import pandas as pd
+    import ray.data as rd
+    from gxdindexer_ray.ops.relational import hash_exchange_apply
+
+    frames = []
+    for i in range(60):  # 60 blocks; key 7 appears in every block
+        frames.append(pd.DataFrame({"k": np.array([7, i % 11], dtype=np.int64),
+                                    "v": np.array([i, i], dtype=np.int64)}))
+    ds = rd.from_pandas(frames)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])], "rows": [len(g)],
+                             "calls": [1]})
+
+    for _ in range(3):
+        out = hash_exchange_apply(ds, "k", per_group, batch_format="pandas",
+                                  drop_bucket_col=False).to_pandas()
+        per_key = out.groupby("k")[["rows", "calls"]].sum()
+        assert int(per_key.loc[7, "calls"]) == 1
+        assert int(per_key.loc[7, "rows"]) == 60 + sum(1 for i in range(60) if i % 11 == 7)
