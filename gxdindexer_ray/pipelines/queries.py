@@ -484,6 +484,31 @@ FROM documents
 """
 
 
+_BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def q44_bpe_token_count(sf: str):
+    """BPE-style pre-tokenizer token counting (the GPT-2 pre-tokenizer
+    shape simplified to an RE2-safe ASCII form, frozen in _BPE_PATTERN):
+    tokens per doc counted with one Arrow RE2 kernel — the same RE2
+    dialect DuckDB uses, so the oracle shares the exact pattern."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern=_BPE_PATTERN)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": n.cast(pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_Q44 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q23_term_stats(sf: str):
     """The flagship's (term, df, cf) inverted statistics as a standalone
     SQL-checkable operator."""
@@ -1111,6 +1136,7 @@ CATALOG: dict[str, tuple] = {
     "q41_dedup_corpus": (q41_dedup_corpus, SQL_Q41),
     "q42_filtered_index_topk": (q42_filtered_index_topk, SQL_Q42),
     "q43_simhash_neardup": (q43_simhash_neardup, None),
+    "q44_bpe_token_count": (q44_bpe_token_count, SQL_Q44),
 }
 
 
