@@ -249,11 +249,15 @@ def pre_aggregate(
 # ---------------------------------------------------------------------------
 
 
-def _partition_block(tbl: pa.Table, col: str) -> dict:
-    """Split one Arrow block by a bucket column; returns {value: ObjectRef}.
-    One sort + run slicing (not one filter pass per distinct value)."""
+def _partition_block(tbl, col: str) -> dict:
+    """Split one block by a bucket column; returns {value: ObjectRef}.
+    One sort + run slicing (not one filter pass per distinct value).
+    Tolerates pandas blocks: to_arrow_refs can return them unconverted
+    despite an upstream arrow-format normalization map."""
     import pyarrow.compute as pc
 
+    if isinstance(tbl, pd.DataFrame):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     out: dict = {}
     if tbl.num_rows == 0:
         return out

@@ -389,3 +389,20 @@ def test_hash_exchange_apply_group_integrity(ray_session):
         per_key = out.groupby("k")[["rows", "calls"]].sum()
         assert int(per_key.loc[7, "calls"]) == 1
         assert int(per_key.loc[7, "rows"]) == 60 + sum(1 for i in range(60) if i % 11 == 7)
+
+
+def test_transitive_closure_distributed_matches_driver_variant(ray_session):
+    """The fully-distributed closure (Dataset-resident seen-set) must equal
+    the driver-set variant on the same DAG."""
+    import pandas as pd
+    import ray.data as rd
+    from gxdindexer_ray.ops.graph import transitive_closure, transitive_closure_distributed
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "d", "x"],
+        "dst": ["b", "c", "d", "d", "e", "y"],
+    })
+    want = transitive_closure(rd.from_pandas(edges))
+    got = transitive_closure_distributed(rd.from_pandas(edges)).to_pandas()
+    got = got.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.sort_values(["src", "dst"]).reset_index(drop=True))
