@@ -105,11 +105,17 @@ def run_benchmark() -> dict:
         from gxdindexer_ray.fixtures import generate_queries as _gq
         from gxdindexer_ray.pipelines.search import batch_search
 
-        qds = rd.from_arrow(_gq(200, seed=42))
+        # 5x the query set so the pool pass measures STEADY-STATE throughput
+        # (with only 200 queries / 7 batches, actor spawn dominated and the
+        # "pool QPS" was an artifact of the tiny workload)
+        import pyarrow as _pa
+
+        q1 = _gq(200, seed=42)
+        qds = rd.from_arrow(_pa.concat_tables([q1] * 5))
         t0 = time.perf_counter()
         n_hits = batch_search(qds, INDEX_DIR).count()
         timings["query_batch_pool"] = round(time.perf_counter() - t0, 3)
-        extra["query"]["pool_qps"] = round(200 / timings["query_batch_pool"], 1)
+        extra["query"]["pool_qps"] = round(1000 / timings["query_batch_pool"], 1)
         extra["query"]["pool_hits"] = n_hits
 
         # ---- representative operator pipelines over $GRAFT_SF_DIR --------

@@ -31,9 +31,40 @@ _PAYLOAD_COLUMNS = [
 ]
 
 
+def build_lexicon(index_dir: str | Path) -> dict:
+    """Load the lexicon state once: term -> [(file_idx, row_group,
+    row_in_group, df, cf, shard)] plus the file list. Picklable, so a
+    query actor pool can build it ONCE on the driver and broadcast it via
+    ``ray.put`` instead of paying the load per actor (the per-actor load
+    was the pool's QPS bound)."""
+    index_dir = Path(index_dir)
+    files = sorted((index_dir / "segments").glob("*.parquet"))
+    lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
+    payload_cols = []
+    for fi, f in enumerate(files):
+        pf = pq.ParquetFile(f)
+        payload_cols.append([c for c in _PAYLOAD_COLUMNS
+                             if c in set(pf.schema_arrow.names)])
+        meta = pf.read(columns=["term", "shard", "df", "cf"])
+        terms = meta["term"].to_pylist()
+        shards = meta["shard"].to_pylist()
+        dfs = meta["df"].to_pylist()
+        cfs = meta["cf"].to_pylist()
+        rg_sizes = [pf.metadata.row_group(g).num_rows for g in range(pf.metadata.num_row_groups)]
+        g = 0
+        in_g = 0
+        for i in range(len(terms)):
+            while in_g >= rg_sizes[g]:
+                g += 1
+                in_g = 0
+            lex.setdefault(terms[i], []).append((fi, g, in_g, dfs[i], cfs[i], shards[i]))
+            in_g += 1
+    return {"files": [str(f) for f in files], "payload_cols": payload_cols, "lex": lex}
+
+
 class IndexReader:
     def __init__(self, index_dir: str | Path, cache_terms: int = 4096,
-                 warm_top_terms: int = 64):
+                 warm_top_terms: int = 64, lexicon: dict | None = None):
         self.index_dir = Path(index_dir)
         stats = read_json(self.index_dir / "stats.json")
         if not stats:
@@ -45,30 +76,14 @@ class IndexReader:
         self.block_size = int(stats["block_size"])
 
         # ---- lexicon: term -> [(file_idx, row_group, row_in_group, df, cf, shard)]
-        self._files = sorted((self.index_dir / "segments").glob("*.parquet"))
+        # (prebuilt + broadcast when given — the actor-pool path)
+        state = lexicon if lexicon is not None else build_lexicon(self.index_dir)
+        self._files = [Path(f) for f in state["files"]]
         self._pf = [pq.ParquetFile(f) for f in self._files]
         # tolerate segments written before optional columns existed —
         # per FILE, so mixed-generation segment directories read correctly
-        self._payload_columns_by_file = [
-            [c for c in _PAYLOAD_COLUMNS if c in set(pf.schema_arrow.names)]
-            for pf in self._pf
-        ]
-        self._lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
-        for fi, pf in enumerate(self._pf):
-            meta = pf.read(columns=["term", "shard", "df", "cf"])
-            terms = meta["term"].to_pylist()
-            shards = meta["shard"].to_pylist()
-            dfs = meta["df"].to_pylist()
-            cfs = meta["cf"].to_pylist()
-            rg_sizes = [pf.metadata.row_group(g).num_rows for g in range(pf.metadata.num_row_groups)]
-            g = 0
-            in_g = 0
-            for i in range(len(terms)):
-                while in_g >= rg_sizes[g]:
-                    g += 1
-                    in_g = 0
-                self._lex.setdefault(terms[i], []).append((fi, g, in_g, dfs[i], cfs[i], shards[i]))
-                in_g += 1
+        self._payload_columns_by_file = state["payload_cols"]
+        self._lex = state["lex"]
         self._cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._cache_terms = cache_terms
         from concurrent.futures import ThreadPoolExecutor
