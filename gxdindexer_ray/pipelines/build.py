@@ -223,6 +223,34 @@ def make_loser_dropper(docs_tmp: str):
     return drop
 
 
+def _hot_from_partials(pair_ds, hot_df_ratio: float) -> tuple[list[str], int]:
+    """Final-merge per-block (term, df) partials into the hot-term set,
+    fully vectorized: per-block partial aggregation already ran in the map
+    tasks, so what reaches the driver is one row per (term, block) — the
+    Arrow C++ group-by here replaces the former Python Counter loop over
+    ``to_pylist`` (measured: the Counter merge was the whole phase cost
+    once the scan was fused into P0). The ``\\x00__doc__`` sentinel rows
+    carry per-block sampled-doc counts."""
+    import ray as _ray
+
+    refs = pair_ds.to_arrow_refs()
+    parts = [t for t in _ray.get(refs) if t.num_rows] if refs else []
+    if not parts:
+        return [], 0
+    tbl = pa.concat_tables(parts).combine_chunks()
+    agg = pa.TableGroupBy(tbl, "term").aggregate([("df", "sum")])
+    terms = agg["term"]
+    dfs = agg["df_sum"]
+    doc_mask = pc.equal(terms, "\x00__doc__")
+    sampled_docs = int(pc.sum(pc.filter(dfs, doc_mask)).as_py() or 0)
+    if not sampled_docs:
+        return [], 0
+    hot_mask = pc.and_(pc.invert(doc_mask),
+                       pc.greater(dfs, hot_df_ratio * sampled_docs))
+    hot = sorted(pc.filter(terms, hot_mask).to_pylist())
+    return hot, sampled_docs
+
+
 _REQUIRED_INPUT = {
     "url": pa.string(),
     "warc_ts": pa.timestamp("us"),
@@ -426,10 +454,6 @@ def build_index(
                 for f in losers_dir.glob("*.parquet"):
                     lt = _pq.read_table(f, columns=["file", "row"])
                     loser_keys.update(zip(lt["file"].to_pylist(), lt["row"].to_pylist()))
-            from collections import Counter
-
-            counts: Counter = Counter()
-            sampled_docs = 0
             # coalesce the pair files into a few big blocks first: the
             # driver merges one vocab-sized partial per BLOCK, so block
             # count — not file count — sets the merge cost
@@ -457,13 +481,12 @@ def build_index(
                                  "df": vc.field("counts").cast(pa.int64())})
 
             if sample is not None:
-                for b in sample.map_batches(_pair_df, batch_format="pyarrow",
-                                            batch_size=None).iter_batches(batch_format="pyarrow"):
-                    for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
-                        if term == "\x00__doc__":
-                            sampled_docs += df
-                        else:
-                            counts[term] += df
+                hot, sampled_docs = _hot_from_partials(
+                    sample.map_batches(_pair_df, batch_format="pyarrow",
+                                       batch_size=None),
+                    cfg.hot_df_ratio)
+            else:
+                hot, sampled_docs = [], 0
         else:
             # older docstore layout: re-scan the docstore for the sample
             N = max(1, stats["N"])
@@ -481,18 +504,10 @@ def build_index(
                                  "df": pa.array([batch.num_rows], pa.int64())})
                 return pa.concat_tables([tbl, meta])
 
-            from collections import Counter
-
-            counts = Counter()
-            sampled_docs = 0
-            sdf = sample.map_batches(_sample_df, batch_format="pyarrow", batch_size=1024)
-            for b in sdf.iter_batches(batch_format="pyarrow"):
-                for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
-                    if term == "\x00__doc__":
-                        sampled_docs += df
-                    else:
-                        counts[term] += df
-        hot = sorted(t for t, c in counts.items() if sampled_docs and c / sampled_docs > cfg.hot_df_ratio)
+            hot, sampled_docs = _hot_from_partials(
+                sample.map_batches(_sample_df, batch_format="pyarrow",
+                                   batch_size=1024),
+                cfg.hot_df_ratio)
         atomic_write_json(hot_path, {"hot_terms": hot, "sampled_docs": sampled_docs})
         p2.seal(n_hot=len(hot), sampled_docs=sampled_docs)
     hot_terms = read_json(hot_path)["hot_terms"]
@@ -677,8 +692,6 @@ def build_filtered_index(
     t0 = time.perf_counter()
     hot_path = out / "hot_terms.json"
     if not (resume and p2.is_complete()):
-        from collections import Counter
-
         N = max(1, stats["N"])
         frac = min(1.0, cfg.hot_sample_target / N)
         cut = min(int((1 << 63) * frac), (1 << 63) - 1)
@@ -693,16 +706,10 @@ def build_filtered_index(
                              "df": pa.array([batch.num_rows], pa.int64())})
             return pa.concat_tables([tbl, meta])
 
-        counts: Counter = Counter()
-        sampled_docs = 0
-        for b in sample.map_batches(_sample_df, batch_format="pyarrow",
-                                    batch_size=1024).iter_batches(batch_format="pyarrow"):
-            for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
-                if term == "\x00__doc__":
-                    sampled_docs += df
-                else:
-                    counts[term] += df
-        hot = sorted(t for t, c in counts.items() if sampled_docs and c / sampled_docs > cfg.hot_df_ratio)
+        hot, sampled_docs = _hot_from_partials(
+            sample.map_batches(_sample_df, batch_format="pyarrow",
+                               batch_size=1024),
+            cfg.hot_df_ratio)
         atomic_write_json(hot_path, {"hot_terms": hot, "sampled_docs": sampled_docs})
         p2.seal(n_hot=len(hot), sampled_docs=sampled_docs)
     hot_terms = read_json(hot_path)["hot_terms"]
