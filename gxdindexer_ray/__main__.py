@@ -3,6 +3,8 @@
 
   python -m gxdindexer_ray list                         # named pipelines
   python -m gxdindexer_ray build  --pages D --out D     # flagship index build
+  python -m gxdindexer_ray append --pages D --index D   # delta generation
+  python -m gxdindexer_ray compact --index D            # fold generations
   python -m gxdindexer_ray query  --index D --q "..." [--k 10]
   python -m gxdindexer_ray run    --pipeline NAME [NAME...|all] --sf DIR
 
@@ -27,6 +29,16 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)
+
+    a = sub.add_parser("append", help="append new pages as a delta generation")
+    a.add_argument("--pages", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--no-resume", action="store_true")
+    a.add_argument("--num-cpus", type=int, default=None)
+
+    c = sub.add_parser("compact", help="fold delta generations into the base index")
+    c.add_argument("--index", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
 
     q = sub.add_parser("query", help="top-k BM25 query against a built index")
     q.add_argument("--index", required=True)
@@ -71,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines import build_index
 
             m = build_index(args.pages, args.out, DEFAULT_CONFIG, resume=not args.no_resume)
+            print(json.dumps(m))
+            return 0
+        if args.cmd == "append":
+            from .config import DEFAULT_CONFIG
+            from .pipelines import append_index
+
+            m = append_index(args.pages, args.index, DEFAULT_CONFIG,
+                             resume=not args.no_resume)
+            print(json.dumps(m))
+            return 0
+        if args.cmd == "compact":
+            from .config import DEFAULT_CONFIG
+            from .pipelines import compact_index
+
+            m = compact_index(args.index, DEFAULT_CONFIG)
             print(json.dumps(m))
             return 0
         if args.cmd == "query":

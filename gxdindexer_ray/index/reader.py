@@ -31,14 +31,62 @@ _PAYLOAD_COLUMNS = [
 ]
 
 
+def generation_dirs(index_dir: str | Path) -> list[Path]:
+    """Delta-generation subdirectories of an incrementally-appended index,
+    in append order (empty for a plain single-build index)."""
+    index_dir = Path(index_dir)
+    gens = read_json(index_dir / "generations.json") or {}
+    return [index_dir / g for g in gens.get("generations", [])]
+
+
+def read_global_stats(index_dir: str | Path) -> dict:
+    """Corpus stats across the base index and every appended generation:
+    N and total_dl sum; avgdl recomputed from the sums; the scoring
+    constants (k1, b, block_size) come from the base and are validated
+    equal in every generation at append time."""
+    index_dir = Path(index_dir)
+    stats = read_json(index_dir / "stats.json")
+    if not stats:
+        raise FileNotFoundError(f"no stats.json under {index_dir}")
+    gens = generation_dirs(index_dir)
+    if not gens:
+        return stats
+    N = int(stats["N"])
+    total_dl = int(stats.get("total_dl", round(stats["avgdl"] * N)))
+    for g in gens:
+        gs = read_json(g / "stats.json") or {}
+        N += int(gs.get("N", 0))
+        total_dl += int(gs.get("total_dl", 0))
+    out = dict(stats)
+    out.update(N=N, total_dl=total_dl, avgdl=(total_dl / N) if N else 0.0)
+    return out
+
+
 def build_lexicon(index_dir: str | Path) -> dict:
     """Load the lexicon state once: term -> [(file_idx, row_group,
     row_in_group, df, cf, shard)] plus the file list. Picklable, so a
     query actor pool can build it ONCE on the driver and broadcast it via
     ``ray.put`` instead of paying the load per actor (the per-actor load
-    was the pool's QPS bound)."""
+    was the pool's QPS bound).
+
+    Multi-generation indexes contribute every generation's segment files.
+    Each file carries a ``bm_scale`` factor = max(1, global_avgdl /
+    generation_avgdl): stored block-max bounds were encoded with the
+    generation's own avgdl, and for BM25's tf factor
+    (tf+K_old)/(tf+K_new) <= K_old/K_new <= avgdl_new/avgdl_old, so
+    scaling by that ratio keeps every bound a true upper bound under the
+    GLOBAL avgdl — block-max WAND stays exact after appends."""
     index_dir = Path(index_dir)
-    files = sorted((index_dir / "segments").glob("*.parquet"))
+    gstats = read_global_stats(index_dir)
+    files: list[Path] = []
+    bm_scale: list[float] = []
+    for d in [index_dir] + generation_dirs(index_dir):
+        ds = read_json(d / "stats.json") or {}
+        davg = float(ds.get("avgdl", 0.0))
+        scale = max(1.0, gstats["avgdl"] / davg) if davg > 0 else 1.0
+        for f in sorted((d / "segments").glob("*.parquet")):
+            files.append(f)
+            bm_scale.append(scale)
     lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
     payload_cols = []
     for fi, f in enumerate(files):
@@ -59,16 +107,15 @@ def build_lexicon(index_dir: str | Path) -> dict:
                 in_g = 0
             lex.setdefault(terms[i], []).append((fi, g, in_g, dfs[i], cfs[i], shards[i]))
             in_g += 1
-    return {"files": [str(f) for f in files], "payload_cols": payload_cols, "lex": lex}
+    return {"files": [str(f) for f in files], "payload_cols": payload_cols,
+            "lex": lex, "bm_scale": bm_scale}
 
 
 class IndexReader:
     def __init__(self, index_dir: str | Path, cache_terms: int = 4096,
                  warm_top_terms: int = 64, lexicon: dict | None = None):
         self.index_dir = Path(index_dir)
-        stats = read_json(self.index_dir / "stats.json")
-        if not stats:
-            raise FileNotFoundError(f"no stats.json under {index_dir}")
+        stats = read_global_stats(self.index_dir)
         self.N = int(stats["N"])
         self.avgdl = float(stats["avgdl"])
         self.k1 = float(stats["k1"])
@@ -83,6 +130,7 @@ class IndexReader:
         # tolerate segments written before optional columns existed —
         # per FILE, so mixed-generation segment directories read correctly
         self._payload_columns_by_file = state["payload_cols"]
+        self._bm_scale = state.get("bm_scale") or [1.0] * len(self._files)
         self._lex = state["lex"]
         self._cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._cache_terms = cache_terms
@@ -127,8 +175,15 @@ class IndexReader:
                 results = dict([read_one(next(iter(wanted)))])
             for key, items in wanted.items():
                 tbl = results[key]
+                scale = self._bm_scale[key[0]]
                 for t, row in items:
-                    fetched.setdefault(t, []).append(tbl.slice(row, 1).to_pylist()[0])
+                    r = tbl.slice(row, 1).to_pylist()[0]
+                    if scale != 1.0 and r.get("block_max") is not None:
+                        # safe-bound rescale for appended generations (see
+                        # build_lexicon) — exact scoring is untouched, only
+                        # the WAND upper bounds inflate
+                        r["block_max"] = [v * scale for v in r["block_max"]]
+                    fetched.setdefault(t, []).append(r)
         for t, rows in fetched.items():
             rows.sort(key=lambda r: int(r["shard"]))
             self._cache[t] = rows

@@ -1,4 +1,5 @@
 from .build import build_index
+from .incremental import append_index, compact_index
 from .search import SearchEngine
 
-__all__ = ["build_index", "SearchEngine"]
+__all__ = ["build_index", "append_index", "compact_index", "SearchEngine"]

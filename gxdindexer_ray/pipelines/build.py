@@ -119,8 +119,22 @@ def _extract_slim(batch: pa.Table) -> pa.Table:
     return slim.filter(first)
 
 
+_KEYS_SCHEMA = pa.schema(
+    [
+        pa.field("bucket", pa.int32()),
+        pa.field("doc_id", pa.int64()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("th_hi", pa.int64()),
+        pa.field("th_lo", pa.int64()),
+        pa.field("dl", pa.int64()),
+        pa.field("file", pa.string()),
+        pa.field("row", pa.int32()),
+    ]
+)
+
+
 def make_docstore_writer_fn(docs_tmp: str, sample_tmp: str | None = None,
-                            sample_cut: int = 0):
+                            sample_cut: int = 0, exclude_ids_ref=None):
     """Map side of P0: extract + pre-dedup a pages batch, write the batch's
     docstore file (doc_id-sorted, lz4) straight to its FINAL directory, and
     return only ~50-byte key rows for the dedup exchange. Measured rationale
@@ -134,6 +148,23 @@ def make_docstore_writer_fn(docs_tmp: str, sample_tmp: str | None = None,
     import pyarrow.parquet as pq
 
     def write(batch: pa.Table) -> pa.Table:
+        if exclude_ids_ref is not None:
+            # incremental append: docs already present in an earlier
+            # generation are dropped BEFORE extraction (first-wins across
+            # generations — the earliest generation keeps the doc). The
+            # exclusion set is a sorted int64 array broadcast once via
+            # ray.put; at 10^12-doc scale swap it for per-doc-range bloom
+            # filters keyed by the same range buckets as the docstore.
+            excl = ray.get(exclude_ids_ref)
+            if excl.size:
+                ids0 = doc_id_column(batch["url"]).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(excl, ids0)
+                pos_c = np.minimum(pos, excl.size - 1)
+                hit = (pos < excl.size) & (excl[pos_c] == ids0)
+                if hit.any():
+                    batch = batch.filter(pa.array(~hit))
+                if batch.num_rows == 0:
+                    return _KEYS_SCHEMA.empty_table()
         tbl = _extract_slim(batch)
         fname = f"part-{os.getpid()}-{uuid.uuid4().hex[:8]}.parquet"
         # small row groups + per-file doc_id sort -> row-group-stat pruning
@@ -171,7 +202,7 @@ def make_docstore_writer_fn(docs_tmp: str, sample_tmp: str | None = None,
             "dl": tbl["dl"],  # lets P1 derive corpus stats with no re-scan
             "file": pa.array([fname] * tbl.num_rows, pa.string()),
             "row": pa.array(np.arange(tbl.num_rows, dtype=np.int32), pa.int32()),
-        })
+        }).cast(_KEYS_SCHEMA)
 
     return write
 
@@ -306,8 +337,16 @@ def build_index(
     *,
     resume: bool = True,
     parallelism: int | None = None,
+    exclude_ids_ref=None,
+    key_salt: str = "",
 ) -> dict:
-    """Build the full index; returns the metrics dict (also metrics.json)."""
+    """Build the full index; returns the metrics dict (also metrics.json).
+
+    ``exclude_ids_ref``: optional ``ray.put`` ref of a SORTED int64 numpy
+    array of doc_ids to drop at the door (incremental append: docs already
+    owned by an earlier generation). ``key_salt`` folds the exclusion
+    context into the checkpoint key so a resume against a changed base
+    invalidates."""
     pages_dir, out = Path(pages_dir), Path(out_dir)
     input_files = sorted(str(p) for p in pages_dir.glob("*.parquet"))
     if not input_files:
@@ -319,6 +358,8 @@ def build_index(
     # invalidate resume state even though it isn't an IndexConfig field
     # (d2 = dedup-rule v2: hash tie-break + key-exchange docstore layout)
     key = f"{fingerprint_inputs(input_files)}-{config_key(cfg)}-x{EXTRACT_SPEC_VERSION}-d2"
+    if key_salt:
+        key += f"-xk:{key_salt}"
     out.mkdir(parents=True, exist_ok=True)
     docs_dir = out / "docs"
     segments_dir = out / "segments"
@@ -355,7 +396,8 @@ def build_index(
         n_blocks = max(1, -(-n0 // cfg.batch_size))
         ds = rd.read_parquet(input_files, columns=["url", "warc_ts", "html", "lang"],
                              override_num_blocks=n_blocks)
-        keys = ds.map_batches(make_docstore_writer_fn(str(tmp_docs), str(tmp_sample), sample_cut),
+        keys = ds.map_batches(make_docstore_writer_fn(str(tmp_docs), str(tmp_sample),
+                                                      sample_cut, exclude_ids_ref),
                               batch_format="pyarrow", batch_size=None)
         # coalesce key blocks before the exchange: keys are ~50 B/doc, so
         # one block per extract batch would make the sort all per-block

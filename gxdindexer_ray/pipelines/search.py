@@ -170,7 +170,13 @@ class PhraseAndBooleanMixin:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        ds = pads.dataset(str(Path(self.reader.index_dir) / "docs"), format="parquet")
+        from ..index.reader import generation_dirs
+
+        root = Path(self.reader.index_dir)
+        files = [str(f)
+                 for d in [root] + generation_dirs(root)
+                 for f in sorted((d / "docs").glob("*.parquet"))]
+        ds = pads.dataset(files, format="parquet")
         ids = [int(d) for d in doc_ids]
         tbl = ds.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids))
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))

@@ -1,0 +1,202 @@
+"""Incremental indexing (append generations + compact) vs full rebuild.
+
+Gates: global stats and per-term (df, cf) identical to a from-scratch build
+of the concatenated corpus; top-k rank- AND score-identical on both scorer
+paths (brute and block-max WAND, whose bounds are rescaled per generation);
+cross-generation first-wins dedup; compaction restores the byte-identical
+single-build segment layout for dedup-free corpora."""
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gxdindexer_ray.config import IndexConfig
+from gxdindexer_ray.fixtures import generate_pages, generate_queries
+from gxdindexer_ray.state.manifest import read_json
+
+CFG = IndexConfig()
+
+
+def _split_corpus(src: Path, dst_a: Path, dst_b: Path, n_a: int) -> None:
+    tbl = pa.concat_tables([pq.read_table(f) for f in sorted(src.glob("*.parquet"))])
+    dst_a.mkdir(parents=True, exist_ok=True)
+    dst_b.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl.slice(0, n_a), dst_a / "part-0.parquet")
+    pq.write_table(tbl.slice(n_a), dst_b / "part-0.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpora(ray_session, tmp_path_factory):
+    """full corpus C (1500 docs) split into disjoint A (1000) + B (500)."""
+    root = tmp_path_factory.mktemp("inc")
+    full = generate_pages(root / "full", 1500, seed=7)
+    a, b = root / "a", root / "b"
+    _split_corpus(Path(full), a, b, 1000)
+    return str(a), str(b), str(full), root
+
+
+@pytest.fixture(scope="module")
+def appended_and_ref(corpora):
+    """idx = build(A) + append(B); ref = build(A+B) from scratch."""
+    from gxdindexer_ray.pipelines import append_index, build_index
+
+    a, b, full, root = corpora
+    idx = root / "idx"
+    ref = root / "ref"
+    build_index(a, idx, CFG)
+    m = append_index(b, idx, CFG)
+    build_index(full, ref, CFG)
+    return idx, ref, m
+
+
+def test_append_global_stats_match_full_rebuild(appended_and_ref):
+    from gxdindexer_ray.index.reader import read_global_stats
+
+    idx, ref, m = appended_and_ref
+    gi = read_global_stats(idx)
+    gr = read_json(Path(ref) / "stats.json")
+    assert gi["N"] == gr["N"]
+    assert gi["total_dl"] == gr["total_dl"]
+    assert gi["avgdl"] == gr["avgdl"]
+    assert m["generation"] == "gen-0001"
+    assert (Path(idx) / "gen-0001" / "segments").exists()
+
+
+def test_append_term_stats_match_full_rebuild(appended_and_ref):
+    from gxdindexer_ray.index.reader import IndexReader
+
+    idx, ref, _ = appended_and_ref
+    ti = IndexReader(idx, warm_top_terms=0).term_stats()
+    tr = IndexReader(ref, warm_top_terms=0).term_stats()
+    assert ti == tr
+
+
+def test_append_topk_identical_both_scorers(appended_and_ref):
+    from gxdindexer_ray.pipelines import SearchEngine
+
+    idx, ref, _ = appended_and_ref
+    ei = SearchEngine(idx, warm_top_terms=0)
+    er = SearchEngine(ref, warm_top_terms=0)
+    for q in generate_queries(40, seed=3).to_pylist():
+        for method in ("brute", "bmw"):
+            hi = ei.topk(q["query"], q["k"], method)
+            hr = er.topk(q["query"], q["k"], method)
+            assert hi == hr, (q["query"], method)
+
+
+def test_append_dedups_across_generations(corpora, tmp_path):
+    """A delta that re-crawls docs already owned by the base: the base copy
+    wins (first-wins across generations), matching a from-scratch build of
+    the concatenation when the re-crawl carries later timestamps."""
+    from gxdindexer_ray.pipelines import append_index, build_index
+    from gxdindexer_ray.index.reader import IndexReader, read_global_stats
+
+    a, b, full, _ = corpora
+    # delta B' = all of B plus 200 of A's docs re-stamped one day later
+    ta = pa.concat_tables([pq.read_table(f) for f in sorted(Path(a).glob("*.parquet"))])
+    tb = pa.concat_tables([pq.read_table(f) for f in sorted(Path(b).glob("*.parquet"))])
+    recrawl = ta.slice(0, 200).set_column(
+        ta.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        pa.compute.add(ta.slice(0, 200)["warc_ts"], pa.scalar(86_400_000_000, pa.duration("us"))),
+    ).cast(tb.schema)
+    bprime = tmp_path / "bprime"
+    bprime.mkdir()
+    pq.write_table(pa.concat_tables([tb, recrawl]).combine_chunks(),
+                   bprime / "part-0.parquet")
+    comb = tmp_path / "comb"
+    comb.mkdir()
+    pq.write_table(ta, comb / "a.parquet")
+    pq.write_table(pa.concat_tables([tb, recrawl]).combine_chunks(), comb / "b.parquet")
+
+    idx = tmp_path / "idx2"
+    ref = tmp_path / "ref2"
+    build_index(a, idx, CFG)
+    m = append_index(bprime, idx, CFG)
+    build_index(comb, ref, CFG)
+
+    base_n = read_json(idx / "stats.json")["N"]  # < 1000: fixture plants dup urls
+    assert m["excluded_prior_docs"] == base_n
+    gi = read_global_stats(idx)
+    gr = read_json(ref / "stats.json")
+    assert gi["N"] == gr["N"]
+    assert gi["total_dl"] == gr["total_dl"]
+    assert IndexReader(idx, warm_top_terms=0).term_stats() == \
+        IndexReader(ref, warm_top_terms=0).term_stats()
+
+
+def test_compact_restores_single_build_layout(appended_and_ref, corpora):
+    from gxdindexer_ray.pipelines import compact_index
+
+    idx, ref, _ = appended_and_ref
+    compact_index(idx, CFG)
+    assert not (Path(idx) / "generations.json").exists()
+    assert not (Path(idx) / "gen-0001").exists()
+    si = {f.name: f.read_bytes() for f in sorted((Path(idx) / "segments").glob("*.parquet"))}
+    sr = {f.name: f.read_bytes() for f in sorted((Path(ref) / "segments").glob("*.parquet"))}
+    assert si.keys() == sr.keys()
+    for name in si:
+        assert si[name] == sr[name], f"segment {name} differs from full rebuild"
+    assert read_json(Path(idx) / "stats.json") == read_json(Path(ref) / "stats.json")
+
+
+def _mini_corpus(path: Path, docs: list[tuple[str, str]], ts0: int = 1_600_000_000_000_000):
+    """Hand-built pages corpus: (url, body words) pairs."""
+    path.mkdir(parents=True, exist_ok=True)
+    html = [f"<html><body>{body}</body></html>".encode() for _, body in docs]
+    tbl = pa.table({
+        "url": pa.array([u for u, _ in docs], pa.string()),
+        "warc_ts": pa.array([ts0 + i for i in range(len(docs))], pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array([None] * len(docs), pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    })
+    pq.write_table(tbl, path / "part-0.parquet")
+
+
+def test_wand_bounds_stay_safe_when_global_avgdl_grows(ray_session, tmp_path):
+    """Adversarial avgdl drift: base = long docs (large avgdl), delta =
+    short docs whose stored block-max bounds were encoded at a much smaller
+    generation avgdl. Under the GLOBAL avgdl every true score of the short
+    docs exceeds its stored bound — without the per-generation rescale,
+    WAND would prune them and lose top-k hits. Gate: bmw == brute."""
+    from gxdindexer_ray.pipelines import SearchEngine, append_index, build_index
+
+    rng = np.random.default_rng(5)
+    filler = [f"w{i}" for i in range(50)]
+    long_docs = [
+        (f"https://long.example/{i}",
+         " ".join(rng.choice(filler, size=300).tolist()) + " zebra")
+        for i in range(60)
+    ]
+    short_docs = [(f"https://short.example/{i}", "zebra quick") for i in range(40)]
+    base, delta = tmp_path / "base", tmp_path / "delta"
+    _mini_corpus(base, long_docs)
+    _mini_corpus(delta, short_docs, ts0=1_700_000_000_000_000)
+    idx = tmp_path / "idx"
+    build_index(base, idx, CFG)
+    append_index(delta, idx, CFG)
+    eng = SearchEngine(idx, warm_top_terms=0)
+    assert eng.reader.avgdl > 100  # global avgdl dominated by the long docs
+    for q, k in (("zebra", 20), ("zebra quick", 10), ("quick", 50)):
+        assert eng.topk(q, k, "bmw") == eng.topk(q, k, "brute"), q
+    # the short docs (tiny dl -> huge tf factor under global avgdl) must top
+    # the ranking for their term
+    top = eng.topk("quick", 5, "bmw")
+    assert len(top) == 5 and all(s > 0 for _, s in top)
+
+
+def test_cli_append_compact(ray_session, corpora, tmp_path):
+    from gxdindexer_ray.__main__ import main
+    from gxdindexer_ray.pipelines import build_index
+
+    a, b, _, _ = corpora
+    idx = tmp_path / "cliidx"
+    build_index(a, idx, CFG)
+    assert main(["append", "--pages", b, "--index", str(idx)]) == 0
+    assert (idx / "generations.json").exists()
+    assert main(["compact", "--index", str(idx)]) == 0
+    assert not (idx / "generations.json").exists()
