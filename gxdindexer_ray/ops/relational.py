@@ -91,17 +91,41 @@ def semi_join_filter(ds, col: str, keys: frozenset, anti: bool = False):
 # partitioned hash join (J2) — both sides large
 # ---------------------------------------------------------------------------
 
+_SALT_PRIME = 2654435761  # Knuth multiplicative-hash constant
+
+
+def salted_bucket_ids(jb: np.ndarray, hot_mask: np.ndarray, salts: np.ndarray,
+                      n_buckets: int) -> np.ndarray:
+    """Bucket ids after salting: hot rows move to (jb + salt*PRIME) mod
+    n_buckets; cold rows keep jb. Shared by both join sides (and exposed
+    for the skew tests)."""
+    out = jb.astype(np.int64, copy=True)
+    idx = np.flatnonzero(hot_mask)
+    if idx.size:
+        out[idx] = (out[idx] + salts.astype(np.int64) * _SALT_PRIME) % n_buckets
+    return out.astype(np.int32)
+
+
 def partitioned_join(left, right, left_on: str, right_on: str, *,
-                     n_buckets: int = 32, how: str = "inner", bucket_post=None):
+                     n_buckets: int = 32, how: str = "inner", bucket_post=None,
+                     hot_keys=None, n_salts: int = 8):
     """Explicit hash-partitioned equi-join on int64 keys: both sides get a
     ``key % n_buckets`` bucket, are unioned under one Arrow schema (missing
     columns as typed nulls), shuffled once by bucket, and joined per bucket
     with a vectorized pandas merge. This is the portable pattern when the
     sides are too large to broadcast; one shuffle total.
 
-    Skew note: a hot join key maps to one bucket — salt it by appending a
-    per-row sub-bucket to BOTH sides' keys (replicating the build side) the
-    same way hot terms are doc-range-sharded in the index merge.
+    Skew (``hot_keys``): a hot join key maps to one bucket, so one reducer
+    receives that key's entire probe side. Passing the hot key set salts
+    it: LEFT (probe) rows of a hot key scatter across ``n_salts``
+    sub-buckets (round-robin within each batch — any spread is correct,
+    the joined row SET is salt-invariant); RIGHT (build) rows of a hot key
+    replicate into all ``n_salts`` sub-buckets — the same replicate-the-
+    build-side trick as the index build's doc-range sharding of hot terms.
+    Restricted to inner/left joins (a replicated right row would duplicate
+    in right/full outer) and incompatible with ``bucket_post`` per-key
+    finals (a hot key's group now spans buckets, so per-key aggregates
+    would be partial — run the final merge downstream instead).
 
     ``bucket_post`` (pandas->pandas) runs on each bucket's joined frame
     BEFORE it leaves the reducer. Because a bucket holds every row of its
@@ -109,6 +133,14 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
     the join's partitioning instead of paying a second shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    if hot_keys:
+        if how not in ("inner", "left"):
+            raise ValueError("hot-key salting supports inner/left joins only")
+        if bucket_post is not None:
+            raise ValueError("hot-key salting breaks bucket_post's whole-key "
+                             "invariant; aggregate downstream instead")
+    hot_arr = np.asarray(sorted(hot_keys)) if hot_keys else None
 
     # normalize to Arrow blocks: pandas-backed Datasets report numpy dtypes,
     # and the typed-null union below needs real Arrow types
@@ -137,9 +169,34 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
             else:  # string/object keys: explicit deterministic hash (see
                 # stable_bucket_ids — pandas' hasher proved unstable here)
                 jb = stable_bucket_ids(pd.DataFrame({key_col: keys}), [key_col], n_buckets)
+            hot_mask = np.isin(keys, hot_arr) if hot_arr is not None else None
+            side_col = pa.array(np.full(n, side, dtype=np.int8))
+            if hot_mask is None or not hot_mask.any():
+                cols["__jb"] = pa.array(jb)
+                cols["__side"] = side_col
+                return pa.table(cols)
+            if side == 0:
+                # probe side: scatter hot rows round-robin over the salts
+                # (the joined row SET is the same for ANY spread)
+                idx = np.flatnonzero(hot_mask)
+                salts = np.arange(idx.size, dtype=np.int64) % n_salts
+                cols["__jb"] = pa.array(salted_bucket_ids(jb, hot_mask, salts, n_buckets))
+                cols["__side"] = side_col
+                return pa.table(cols)
+            # build side: replicate hot rows into every salt's sub-bucket
+            # (salt 0 == the unsalted bucket, covered by the base copy)
             cols["__jb"] = pa.array(jb)
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
+            cols["__side"] = side_col
+            base = pa.table(cols)
+            parts = [base]
+            hot_idx = pa.array(np.flatnonzero(hot_mask))
+            hot_rows = base.take(hot_idx)
+            jb_hot = jb[hot_mask].astype(np.int64)
+            for s in range(1, n_salts):
+                jb_s = ((jb_hot + s * _SALT_PRIME) % n_buckets).astype(np.int32)
+                parts.append(hot_rows.set_column(
+                    hot_rows.schema.get_field_index("__jb"), "__jb", pa.array(jb_s)))
+            return pa.concat_tables(parts)
 
         return f
 

@@ -161,6 +161,49 @@ def test_partitioned_join_matches_pandas(ray_session):
         pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
 
 
+def test_partitioned_join_salted_hot_key(ray_session):
+    """Skew salting: 80% of the probe side is ONE key. Joined rows must be
+    identical to pandas, and the hot key's probe rows must actually land in
+    more than one reduce bucket."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import (_SALT_PRIME, partitioned_join,
+                                               salted_bucket_ids)
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    hot = 7
+    k = np.where(rng.random(n) < 0.8, hot, rng.integers(0, 50, n)).astype(np.int64)
+    left = pd.DataFrame({"k": k, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(50, dtype=np.int64),
+                          "rv": rng.integers(0, 9, 50).astype(np.int64)})
+    n_buckets, n_salts = 8, 4
+    for how in ("inner", "left"):
+        got = partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                               "k", "rk", how=how, n_buckets=n_buckets,
+                               hot_keys={hot}, n_salts=n_salts).to_pandas()
+        exp = left.merge(right, left_on="k", right_on="rk", how=how)
+        got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+        exp_s = exp[got.columns].sort_values(list(got.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+    # the salt formula must spread the hot key across buckets
+    jb = np.full(16, hot % n_buckets, np.int32)
+    mask = np.ones(16, bool)
+    salts = np.arange(16, dtype=np.int64) % n_salts
+    spread = set(salted_bucket_ids(jb, mask, salts, n_buckets).tolist())
+    assert len(spread) > 1
+    assert spread == {(hot % n_buckets + s * _SALT_PRIME) % n_buckets
+                      for s in range(n_salts)}
+    # guard rails
+    with pytest.raises(ValueError):
+        partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                         "k", "rk", how="inner", hot_keys={hot},
+                         bucket_post=lambda d: d)
+    with pytest.raises(ValueError):
+        partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                         "k", "rk", how="right", hot_keys={hot})
+
+
 def test_distributed_topk_matches_sort(ray_session):
     import ray.data as rd
 
