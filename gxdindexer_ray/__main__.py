@@ -20,6 +20,11 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gxdindexer_ray")
+    p.add_argument("--address", default="local",
+                   help="Ray address: 'local' starts an in-process cluster "
+                        "(default); 'auto' joins a running cluster — the "
+                        "`ray job submit -- python -m gxdindexer_ray ... "
+                        "--address auto` path on a real multi-node cluster")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list", help="list named pipelines")
@@ -72,8 +77,10 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        if args.address == "local":
+            kw["num_cpus"] = args.num_cpus  # only a local cluster takes sizing
+        ray.init(address=args.address, **kw)
     try:
         from ray.data import DataContext
 

@@ -94,6 +94,48 @@ def semi_join_filter(ds, col: str, keys: frozenset, anti: bool = False):
 _SALT_PRIME = 2654435761  # Knuth multiplicative-hash constant
 
 
+def detect_hot_keys(ds, col: str, *, threshold: float = 0.01,
+                    slack: float = 4.0) -> set:
+    """One-pass heavy-hitter detection for join-skew salting.
+
+    Per-batch ``value_counts`` emits only candidates whose in-batch share
+    is >= threshold/slack (plus one null-keyed sentinel row carrying the
+    batch row count); the driver group-sums the candidate partials.
+    Guarantee: every key with global share >= threshold is returned — the
+    mass a true hot key can lose to sub-cutoff batches is < threshold/slack
+    of the total, so its counted share stays >= threshold*(1 - 1/slack),
+    which is the acceptance bound. Keys between (1-1/slack)*threshold and
+    threshold may also be returned; for salting a false positive costs a
+    little replication, never correctness. Partial rows are ~candidates x
+    batches — heavy-hitter-sized, not key-cardinality-sized."""
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pa.compute.value_counts(batch[col].combine_chunks())
+        vals = vc.field("values")
+        cnts = vc.field("counts").cast(pa.int64())
+        cut = max(1, int(batch.num_rows * threshold / slack))
+        m = pa.compute.greater_equal(cnts, cut)
+        cand = pa.table({"k": vals.filter(m), "n": cnts.filter(m)})
+        sent = pa.table({"k": pa.nulls(1, vals.type),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+        return pa.concat_tables([cand, sent])
+
+    pds = ds.map_batches(partial, batch_format="pyarrow")
+    parts = [t for t in _ray.get(pds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return set()
+    tbl = pa.concat_tables(parts).combine_chunks()
+    agg = pa.TableGroupBy(tbl, "k").aggregate([("n", "sum")])
+    ks = agg["k"].to_pylist()
+    ns = agg["n_sum"].to_pylist()
+    total = sum(n for k, n in zip(ks, ns) if k is None)
+    if not total:
+        return set()
+    bound = threshold * (1.0 - 1.0 / slack) * total
+    return {k for k, n in zip(ks, ns) if k is not None and n >= bound}
+
+
 def salted_bucket_ids(jb: np.ndarray, hot_mask: np.ndarray, salts: np.ndarray,
                       n_buckets: int) -> np.ndarray:
     """Bucket ids after salting: hot rows move to (jb + salt*PRIME) mod

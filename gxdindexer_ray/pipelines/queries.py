@@ -509,6 +509,46 @@ FROM documents
 """
 
 
+def q45_salted_skew_join(sf: str):
+    """Skew-aware large join: events.event_type has a handful of values, so
+    EVERY key is a heavy hitter — the worst case for a hash-partitioned
+    join (each reducer would receive one key's entire probe side).
+    detect_hot_keys flags them in one pass; partitioned_join then scatters
+    the probe rows across salted sub-buckets and replicates the (tiny)
+    build side into each. The per-type final aggregate runs downstream
+    (salting forfeits the bucket_post whole-key invariant by design)."""
+    import ray.data as rd
+
+    from ..ops.relational import detect_hot_keys, partitioned_join
+
+    events = read_table(sf, "events", columns=["event_type", "value"])
+    side = pre_aggregate(read_table(sf, "events", columns=["event_type", "user_id"]),
+                         ["event_type"], maxs={"max_user": "user_id"},
+                         driver_final=True)
+    hot = detect_hot_keys(events, "event_type", threshold=0.05)
+    joined = partitioned_join(events, rd.from_pandas(side), "event_type",
+                              "event_type", how="inner", n_buckets=16,
+                              hot_keys=hot, n_salts=4)
+    out = pre_aggregate(joined, ["event_type"],
+                        sums={"total_value": "value"}, counts="n_events",
+                        maxs={"max_user": "max_user"}, driver_final=True)
+    out["total_value"] = out["total_value"].round(2)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q45 = """
+WITH side AS (
+  SELECT event_type, max(user_id) AS max_user FROM events GROUP BY event_type)
+SELECT e.event_type,
+       round(sum(e.value), 2) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(s.max_user) AS max_user
+FROM events e JOIN side s USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def q23_term_stats(sf: str):
     """The flagship's (term, df, cf) inverted statistics as a standalone
     SQL-checkable operator."""
@@ -1137,6 +1177,7 @@ CATALOG: dict[str, tuple] = {
     "q42_filtered_index_topk": (q42_filtered_index_topk, SQL_Q42),
     "q43_simhash_neardup": (q43_simhash_neardup, None),
     "q44_bpe_token_count": (q44_bpe_token_count, SQL_Q44),
+    "q45_salted_skew_join": (q45_salted_skew_join, SQL_Q45),
 }
 
 

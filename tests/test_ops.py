@@ -204,6 +204,26 @@ def test_partitioned_join_salted_hot_key(ray_session):
                          "k", "rk", how="right", hot_keys={hot})
 
 
+def test_detect_hot_keys(ray_session):
+    """The θ-share guarantee: a 30%-share key is always caught at θ=0.1;
+    uniform tail keys (share ~2e-4) never are."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import detect_hot_keys
+
+    rng = np.random.default_rng(2)
+    n = 20_000
+    k = np.where(rng.random(n) < 0.3, -1, rng.integers(0, 5000, n)).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": k})).repartition(8)
+    hot = detect_hot_keys(ds, "k", threshold=0.1)
+    assert -1 in hot
+    assert hot == {-1}
+    # string keys too (the q45 shape)
+    s = np.where(rng.random(n) < 0.5, "hot", rng.integers(0, 5000, n).astype(str))
+    ds2 = rd.from_pandas(pd.DataFrame({"k": s})).repartition(8)
+    assert detect_hot_keys(ds2, "k", threshold=0.2) == {"hot"}
+
+
 def test_distributed_topk_matches_sort(ray_session):
     import ray.data as rd
 
