@@ -22,6 +22,15 @@ class IndexConfig:
     n_buckets: int = 32            # segment files (groupby key space). Fixed —
                                    # NOT derived from cluster size, so segment
                                    # bytes are parallelism-invariant.
+                                   # 0 = auto: resolved at build time to the
+                                   # next power of two of N/31250, clamped to
+                                   # [32, 4096] — derived from CORPUS SIZE
+                                   # (content), never parallelism, so the
+                                   # invariance contract holds while per-
+                                   # bucket merge working sets stay ~constant
+                                   # as the corpus grows (BASELINE.md §3: at
+                                   # 4M docs fixed 32 buckets forced merge
+                                   # concurrency down and cost 20% throughput).
 
     # --- skew handling (SURVEY.md §7.3: salt hot terms) ---
     # A term is "hot" when its sampled document frequency exceeds

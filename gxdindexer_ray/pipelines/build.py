@@ -582,6 +582,17 @@ def _segments_phase(out: Path, doc_files: list[str], stats: dict, hot_terms: lis
     """Shared P3: tokenize + SPIMI partials -> per-bucket file exchange ->
     largest-first merges -> atomic segment swap (used by the flagship build
     and the derived filtered-index build)."""
+    if cfg.n_buckets == 0:
+        # auto bucket count: ~31k docs (~2M postings) per bucket, power of
+        # two, clamped [32, 4096]. Pure function of post-dedup N — the
+        # parallelism-invariance contract survives; checkpoint keys carry
+        # the literal 0 plus the input fingerprint that N derives from.
+        from dataclasses import replace
+
+        eff = 32
+        while eff < 4096 and stats["N"] / eff > 31_250:
+            eff *= 2
+        cfg = replace(cfg, n_buckets=eff)
     segments_dir = out / "segments"
     p3 = PhaseManifest(out, "segments", key)
     seg_manifest_path = out / "segments_manifest.json"

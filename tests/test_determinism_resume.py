@@ -146,6 +146,22 @@ def test_rebuild_with_fewer_buckets_leaves_no_stale_segments(ray_session, pages_
     assert _segment_bytes(out) == _segment_bytes(fresh)
 
 
+def test_auto_n_buckets_matches_fixed_at_small_n(ray_session, pages_1k, tmp_path):
+    """n_buckets=0 (auto) resolves from corpus size: at 1k docs the floor
+    of 32 applies, so segments are byte-identical to the explicit-32 build
+    (the auto resolution is content-derived, never parallelism-derived)."""
+    from gxdindexer_ray.pipelines import build_index
+
+    a = tmp_path / "auto"
+    b = tmp_path / "fixed"
+    build_index(pages_1k, a, replace(CFG, n_buckets=0))
+    build_index(pages_1k, b, replace(CFG, n_buckets=32))
+    sa, sb = _segment_bytes(a), _segment_bytes(b)
+    assert sa.keys() == sb.keys() and len(sa) >= 32
+    for name in sa:
+        assert sa[name] == sb[name]
+
+
 def test_schema_validation_fails_fast(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
