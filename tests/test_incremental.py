@@ -143,6 +143,33 @@ def test_compact_restores_single_build_layout(appended_and_ref, corpora):
     assert read_json(Path(idx) / "stats.json") == read_json(Path(ref) / "stats.json")
 
 
+def test_append_after_compact_cycle(ray_session, corpora, tmp_path):
+    """Full lifecycle: build -> append -> compact -> append again. The
+    second append must see the compacted corpus as its base (its docs are
+    excluded) and the reader must span the new generation."""
+    from gxdindexer_ray.index.reader import read_global_stats
+    from gxdindexer_ray.pipelines import (SearchEngine, append_index,
+                                          build_index, compact_index)
+
+    a, b, full, _ = corpora
+    idx = tmp_path / "cyc"
+    build_index(a, idx, CFG)
+    append_index(b, idx, CFG)
+    compact_index(idx, CFG)
+    n_after_compact = read_global_stats(idx)["N"]
+    # third corpus: 100 fresh docs
+    docs = [(f"https://cycle.example/{i}", f"cycle{i % 7} zulu probe") for i in range(100)]
+    c = tmp_path / "c"
+    _mini_corpus(c, docs)
+    m = append_index(c, idx, CFG)
+    assert m["excluded_prior_docs"] == n_after_compact
+    g = read_global_stats(idx)
+    assert g["N"] == n_after_compact + 100
+    eng = SearchEngine(idx, warm_top_terms=0)
+    hits = eng.topk("zulu", 10, "bmw")
+    assert len(hits) == 10  # the post-compact generation is queryable
+
+
 def _mini_corpus(path: Path, docs: list[tuple[str, str]], ts0: int = 1_600_000_000_000_000):
     """Hand-built pages corpus: (url, body words) pairs."""
     path.mkdir(parents=True, exist_ok=True)
