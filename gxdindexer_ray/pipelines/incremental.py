@@ -155,15 +155,19 @@ def compact_index(
     doc_files = sorted(str(p) for p in docs_dir.glob("*.parquet"))
     key = f"{fingerprint_inputs(doc_files)}-{config_key(cfg)}-compact"
 
-    # ---- global stats -> root stats.json (scan-free: sum sealed stats)
+    # ---- global stats from a SCAN of the consolidated docstore (ground
+    # truth, never the generation manifests): a crash anywhere inside
+    # compaction leaves a state a re-run converges from, because every
+    # derived artifact (stats, hot terms, segments) is recomputed from the
+    # docstore files actually on disk — the one thing the (idempotent)
+    # moves above made complete before anything was deleted.
     t0 = time.perf_counter()
-    gstats = read_global_stats(root)
-    stats = {"N": gstats["N"], "total_dl": gstats["total_dl"],
-             "avgdl": gstats["avgdl"], "k1": cfg.k1, "b": cfg.b,
+    dls = rd.read_parquet(doc_files, columns=["dl"]) if doc_files else None
+    N = int(dls.count()) if dls is not None else 0
+    total_dl = int(dls.sum("dl") or 0) if (dls is not None and N) else 0
+    stats = {"N": N, "total_dl": total_dl,
+             "avgdl": (total_dl / N) if N else 0.0, "k1": cfg.k1, "b": cfg.b,
              "block_size": cfg.block_size}
-    # drop generation records BEFORE rewriting stats.json: from here on the
-    # layout is single-generation (a crash leaves a valid, compactable state
-    # because the docstore moves above are idempotent no-ops on re-run)
     for g in gens["generations"]:
         shutil.rmtree(root / g, ignore_errors=True)
     if (root / "generations.json").exists():

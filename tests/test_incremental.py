@@ -143,6 +143,37 @@ def test_compact_restores_single_build_layout(appended_and_ref, corpora):
     assert read_json(Path(idx) / "stats.json") == read_json(Path(ref) / "stats.json")
 
 
+def test_compact_crash_window_recovers(ray_session, corpora, tmp_path):
+    """Worst-case mid-compaction crash: generation docstores already folded
+    in, generation dirs and generations.json already gone, but stats.json
+    still base-only and segments stale. Re-running compact must converge —
+    it derives every artifact from the consolidated docstore on disk, not
+    from the (now deleted) generation manifests."""
+    import shutil
+
+    from gxdindexer_ray.pipelines import SearchEngine, append_index, build_index, compact_index
+
+    a, b, full, _ = corpora
+    idx = tmp_path / "crash"
+    ref = tmp_path / "crashref"
+    build_index(a, idx, CFG)
+    append_index(b, idx, CFG)
+    build_index(full, ref, CFG)
+    # simulate the crash window by hand (mirrors compact's move step)
+    g = idx / "gen-0001"
+    for f in sorted((g / "docs").glob("*.parquet")):
+        f.rename(idx / "docs" / f"gen-0001-{f.name}")
+    shutil.rmtree(g)
+    (idx / "generations.json").unlink()
+    # stats.json is now stale (base-only) and segments cover the base only
+    compact_index(idx, CFG)
+    assert read_json(idx / "stats.json") == read_json(ref / "stats.json")
+    ei = SearchEngine(idx, warm_top_terms=0)
+    er = SearchEngine(ref, warm_top_terms=0)
+    for q in generate_queries(15, seed=4).to_pylist():
+        assert ei.topk(q["query"], q["k"], "brute") == er.topk(q["query"], q["k"], "brute")
+
+
 def test_append_after_compact_cycle(ray_session, corpora, tmp_path):
     """Full lifecycle: build -> append -> compact -> append again. The
     second append must see the compacted corpus as its base (its docs are
