@@ -19,18 +19,19 @@ class IndexConfig:
 
     # --- posting layout ---
     block_size: int = 128          # postings per skip/block-max block
-    n_buckets: int = 32            # segment files (groupby key space). Fixed —
-                                   # NOT derived from cluster size, so segment
-                                   # bytes are parallelism-invariant.
-                                   # 0 = auto: resolved at build time to the
-                                   # next power of two of N/31250, clamped to
-                                   # [32, 4096] — derived from CORPUS SIZE
-                                   # (content), never parallelism, so the
-                                   # invariance contract holds while per-
-                                   # bucket merge working sets stay ~constant
-                                   # as the corpus grows (BASELINE.md §3: at
-                                   # 4M docs fixed 32 buckets forced merge
-                                   # concurrency down and cost 20% throughput).
+    n_buckets: int = 0             # segment files (groupby key space).
+                                   # 0 (default) = auto: resolved at build
+                                   # time to the next power of two of
+                                   # N/31250, clamped to [32, 4096] —
+                                   # derived from CORPUS SIZE (content),
+                                   # never cluster size/parallelism, so the
+                                   # segment-bytes invariance contract holds
+                                   # while per-bucket merge working sets stay
+                                   # ~constant as the corpus grows (measured:
+                                   # 27% faster 2M build vs fixed 32,
+                                   # BASELINE.md §3; resolves to the 32 floor
+                                   # for any corpus <= 1M docs). An explicit
+                                   # value pins the layout.
 
     # --- skew handling (SURVEY.md §7.3: salt hot terms) ---
     # A term is "hot" when its sampled document frequency exceeds
