@@ -78,6 +78,21 @@ def _check_scoring_config(root: Path, cfg: IndexConfig) -> None:
             raise ValueError(
                 f"append config {k}={getattr(cfg, k)} != base index {k}={stats[k]}; "
                 "scoring constants must match across generations")
+    # positional postings are an artifact-level capability: a non-positional
+    # delta on a positional base would silently downgrade phrase matching to
+    # docstore verification, and a mismatched compact would rebuild with
+    # different artifacts — require explicit agreement instead.
+    import pyarrow.parquet as pq
+
+    seg_files = sorted((root / "segments").glob("*.parquet"))
+    if seg_files:
+        meta = pq.read_table(seg_files[0], columns=["pos_payload"])
+        base_positional = meta["pos_payload"].null_count < meta.num_rows
+        if base_positional != cfg.store_positions:
+            raise ValueError(
+                f"store_positions={cfg.store_positions} but the base index "
+                f"{'has' if base_positional else 'lacks'} positional postings; "
+                "generations must agree")
 
 
 def append_index(

@@ -247,6 +247,29 @@ def test_wand_bounds_stay_safe_when_global_avgdl_grows(ray_session, tmp_path):
     assert len(top) == 5 and all(s > 0 for _, s in top)
 
 
+def test_positional_append_and_mismatch_guard(ray_session, tmp_path):
+    """Positional generations: phrase matching stays index-resident across
+    an append; a non-positional delta on a positional base is refused."""
+    from dataclasses import replace
+
+    from gxdindexer_ray.pipelines import SearchEngine, append_index, build_index
+
+    base_docs = [(f"https://p.example/{i}", "alpha beta gamma filler") for i in range(30)]
+    delta_docs = [(f"https://q.example/{i}", "gamma alpha beta") for i in range(20)]
+    base, delta = tmp_path / "pb", tmp_path / "pd"
+    _mini_corpus(base, base_docs)
+    _mini_corpus(delta, delta_docs, ts0=1_700_000_000_000_000)
+    idx = tmp_path / "pidx"
+    pos_cfg = replace(CFG, store_positions=True)
+    build_index(base, idx, pos_cfg)
+    with pytest.raises(ValueError, match="store_positions"):
+        append_index(delta, idx, CFG)  # non-positional delta refused
+    append_index(delta, idx, pos_cfg)
+    eng = SearchEngine(idx, warm_top_terms=0)
+    hits = eng.phrase_topk("alpha beta", 50)
+    assert len(hits) == 50  # both generations match the phrase
+
+
 def test_cli_append_compact(ray_session, corpora, tmp_path):
     from gxdindexer_ray.__main__ import main
     from gxdindexer_ray.pipelines import build_index
