@@ -39,12 +39,26 @@ def generation_dirs(index_dir: str | Path) -> list[Path]:
     return [index_dir / g for g in gens.get("generations", [])]
 
 
+def check_not_compacting(index_dir: str | Path) -> None:
+    """Refuse reads while a compaction is mid-flight: between the
+    generation-dir deletes and the new segment seal, the on-disk layout is
+    readable but silently WRONG (stale base-only segments over a union
+    docstore). ``compact_index`` writes ``compacting.json`` first and
+    removes it last; a crash leaves it behind until compact is re-run."""
+    marker = Path(index_dir) / "compacting.json"
+    if marker.exists():
+        raise RuntimeError(
+            f"{index_dir} has an in-progress (or crashed) compaction "
+            f"({marker}); re-run compact_index to converge before reading")
+
+
 def read_global_stats(index_dir: str | Path) -> dict:
     """Corpus stats across the base index and every appended generation:
     N and total_dl sum; avgdl recomputed from the sums; the scoring
     constants (k1, b, block_size) come from the base and are validated
     equal in every generation at append time."""
     index_dir = Path(index_dir)
+    check_not_compacting(index_dir)
     stats = read_json(index_dir / "stats.json")
     if not stats:
         raise FileNotFoundError(f"no stats.json under {index_dir}")

@@ -115,7 +115,11 @@ def detect_hot_keys(ds, col: str, *, threshold: float = 0.01,
         vals = vc.field("values")
         cnts = vc.field("counts").cast(pa.int64())
         cut = max(1, int(batch.num_rows * threshold / slack))
-        m = pa.compute.greater_equal(cnts, cut)
+        # null keys are excluded from candidates: the null-keyed row below is
+        # the batch-count sentinel, and a real-null candidate row would merge
+        # into `total` and inflate it (weakening the acceptance bound)
+        m = pa.compute.and_(pa.compute.greater_equal(cnts, cut),
+                            pa.compute.is_valid(vals))
         cand = pa.table({"k": vals.filter(m), "n": cnts.filter(m)})
         sent = pa.table({"k": pa.nulls(1, vals.type),
                          "n": pa.array([batch.num_rows], pa.int64())})
@@ -183,6 +187,20 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
             raise ValueError("hot-key salting breaks bucket_post's whole-key "
                              "invariant; aggregate downstream instead")
     hot_arr = np.asarray(sorted(hot_keys)) if hot_keys else None
+    # effective salts = the prefix of salt indices whose bucket OFFSETS
+    # (s*_SALT_PRIME mod n_buckets) are all distinct. Two salts landing in
+    # the same bucket would put two build-side replicas of a hot row in one
+    # reducer and silently DUPLICATE its joined rows (n_salts > n_buckets,
+    # or gcd(_SALT_PRIME, n_buckets) > 1). For power-of-two n_buckets the
+    # odd prime guarantees distinct offsets up to n_buckets salts.
+    eff_salts: list[int] = []
+    if hot_keys:
+        seen_off = set()
+        for s in range(n_salts):
+            off = (s * _SALT_PRIME) % n_buckets
+            if off not in seen_off:
+                seen_off.add(off)
+                eff_salts.append(s)
 
     # normalize to Arrow blocks: pandas-backed Datasets report numpy dtypes,
     # and the typed-null union below needs real Arrow types
@@ -218,10 +236,11 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
                 cols["__side"] = side_col
                 return pa.table(cols)
             if side == 0:
-                # probe side: scatter hot rows round-robin over the salts
-                # (the joined row SET is the same for ANY spread)
+                # probe side: scatter hot rows round-robin over the EFFECTIVE
+                # salts (the joined row SET is the same for ANY spread)
                 idx = np.flatnonzero(hot_mask)
-                salts = np.arange(idx.size, dtype=np.int64) % n_salts
+                salts = np.asarray(eff_salts, np.int64)[
+                    np.arange(idx.size, dtype=np.int64) % len(eff_salts)]
                 cols["__jb"] = pa.array(salted_bucket_ids(jb, hot_mask, salts, n_buckets))
                 cols["__side"] = side_col
                 return pa.table(cols)
@@ -234,7 +253,7 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
             hot_idx = pa.array(np.flatnonzero(hot_mask))
             hot_rows = base.take(hot_idx)
             jb_hot = jb[hot_mask].astype(np.int64)
-            for s in range(1, n_salts):
+            for s in eff_salts[1:]:  # s=0 == the unsalted base copy
                 jb_s = ((jb_hot + s * _SALT_PRIME) % n_buckets).astype(np.int32)
                 parts.append(hot_rows.set_column(
                     hot_rows.schema.get_field_index("__jb"), "__jb", pa.array(jb_s)))

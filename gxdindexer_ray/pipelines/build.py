@@ -469,6 +469,10 @@ def build_index(
             "k1": cfg.k1,
             "b": cfg.b,
             "block_size": cfg.block_size,
+            # artifact capability flag: appends/compacts check this instead
+            # of sniffing a segment's pos_payload column (ADVICE r2: that
+            # sniff read an entire binary column per append)
+            "store_positions": bool(cfg.store_positions),
         }
         atomic_write_json(stats_path, stats)
         p1.seal(**stats)
@@ -734,7 +738,8 @@ def build_filtered_index(
         N = int(dls.count()) if dls is not None else 0
         total_dl = int(dls.sum("dl") or 0) if (dls is not None and N) else 0
         stats = {"N": N, "total_dl": total_dl, "avgdl": (total_dl / N) if N else 0.0,
-                 "k1": cfg.k1, "b": cfg.b, "block_size": cfg.block_size}
+                 "k1": cfg.k1, "b": cfg.b, "block_size": cfg.block_size,
+                 "store_positions": bool(cfg.store_positions)}
         atomic_write_json(stats_path, stats)
         p1.seal(**stats)
     stats = read_json(stats_path)

@@ -82,17 +82,25 @@ def _check_scoring_config(root: Path, cfg: IndexConfig) -> None:
     # delta on a positional base would silently downgrade phrase matching to
     # docstore verification, and a mismatched compact would rebuild with
     # different artifacts — require explicit agreement instead.
-    import pyarrow.parquet as pq
+    if "store_positions" in stats:  # recorded at build time (fast path)
+        base_positional = bool(stats["store_positions"])
+    else:
+        # older index layout: sniff ONE row group of one segment file
+        # (never the whole binary column — ADVICE r2)
+        import pyarrow.parquet as pq
 
-    seg_files = sorted((root / "segments").glob("*.parquet"))
-    if seg_files:
-        meta = pq.read_table(seg_files[0], columns=["pos_payload"])
-        base_positional = meta["pos_payload"].null_count < meta.num_rows
-        if base_positional != cfg.store_positions:
-            raise ValueError(
-                f"store_positions={cfg.store_positions} but the base index "
-                f"{'has' if base_positional else 'lacks'} positional postings; "
-                "generations must agree")
+        base_positional = cfg.store_positions  # vacuous when no segments
+        seg_files = sorted((root / "segments").glob("*.parquet"))
+        if seg_files:
+            pf = pq.ParquetFile(seg_files[0])
+            if pf.metadata.num_row_groups:
+                meta = pf.read_row_group(0, columns=["pos_payload"])
+                base_positional = meta["pos_payload"].null_count < meta.num_rows
+    if base_positional != cfg.store_positions:
+        raise ValueError(
+            f"store_positions={cfg.store_positions} but the base index "
+            f"{'has' if base_positional else 'lacks'} positional postings; "
+            "generations must agree")
 
 
 def append_index(
@@ -159,6 +167,15 @@ def compact_index(
     metrics: dict = {"phases": {}, "n_generations_folded": len(gens["generations"])}
     t_all = time.perf_counter()
 
+    # compaction-in-progress marker (ADVICE r2): between deleting the
+    # generation dirs and sealing the new segments, the on-disk index is a
+    # readable-but-WRONG state (stale base-only segments over a union
+    # docstore). Readers refuse while this marker exists; a crash leaves it
+    # in place so the gap is loud until compact is re-run to completion.
+    marker = root / "compacting.json"
+    atomic_write_json(marker, {"started_at": time.time(),
+                               "generations": list(gens["generations"])})
+
     # ---- fold generation docstores into the base docstore (rename only;
     # gen- prefix keeps names collision-free and lineage-readable)
     docs_dir = root / "docs"
@@ -182,7 +199,8 @@ def compact_index(
     total_dl = int(dls.sum("dl") or 0) if (dls is not None and N) else 0
     stats = {"N": N, "total_dl": total_dl,
              "avgdl": (total_dl / N) if N else 0.0, "k1": cfg.k1, "b": cfg.b,
-             "block_size": cfg.block_size}
+             "block_size": cfg.block_size,
+             "store_positions": bool(cfg.store_positions)}
     for g in gens["generations"]:
         shutil.rmtree(root / g, ignore_errors=True)
     if (root / "generations.json").exists():
@@ -230,4 +248,5 @@ def compact_index(
     )
     metrics["wall_sec"] = round(time.perf_counter() - t_all, 3)
     atomic_write_json(root / "metrics.json", metrics)
+    marker.unlink(missing_ok=True)  # index is consistent again
     return metrics

@@ -174,6 +174,29 @@ def test_compact_crash_window_recovers(ray_session, corpora, tmp_path):
         assert ei.topk(q["query"], q["k"], "brute") == er.topk(q["query"], q["k"], "brute")
 
 
+def test_compacting_marker_blocks_reads(ray_session, corpora, tmp_path):
+    """ADVICE r2: a crash inside compaction's destructive window must leave
+    the index LOUDLY unreadable (compacting.json marker), not silently
+    missing the delta docs. compact_index clears the marker on success."""
+    from gxdindexer_ray.index.reader import build_lexicon, read_global_stats
+    from gxdindexer_ray.pipelines import append_index, build_index, compact_index
+
+    a, b, _, _ = corpora
+    idx = tmp_path / "mark"
+    build_index(a, idx, CFG)
+    append_index(b, idx, CFG)
+    # simulate a crash right after compact wrote its marker
+    (idx / "compacting.json").write_text('{"started_at": 0}')
+    with pytest.raises(RuntimeError, match="compaction"):
+        read_global_stats(idx)
+    with pytest.raises(RuntimeError, match="compaction"):
+        build_lexicon(idx)
+    # re-running compact converges and clears the marker
+    compact_index(idx, CFG)
+    assert not (idx / "compacting.json").exists()
+    assert read_global_stats(idx)["N"] > 0
+
+
 def test_append_after_compact_cycle(ray_session, corpora, tmp_path):
     """Full lifecycle: build -> append -> compact -> append again. The
     second append must see the compacted corpus as its base (its docs are

@@ -204,6 +204,55 @@ def test_partitioned_join_salted_hot_key(ray_session):
                          "k", "rk", how="right", hot_keys={hot})
 
 
+def test_partitioned_join_salts_exceed_buckets(ray_session):
+    """ADVICE r2 repro: n_salts > n_buckets used to replicate a hot build
+    row into the same bucket twice (duplicate salt residues), duplicating
+    its joined rows. Effective salts are now clamped to distinct residues."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import partitioned_join
+
+    rng = np.random.default_rng(5)
+    n = 400
+    hot = 3
+    k = np.where(rng.random(n) < 0.7, hot, rng.integers(0, 20, n)).astype(np.int64)
+    left = pd.DataFrame({"k": k, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(20, dtype=np.int64),
+                          "rv": np.arange(20, dtype=np.int64) * 10})
+    exp = left.merge(right, left_on="k", right_on="rk", how="inner")
+    for n_buckets, n_salts in ((4, 8), (6, 12), (8, 64)):
+        got = partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                               "k", "rk", how="inner", n_buckets=n_buckets,
+                               hot_keys={hot}, n_salts=n_salts).to_pandas()
+        assert len(got) == len(exp), (n_buckets, n_salts)
+        got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+        exp_s = exp[got.columns].sort_values(list(got.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_detect_hot_keys_with_nulls(ray_session):
+    """ADVICE r2: real nulls in the join column must not inflate `total`
+    (they previously merged with the batch-count sentinel) and must never
+    be flagged hot themselves."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import detect_hot_keys
+
+    rng = np.random.default_rng(3)
+    n = 10_000
+    # 40% nulls, 20% the hot key, rest uniform tail
+    r = rng.random(n)
+    vals = np.where(r < 0.2, "hot", rng.integers(0, 3000, n).astype(str)).astype(object)
+    vals[r >= 0.6] = None
+    ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(8)
+    # hot share among ALL rows is 20%; with nulls inflating total it would
+    # still pass θ=0.15, but a null-counted total would ALSO admit spurious
+    # keys near the bound — assert the exact set and that None is absent
+    hot = detect_hot_keys(ds, "k", threshold=0.15)
+    assert hot == {"hot"}
+    assert None not in hot
+
+
 def test_detect_hot_keys(ray_session):
     """The θ-share guarantee: a 30%-share key is always caught at θ=0.1;
     uniform tail keys (share ~2e-4) never are."""
