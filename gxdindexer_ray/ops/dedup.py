@@ -145,10 +145,9 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
                     out_b.append(y)
         return pd.DataFrame({"a": out_a, "b": out_b}).astype(np.int64)
 
-    from .relational import add_mod_bucket, bucketed_apply, dedup_first
+    from .relational import dedup_first, mod_exchange_apply
 
-    bucketed = add_mod_bucket(sig_ds, "bhash", 64)
-    cand = bucketed_apply(bucketed, "__bucket", pairs)
+    cand = mod_exchange_apply(sig_ds, "bhash", pairs, 64)
     return dedup_first(cand, ["a", "b"], ["a", "b"])
 
 
@@ -398,10 +397,10 @@ def simhash_near_dup(ds, *, max_hamming: int = 3, bands: int = 4,
                 out_h.extend(ham[hit].astype(np.int64).tolist())
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h}).astype(np.int64)
 
-    from .relational import add_mod_bucket, bucketed_apply
+    from .relational import mod_exchange_apply
     from ray.data.aggregate import Min
 
-    cand = bucketed_apply(add_mod_bucket(rows, "chunk", 64), "__bucket", pairs)
+    cand = mod_exchange_apply(rows, "chunk", pairs, 64)
     out = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")).to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["a", "b", "hamming"]).astype(np.int64)

@@ -202,12 +202,31 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
                 seen_off.add(off)
                 eff_salts.append(s)
 
-    # normalize to Arrow blocks: pandas-backed Datasets report numpy dtypes,
-    # and the typed-null union below needs real Arrow types
-    left = left.map_batches(lambda t: t, batch_format="pyarrow")
-    right = right.map_batches(lambda t: t, batch_format="pyarrow")
-    l_schema = left.schema()
-    r_schema = right.schema()
+    # Execute both sides to block refs (sequentially — the two plans may
+    # SHARE lineage, e.g. iterative callers join a dataset against an
+    # aggregate derived from it, and concurrent execution of overlapping
+    # plans crosses blocks between them), then read each side's Arrow
+    # schema from its first block via a tiny remote task instead of two
+    # plan-executing .schema() calls.
+    l_refs = left.to_arrow_refs()
+    r_refs = right.to_arrow_refs()
+    sch = ray.remote(_block_schema)
+    sch_refs, sch_slots = [], []
+    for i, refs in enumerate((l_refs, r_refs)):
+        if refs:
+            sch_refs.append(sch.remote(*refs[:4]))
+            sch_slots.append(i)
+    got = dict(zip(sch_slots, ray.get(sch_refs)))
+
+    def _resolve_schema(slot, ds):
+        s = got.get(slot)
+        if s is not None and len(s.names):
+            return s
+        # zero-block / all-degenerate side: Ray Data's schema (Arrow types)
+        return ds.schema()
+
+    l_schema = _resolve_schema(0, left)
+    r_schema = _resolve_schema(1, right)
     l_fields = list(zip(l_schema.names, l_schema.types))
     r_fields = [(n, t) for n, t in zip(r_schema.names, r_schema.types) if n not in l_schema.names]
     all_fields = l_fields + r_fields
@@ -261,10 +280,6 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
 
         return f
 
-    u = left.map_batches(unify(0, left_on), batch_format="pyarrow").union(
-        right.map_batches(unify(1, right_on), batch_format="pyarrow")
-    )
-
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"]
         import pyarrow.compute as pc2
@@ -291,9 +306,14 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
         return pa.table(cols)
 
     # whole-bucket integrity required (a split bucket silently loses join
-    # matches) -> explicit exchange, not groupby().map_groups
-    return hash_exchange_apply(u, "__jb", join_bucket, batch_format="pyarrow",
-                               drop_bucket_col=False)
+    # matches) -> explicit exchange, not groupby().map_groups. The per-side
+    # unify (typed-null column alignment + bucket ids + salting) is FUSED
+    # into the partition tasks — no standalone unify/union passes.
+    empty = pa.schema([pa.field(n, t) for n, t in all_fields]
+                      + [pa.field("__jb", pa.int32()), pa.field("__side", pa.int8())]).empty_table()
+    return _exchange_sides([(l_refs, unify(0, left_on)), (r_refs, unify(1, right_on))],
+                           "__jb", join_bucket, batch_format="pyarrow",
+                           drop_bucket_col=False, empty_table=empty)
 
 
 # ---------------------------------------------------------------------------
@@ -367,18 +387,54 @@ def pre_aggregate(
 # ---------------------------------------------------------------------------
 
 
-def _partition_block(tbl, col: str) -> dict:
-    """Split one block by a bucket column; returns {value: ObjectRef}.
-    One sort + run slicing (not one filter pass per distinct value).
-    Tolerates pandas blocks: to_arrow_refs can return them unconverted
-    despite an upstream arrow-format normalization map."""
+def _to_arrow(tbl) -> pa.Table:
+    """Block to Arrow. Tolerates pandas blocks: to_arrow_refs can return
+    them unconverted despite an upstream arrow-format normalization map."""
+    if isinstance(tbl, pd.DataFrame):
+        return pa.Table.from_pandas(tbl, preserve_index=False)
+    return tbl
+
+
+def _block_schema(*blocks) -> pa.Schema | None:
+    """Schema of the first block that HAS columns — aggregates can emit
+    0-row blocks with an empty schema, which must not win."""
+    best = None
+    for tbl in blocks:
+        s = _to_arrow(tbl).schema
+        if len(s.names):
+            return s
+        best = s
+    return best
+
+
+def _partition_chunk(col: str, pre, *blocks):
+    """Partition a CHUNK of blocks by a bucket column. ``pre`` (optional,
+    Arrow table -> Arrow table) is FUSED here — the per-side transform that
+    used to be its own map_batches pass runs inside the partition task, so
+    a join pays zero extra whole-data passes. One sort + run slicing per
+    chunk (not one filter pass per distinct value); one ``ray.put`` per
+    (task, bucket). Returns TWO values (``num_returns=2``): the small list
+    of (bucket key, nbytes) pairs (the only thing the driver materializes
+    — sizes drive reducer grouping) and the {value: ObjectRef} map, which
+    stays in the object store for reducers to fetch themselves."""
     import pyarrow.compute as pc
 
-    if isinstance(tbl, pd.DataFrame):
-        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    tables = []
+    for tbl in blocks:
+        tbl = _to_arrow(tbl)
+        if tbl.num_rows == 0:
+            # skip BEFORE pre: aggregates can emit 0-row blocks with an
+            # EMPTY schema (map_batches never surfaces those to its fn)
+            continue
+        if pre is not None:
+            tbl = pre(tbl)
+        if tbl.num_rows:
+            tables.append(tbl)
+    if not tables:
+        return [], {}
+    tbl = pa.concat_tables(tables).combine_chunks() if len(tables) > 1 else tables[0]
     out: dict = {}
-    if tbl.num_rows == 0:
-        return out
+    keys: list = []
     order = pc.sort_indices(tbl[col])
     tbl = tbl.take(order)
     vals = tbl[col].to_numpy(zero_copy_only=False)
@@ -387,24 +443,147 @@ def _partition_block(tbl, col: str) -> dict:
         s, e = int(bounds[i]), int(bounds[i + 1])
         v = vals[s]
         v = v.item() if hasattr(v, "item") else v
-        out[v] = ray.put(tbl.slice(s, e - s))
-    return out
+        sl = tbl.slice(s, e - s)
+        out[v] = ray.put(sl)
+        keys.append((v, sl.nbytes))
+    return keys, out
 
 
-def _reduce_bucket(fn, batch_format: str, drop_col: str | None, refs: list) -> pa.Table:
-    tables = ray.get(list(refs))
-    tbl = pa.concat_tables(tables).combine_chunks()
-    if drop_col and drop_col in tbl.column_names:
-        tbl = tbl.drop_columns([drop_col])
-    batch = tbl.to_pandas() if batch_format == "pandas" else tbl
-    out = fn(batch)
+def _reduce_group(fn, batch_format: str, drop_col: str | None, values: list,
+                  dict_refs: list) -> pa.Table:
+    """Reduce a GROUP of bucket values in one task. ``fn`` is applied to
+    each value's complete row set SEPARATELY (identical semantics to one
+    reducer per value — required for correctness of salted joins, where
+    merging two salt-buckets would duplicate replicated build rows), then
+    the per-value outputs are concatenated. Partition maps are fetched
+    HERE (decentralized exchange metadata: the driver never ray.gets
+    them); only this group's slices are pulled."""
+    dicts = ray.get(list(dict_refs))
+    outs = []
+    for v in values:
+        tables = ray.get([d[v] for d in dicts if v in d])
+        tbl = pa.concat_tables(tables).combine_chunks()
+        if drop_col and drop_col in tbl.column_names:
+            tbl = tbl.drop_columns([drop_col])
+        batch = tbl.to_pandas() if batch_format == "pandas" else tbl
+        out = fn(batch)
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        outs.append(out)
+    if len(outs) == 1:
+        return outs[0]
+    try:
+        return pa.concat_tables(outs, promote_options="permissive").combine_chunks()
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        # per-value pandas round trips can infer conflicting types for
+        # all-null columns; align on the widest via pandas
+        return pa.Table.from_pandas(
+            pd.concat([t.to_pandas() for t in outs], ignore_index=True),
+            preserve_index=False)
+
+
+# remote-fn wrappers are cached at module level: re-wrapping per exchange
+# re-exports the function to every worker on each call (measured ~0.5-1s
+# per exchange at 32 workers)
+_PART_REMOTE = None
+_RED_REMOTE: dict = {}
+
+
+def _remote_fns(num_cpus: float):
+    global _PART_REMOTE
+    if _PART_REMOTE is None:
+        _PART_REMOTE = ray.remote(num_returns=2)(_partition_chunk)
+    if num_cpus not in _RED_REMOTE:
+        _RED_REMOTE[num_cpus] = ray.remote(num_cpus=num_cpus)(_reduce_group)
+    return _PART_REMOTE, _RED_REMOTE[num_cpus]
+
+
+def _apply_empty(fn, batch_format: str, drop: str | None, empty: pa.Table):
+    """Empty-input path: preserve fn's output schema by applying it to a
+    typed empty table."""
+    if drop and drop in empty.column_names:
+        empty = empty.drop_columns([drop])
+    out = fn(empty.to_pandas() if batch_format == "pandas" else empty)
     if isinstance(out, pd.DataFrame):
         out = pa.Table.from_pandas(out, preserve_index=False)
-    return out
+    return rd.from_arrow(out)
+
+
+def _exchange_sides(sides, bucket_col: str, fn, *, batch_format: str = "pandas",
+                    drop_bucket_col: bool = True, num_cpus: float = 1,
+                    empty_table: pa.Table | None = None):
+    """Shared exchange core over one or more (block_refs, pre_fn) sides.
+
+    Driver footprint is O(tasks + buckets) ObjectRefs: each partition task
+    returns (keys, map) with ``num_returns=2``; the driver ray.gets ONLY
+    the tiny key lists to learn which tasks feed which bucket, and hands
+    each reducer the map REFS — the O(blocks x buckets) slice refs live in
+    the object store (pinned by containment in the map objects, which are
+    pinned as reducer arguments) and are fetched by the reducers, never by
+    the driver. Chunking: ~1 task per CPU, capped at 16 blocks per task,
+    so slice objects are per (task, bucket), not per (block, bucket).
+
+    Small buckets are GROUPED into shared reducer tasks (greedy by size,
+    in sorted-value order; fn still runs per value — see _reduce_group).
+    Every reducer deserializes every partition map it touches, i.e.
+    O(tasks-hit x buckets-in-map) nested ObjectRefs, so for tiny inputs
+    64 separate reducers would pay ~T x B borrower registrations each;
+    grouping bounds reducer count by data volume instead."""
+    n_blocks = sum(len(refs) for refs, _ in sides)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    chunk = max(1, min(16, -(-n_blocks // cpus)))
+    part, red = _remote_fns(num_cpus)
+    key_refs, dict_refs = [], []
+    for refs, pre in sides:
+        pre_ref = ray.put(pre) if pre is not None else None
+        for i in range(0, len(refs), chunk):
+            kr, dr = part.remote(bucket_col, pre_ref, *refs[i:i + chunk])
+            key_refs.append(kr)
+            dict_refs.append(dr)
+    by_bucket: dict = {}  # value -> [task index] in task (= block) order
+    sizes: dict = {}
+    for ti, keys in enumerate(ray.get(key_refs)):
+        for v, nb in keys:
+            by_bucket.setdefault(v, []).append(ti)
+            sizes[v] = sizes.get(v, 0) + nb
+    total_bytes = sum(sizes.values())
+    min_group = min(64 << 20, max(1 << 20, total_bytes // (4 * cpus)))
+    drop = bucket_col if drop_bucket_col else None
+    # greedy contiguous grouping over sorted values: big buckets get their
+    # own reducer, tiny ones share; output row order (concat of groups in
+    # sorted-value order) is identical to one-reducer-per-value
+    groups: list = []  # (values, union task idxs in order)
+    cur_vals: list = []
+    cur_idxs: list = []
+    cur_bytes = 0
+    for v, idxs in sorted(by_bucket.items(), key=lambda kv: str(kv[0])):
+        cur_vals.append(v)
+        cur_idxs.append(idxs)
+        cur_bytes += sizes[v]
+        if cur_bytes >= min_group:
+            groups.append((cur_vals, cur_idxs))
+            cur_vals, cur_idxs, cur_bytes = [], [], 0
+    if cur_vals:
+        groups.append((cur_vals, cur_idxs))
+    out_refs = []
+    for vals, idx_lists in groups:
+        seen: dict = {}  # ordered set of task indices
+        for idxs in idx_lists:
+            for i in idxs:
+                seen.setdefault(i, None)
+        out_refs.append(red.remote(fn, batch_format, drop, vals,
+                                   [dict_refs[i] for i in seen]))
+    if not out_refs:
+        if empty_table is None:
+            first = next((refs[0] for refs, _ in sides if refs), None)
+            empty_table = _to_arrow(ray.get(first)).schema.empty_table() if first is not None else pa.table({})
+        return _apply_empty(fn, batch_format, drop, empty_table)
+    return rd.from_arrow_refs(out_refs)
 
 
 def hash_exchange_apply(ds, bucket_col: str, fn, *, batch_format: str = "pandas",
-                        drop_bucket_col: bool = True, num_cpus: float = 1):
+                        drop_bucket_col: bool = True, num_cpus: float = 1,
+                        pre=None):
     """Apply ``fn`` to ALL rows of each bucket value, with GUARANTEED group
     integrity, via an explicit object-store hash exchange built on raw Ray
     tasks.
@@ -418,36 +597,54 @@ def hash_exchange_apply(ds, bucket_col: str, fn, *, batch_format: str = "pandas"
     30/30 clean trials — so ``groupby().aggregate`` stays on the Dataset
     API; whole-group applies route through here instead.
 
-    Mechanics: one partition task per input block splits it by the bucket
-    column (rows stay in the object store, one ``ray.put`` per
-    (block, bucket) run); one reduce task per bucket value concatenates its
+    Mechanics: partition tasks (a few blocks each) split their rows by the
+    bucket column (rows stay in the object store, one ``ray.put`` per
+    (task, bucket)); one reduce task per bucket value concatenates its
     slices in block order and applies ``fn`` to the complete group. Output
     is a Dataset over the reduce results. Co-location is by construction —
     the partition map is the exchange, exactly like the index build's
-    SPIMI/file exchanges but through the object store."""
-    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")  # normalize blocks
-    block_refs = ds.to_arrow_refs()
-    part = ray.remote(_partition_block)
-    dicts = ray.get([part.remote(r, bucket_col) for r in block_refs])
-    by_bucket: dict = {}
-    for d in dicts:
-        for v, ref in d.items():
-            by_bucket.setdefault(v, []).append(ref)
-    red = ray.remote(num_cpus=num_cpus)(_reduce_bucket)
-    drop = bucket_col if drop_bucket_col else None
-    out_refs = [red.remote(fn, batch_format, drop, refs)
-                for _, refs in sorted(by_bucket.items(), key=lambda kv: str(kv[0]))]
-    if not out_refs:
-        # empty input: preserve fn's output schema by applying it to a
-        # typed empty table (schema from any input block if one exists)
-        empty = ray.get(block_refs[0]).schema.empty_table() if block_refs else pa.table({})
-        if drop and drop in empty.column_names:
-            empty = empty.drop_columns([drop])
-        out = fn(empty.to_pandas() if batch_format == "pandas" else empty)
-        if isinstance(out, pd.DataFrame):
-            out = pa.Table.from_pandas(out, preserve_index=False)
-        return rd.from_arrow(out)
-    return rd.from_arrow_refs(out_refs)
+    SPIMI/file exchanges but through the object store; see _exchange_sides
+    for the driver-footprint contract. ``pre`` (Arrow table -> Arrow
+    table) runs fused inside the partition tasks — use it for local
+    pre-reduction / bucket-id derivation instead of a standalone
+    map_batches pass."""
+    return _exchange_sides([(ds.to_arrow_refs(), pre)], bucket_col, fn,
+                           batch_format=batch_format,
+                           drop_bucket_col=drop_bucket_col, num_cpus=num_cpus)
+
+
+def keyed_exchange_apply(ds, key_cols: list[str], fn, n_buckets: int = 64, *,
+                         local=None, batch_format: str = "pandas",
+                         num_cpus: float = 1):
+    """hash_exchange_apply with bucket-id computation (and an optional
+    ``local`` pandas pre-reduce, e.g. in-batch pre-dedup) FUSED into the
+    partition tasks: the whole exchange costs zero extra whole-data passes
+    beyond the partition/reduce pair itself."""
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if local is not None:
+            df = local(df)
+        df["__bucket"] = stable_bucket_ids(df, key_cols, n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hash_exchange_apply(ds, "__bucket", fn, batch_format=batch_format,
+                               num_cpus=num_cpus, pre=pre)
+
+
+def mod_exchange_apply(ds, col: str, fn, n_buckets: int = 64, *,
+                       local=None, batch_format: str = "pandas"):
+    """keyed_exchange_apply for an integer column, bucketing by ``col %
+    n_buckets`` inside the partition tasks."""
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if local is not None:
+            df = local(df)
+        df["__bucket"] = (df[col].astype(np.int64) % n_buckets).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hash_exchange_apply(ds, "__bucket", fn, batch_format=batch_format, pre=pre)
 
 
 # ---------------------------------------------------------------------------
@@ -517,14 +714,14 @@ def bucketed_apply(ds, bucket_col: str, fn):
 
 def dedup_first(ds, key_cols: list[str], order_cols: list[str], n_buckets: int = 64):
     """Exact per-key first-wins dedup (D3): hash-bucket by key, sort+drop
-    within bucket. In-batch pre-dedup first to shrink the shuffle."""
+    within bucket. The in-batch pre-dedup (shrinks the shuffle) and the
+    bucket-id derivation both run fused inside the exchange's partition
+    tasks — no standalone passes."""
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(order_cols, kind="mergesort").drop_duplicates(key_cols, keep="first")
 
-    ds = ds.map_batches(local, batch_format="pandas")
-    ds = add_hash_bucket(ds, key_cols, n_buckets)
-    return bucketed_apply(ds, "__bucket", local)
+    return keyed_exchange_apply(ds, key_cols, local, n_buckets, local=local)
 
 
 # ---------------------------------------------------------------------------

@@ -170,8 +170,11 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 4,
 
 def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64):
     """Group by content hash; keep min id per distinct text. Returns
-    (keep_id, n_copies)."""
-    from .relational import bucketed_apply
+    (keep_id, n_copies). The hash+partial pass runs fused inside the
+    exchange's partition tasks."""
+    import pyarrow as pa
+
+    from .relational import hash_exchange_apply
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[id_col, text_col]].copy()
@@ -189,7 +192,8 @@ def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_bucke
         )
         return out
 
-    parts = ds.map_batches(add_hash, batch_format="pandas")
+    def pre(tbl: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(add_hash(tbl.to_pandas()), preserve_index=False)
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("__h", sort=False)
@@ -197,4 +201,4 @@ def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_bucke
             {"keep_id": g["keep_id"].min(), "n_copies": g["n_copies"].sum()}
         ).reset_index(drop=True)
 
-    return bucketed_apply(parts, "__bucket", combine)
+    return hash_exchange_apply(ds, "__bucket", combine, pre=pre)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .relational import add_mod_bucket, bucketed_apply, pre_aggregate
+from .relational import keyed_exchange_apply, pre_aggregate
 
 
 def tumbling_window(ds, *, key: str = "event_type", ts_col: str = "ts",
@@ -33,7 +33,8 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                tiebreak_col: str = "event_id", gap_minutes: int = 30,
                n_buckets: int = 64):
     """Session count per user with a fixed inactivity gap. Bucket by user
-    hash, vectorized within bucket (no per-user Python calls)."""
+    hash (derived inside the exchange's partition tasks — no standalone
+    bucketing pass), vectorized within bucket (no per-user Python calls)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,5 +45,4 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         out = new_session.groupby(df[user_col], sort=False).sum()
         return pd.DataFrame({user_col: out.index.to_numpy(), "n_sessions": out.to_numpy()})
 
-    ds = add_mod_bucket(ds, user_col, n_buckets)
-    return bucketed_apply(ds, "__bucket", per_bucket)
+    return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)

@@ -134,12 +134,15 @@ def q04_order_revenue(sf: str):
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
         df["rev"] = df.l_extendedprice * (1 - df.l_discount)
-        return df[["l_orderkey", "rev"]]
+        # map-side partial per-order sum BEFORE the exchange: lineitems per
+        # order ~4, so the shuffle ships ~4x fewer rows; the bucket_post
+        # final sum below merges the partials exactly
+        return df.groupby("l_orderkey", as_index=False, sort=False)["rev"].sum()
 
     li = li.map_batches(derive, batch_format="pandas")
 
     def per_order_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # a join bucket holds ALL lineitems of its orderkeys -> this
+        # a join bucket holds ALL lineitem partials of its orderkeys -> this
         # per-order aggregate is final; no second shuffle needed
         return df.groupby(["o_orderpriority", "o_orderkey"], as_index=False, sort=False)["rev"].sum()
 
@@ -271,7 +274,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q11_rank_in_group(sf: str):
     """O1/O3 ordinal ranks within groups (the reference's precomputed
     r_by_* sort ordinals, GxdResultIndexer.java:860-891)."""
-    from ..ops.relational import add_hash_bucket, bucketed_apply
+    from ..ops.relational import keyed_exchange_apply
 
     ds = read_table(sf, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
 
@@ -282,8 +285,14 @@ def q11_rank_in_group(sf: str):
         df["rk"] = df["rk"].astype(np.int64)
         return df[df["rk"] <= 3]
 
-    ds = add_hash_bucket(ds, ["o_orderpriority"], 16)
-    return bucketed_apply(ds, "__bucket", ranker)
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch top-3 per group is a sound partial for global top-3;
+        # shrinks the shuffle to <= 3 rows per (batch, group)
+        df = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("o_orderpriority", sort=False).head(3)
+
+    return keyed_exchange_apply(ds, ["o_orderpriority"], ranker, 16, local=local)
 
 
 SQL_Q11 = """
