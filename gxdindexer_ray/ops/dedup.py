@@ -40,6 +40,42 @@ def _hash64_strings(strings: list[str]) -> np.ndarray:
     return out
 
 
+def _token_hashes_flat(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """blake2b-64 per token with the Python hashing loop run only over
+    UNIQUE tokens (dictionary-encode): identical values to
+    ``_hash64_strings(tokens)`` at vocabulary-sized cost."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    dic = pc.dictionary_encode(flat)
+    uh = _hash64_strings(dic.dictionary.to_pylist())
+    idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[idx]
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64_int(x: int) -> int:
+    """Scalar splitmix64 (same constants as relational._splitmix64) —
+    the reference path for the vectorized chain."""
+    x &= _MASK64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _MASK64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _MASK64
+    x ^= x >> 31
+    return x
+
+
+def _chain_int(hashes: list[int]) -> int:
+    h = _splitmix64_int(hashes[0])
+    for t in hashes[1:]:
+        h = _splitmix64_int(h ^ t)
+    return h
+
+
 def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
@@ -53,16 +89,123 @@ def shingle_set(tokens: list[str], k: int = 3) -> list[str]:
     return sorted({" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)})
 
 
-def minhash_signature(shingles: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """n_perm minima of (a*h + b) mod 2^61-1 over one shingle set (scalar
-    reference path; the batch path below vectorizes across a whole batch)."""
-    if not shingles:
+def shingle_hash_set(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Sorted unique shingle hashes of one doc (scalar reference path for
+    the vectorized ``_shingle_hashes_per_doc``). Shingle hash = splitmix64
+    chain over the k consecutive tokens' blake2b-64 hashes; docs shorter
+    than k yield ONE whole-doc chain (mirrors ``shingle_set``'s rule).
+    Jaccard over these hashes equals Jaccard over shingle strings (modulo
+    64-bit collisions), so verified near-dup outputs are hash-invariant."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    th = [int(x) for x in _hash64_strings(tokens)]
+    if len(th) < k:
+        vals = {_chain_int(th)}
+    else:
+        vals = {_chain_int(th[i:i + k]) for i in range(len(th) - k + 1)}
+    return np.sort(np.fromiter(vals, dtype=np.uint64, count=len(vals)))
+
+
+_M61 = np.uint64(_MERSENNE)
+
+
+def _mulmod_m61(a_scalar, h: np.ndarray, b_scalar) -> np.ndarray:
+    """(a*h + b) mod 2^61-1, exact, fully vectorized in uint64 via 31/30-bit
+    limb splitting (a, b, h all < 2^61; every intermediate < 2^63)."""
+    a = int(a_scalar)
+    a1 = np.uint64(a >> 31)
+    a0 = np.uint64(a & ((1 << 31) - 1))
+    h1 = h >> np.uint64(31)
+    h0 = h & np.uint64((1 << 31) - 1)
+    # a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0 ; 2^61 = 1 (mod p)
+    term1 = (a1 * h1) << np.uint64(1)                     # *2^62 = *2
+    mid = a1 * h0 + a0 * h1                               # < 2^62
+    mid = (mid >> np.uint64(61)) + (mid & _M61)
+    term2 = (mid >> np.uint64(30)) + ((mid & np.uint64((1 << 30) - 1)) << np.uint64(31))
+    low = a0 * h0                                         # < 2^62
+    low = (low >> np.uint64(61)) + (low & _M61)
+    s = term1 + term2 + low + np.uint64(int(b_scalar))    # < 2^63
+    s = (s >> np.uint64(61)) + (s & _M61)
+    s = (s >> np.uint64(61)) + (s & _M61)
+    return np.where(s >= _M61, s - _M61, s)
+
+
+def _chain_vec(tok_hash: np.ndarray, starts: np.ndarray, length: int) -> np.ndarray:
+    from .relational import _splitmix64
+
+    h = _splitmix64(tok_hash[starts])
+    for j in range(1, length):
+        h = _splitmix64(h ^ tok_hash[starts + j])
+    return h
+
+
+def _shingle_hashes_per_doc(tok_hash: np.ndarray, doc_idx: np.ndarray,
+                            n_docs: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sh_doc, sh_hash): per-doc UNIQUE shingle hashes, sorted by
+    (doc, hash), vectorized over the whole flat token stream (no Python
+    loop over docs/shingles). Same hash definition as
+    ``shingle_hash_set``."""
+    n = tok_hash.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    bounds = np.searchsorted(doc_idx, np.arange(n_docs + 1))
+    lens = np.diff(bounds)
+    parts_d: list[np.ndarray] = []
+    parts_h: list[np.ndarray] = []
+    if n >= k:
+        valid = doc_idx[:n - k + 1] == doc_idx[k - 1:]
+        starts = np.flatnonzero(valid)
+        if starts.size:
+            parts_d.append(doc_idx[starts])
+            parts_h.append(_chain_vec(tok_hash, starts, k))
+    for ell in range(1, k):
+        docs = np.flatnonzero(lens == ell)
+        if docs.size:
+            parts_d.append(docs.astype(np.int64))
+            parts_h.append(_chain_vec(tok_hash, bounds[docs], ell))
+    if not parts_d:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    d = np.concatenate(parts_d)
+    h = np.concatenate(parts_h)
+    order = np.lexsort((h, d))
+    d = d[order]
+    h = h[order]
+    keep = np.empty(d.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return d[keep], h[keep]
+
+
+def _sig_matrix(sh_doc: np.ndarray, sh_hash: np.ndarray, n_docs: int,
+                a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, n_perm) signature matrix from per-doc shingle hashes —
+    one exact uint64 mulmod + reduceat per permutation, zero Python-object
+    arithmetic."""
+    n_perm = a.size
+    sig = np.full((n_docs, n_perm), _M61, dtype=np.uint64)
+    if sh_doc.size == 0:
+        return sig
+    hmod = sh_hash % _M61
+    run_starts = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
+    docs_present = sh_doc[run_starts]
+    for i in range(n_perm):
+        vals = _mulmod_m61(a[i], hmod, b[i])
+        sig[docs_present, i] = np.minimum.reduceat(vals, run_starts)
+    return sig
+
+
+def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray,
+                      k: int = 3) -> np.ndarray:
+    """n_perm minima of (a*h + b) mod 2^61-1 over one doc's shingle-hash
+    set (scalar Python-int reference path; the batch path below vectorizes
+    across a whole batch and must agree exactly)."""
+    sh = shingle_hash_set(tokens, k)
+    if sh.size == 0:
         return np.full(a.size, np.uint64(_MERSENNE), dtype=np.uint64)
-    h = (_hash64_strings(shingles) % np.uint64(_MERSENNE)).astype(object)
+    h = [int(x) % _MERSENNE for x in sh]
     sig = np.empty(a.size, dtype=np.uint64)
     for i in range(a.size):
-        vals = (int(a[i]) * h + int(b[i])) % _MERSENNE
-        sig[i] = np.uint64(min(vals))
+        sig[i] = np.uint64(min((int(a[i]) * x + int(b[i])) % _MERSENNE for x in h))
     return sig
 
 
@@ -71,30 +214,17 @@ def minhash_signature_batch(token_lists: list[list[str]], a: np.ndarray, b: np.n
     """(n_docs, n_perm) uint64 signature matrix, vectorized across all
     shingles of a batch at once."""
     n_docs = len(token_lists)
-    n_perm = a.size
-    sig = np.full((n_docs, n_perm), np.uint64(_MERSENNE), dtype=np.uint64)
-    all_shingles: list[str] = []
+    flat: list[str] = []
     doc_of: list[int] = []
     for d, toks in enumerate(token_lists):
-        sh = shingle_set(toks, k)
-        all_shingles.extend(sh)
-        doc_of.extend([d] * len(sh))
-    if not all_shingles:
-        return sig
-    h = (_hash64_strings(all_shingles) % np.uint64(_MERSENNE)).astype(object)
-    doc_of_arr = np.asarray(doc_of, dtype=np.int64)
-    for i in range(n_perm):
-        vals = ((int(a[i]) * h + int(b[i])) % _MERSENNE).astype(np.uint64)
-        np.minimum.at(sig[:, i], doc_of_arr, vals)
-    return sig
-
-
-def _tokens_by_doc(batch: pa.Table, text_col: str) -> list[list[str]]:
-    flat, doc_idx = tokenize_column(batch[text_col])
-    toks = flat.to_pylist()
-    # doc_idx is nondecreasing (tokens are emitted row by row) -> slice runs
-    bounds = np.searchsorted(doc_idx, np.arange(batch.num_rows + 1))
-    return [toks[bounds[i]:bounds[i + 1]] for i in range(batch.num_rows)]
+        flat.extend(toks)
+        doc_of.extend([d] * len(toks))
+    if not flat:
+        return np.full((n_docs, a.size), np.uint64(_MERSENNE), dtype=np.uint64)
+    tok_hash = _token_hashes_flat(pa.array(flat, pa.string()))
+    sh_doc, sh_hash = _shingle_hashes_per_doc(
+        tok_hash, np.asarray(doc_of, dtype=np.int64), n_docs, k)
+    return _sig_matrix(sh_doc, sh_hash, n_docs, a, b)
 
 
 def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -113,8 +243,11 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
         from .relational import _splitmix64
 
         ap, bp = ray.get(ref)
-        toks = _tokens_by_doc(batch, text_col)
-        sig = minhash_signature_batch(toks, ap, bp, k=shingle_k)
+        flat, doc_idx = tokenize_column(batch[text_col])
+        tok_hash = _token_hashes_flat(flat)
+        sh_doc, sh_hash = _shingle_hashes_per_doc(tok_hash, doc_idx,
+                                                  batch.num_rows, shingle_k)
+        sig = _sig_matrix(sh_doc, sh_hash, batch.num_rows, ap, bp)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
@@ -175,12 +308,18 @@ def _shingle_hash_rows(ds, ids: list[int], id_col: str, text_col: str, k: int,
     def grab(batch: pa.Table) -> pa.Table:
         m = pc.is_in(batch[id_col], value_set=id_arr)
         sub = batch.filter(m)
-        toks = _tokens_by_doc(sub, text_col)
-        shl = [np.unique(_hash64_strings(shingle_set(t, k))).astype(np.int64)
-               for t in toks]
+        flat, doc_idx = tokenize_column(sub[text_col])
+        tok_hash = _token_hashes_flat(flat)
+        sh_doc, sh_hash = _shingle_hashes_per_doc(tok_hash, doc_idx,
+                                                  sub.num_rows, k)
+        # per-doc list array straight from the (doc-sorted) flat hashes
+        counts = np.bincount(sh_doc, minlength=sub.num_rows) if sh_doc.size else \
+            np.zeros(sub.num_rows, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        values = pa.array(sh_hash.view(np.int64), pa.int64())
         return pa.table({
             out_id: sub[id_col],
-            out_sh: pa.array([s.tolist() for s in shl], pa.list_(pa.int64())),
+            out_sh: pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values),
         })
 
     return ds.map_batches(grab, batch_format="pyarrow")
@@ -212,9 +351,12 @@ def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
         ids = {int(r["a"]) for r in pair_ids} | {int(r["b"]) for r in pair_ids}
         pairs_ds = pairs
 
-    sh_a = _shingle_hash_rows(ds, ids, id_col, text_col, k, "a_key", "sh_a")
+    # shingle-hash rows computed ONCE (tokenize+hash is the expensive
+    # part); the b-side is a zero-copy column rename of the same rows
+    sh_a = _shingle_hash_rows(ds, ids, id_col, text_col, k, "a_key", "sh_a").materialize()
     j1 = partitioned_join(pairs_ds, sh_a, "a", "a_key", how="inner")
-    sh_b = _shingle_hash_rows(ds, ids, id_col, text_col, k, "b_key", "sh_b")
+    sh_b = sh_a.map_batches(lambda t: t.rename_columns(["b_key", "sh_b"]),
+                            batch_format="pyarrow")
 
     def jac_post(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -341,10 +483,38 @@ def simhash_64(tokens: list[str]) -> int:
 
 
 def simhash(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Batch SimHash, fully vectorized (output-identical to simhash_64 per
+    row): dictionary-encoded token hashes, per-(doc, token) tf via a
+    composite-key sort, one reduceat over the +/-1 bit matrix per doc."""
+
     def f(batch: pa.Table) -> pa.Table:
-        toks = _tokens_by_doc(batch, text_col)
-        vals = [simhash_64(t) for t in toks]
-        return pa.table({id_col: batch[id_col], "simhash": pa.array(vals, pa.int64())})
+        n_docs = batch.num_rows
+        flat, doc_idx = tokenize_column(batch[text_col])
+        out = np.zeros(n_docs, dtype=np.int64)
+        if len(flat):
+            dic = pc.dictionary_encode(flat.combine_chunks()
+                                       if isinstance(flat, pa.ChunkedArray) else flat)
+            uh = _hash64_strings(dic.dictionary.to_pylist())
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # tf per (doc, token): sort by composite key, count runs
+            key = doc_idx * len(uh) + codes
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            tf = np.diff(np.r_[starts, sk.size]).astype(np.int64)
+            pair_doc = (sk[starts] // len(uh)).astype(np.int64)
+            pair_code = (sk[starts] % len(uh)).astype(np.int64)
+            bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            signed = bits * 2 - 1                     # (n_uniq, 64)
+            contrib = signed[pair_code] * tf[:, None]  # (n_pairs, 64)
+            doc_starts = np.flatnonzero(np.r_[True, pair_doc[1:] != pair_doc[:-1]])
+            v = np.add.reduceat(contrib, doc_starts, axis=0)
+            docs_present = pair_doc[doc_starts]
+            # 63 bits so the value stays a positive int64 (matches simhash_64)
+            pos = (v[:, :63] > 0).astype(np.int64)
+            vals = (pos << np.arange(63, dtype=np.int64)).sum(axis=1)
+            out[docs_present] = vals
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
 

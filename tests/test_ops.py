@@ -48,16 +48,47 @@ def test_minhash_lsh_finds_neardups(neardup_docs):
 
 def test_exact_jaccard_and_signatures_deterministic():
     from gxdindexer_ray.ops.dedup import (
-        _perm_params, exact_jaccard, minhash_signature, minhash_signature_batch, shingle_set,
+        _perm_params, exact_jaccard, minhash_signature, minhash_signature_batch,
     )
 
     toks = ["a", "b", "c", "d", "e", "f"]
     assert exact_jaccard(toks, toks) == 1.0
     assert exact_jaccard(toks, ["z", "q", "r"]) == 0.0
     a, b = _perm_params(16)
-    sig1 = minhash_signature(shingle_set(toks), a, b)
-    sig2 = minhash_signature_batch([toks], a, b)[0]
-    assert np.array_equal(sig1, sig2)
+    # vectorized batch path must agree exactly with the scalar Python-int
+    # reference path, including short docs (whole-doc shingle) and empties
+    for doc in (toks, ["a", "b"], ["a"], []):
+        sig1 = minhash_signature(doc, a, b)
+        sig2 = minhash_signature_batch([doc], a, b)[0]
+        assert np.array_equal(sig1, sig2)
+    batch = minhash_signature_batch([toks, [], ["x", "y"], toks[:3]], a, b)
+    for i, doc in enumerate([toks, [], ["x", "y"], toks[:3]]):
+        assert np.array_equal(batch[i], minhash_signature(doc, a, b))
+
+
+def test_mulmod_m61_exact():
+    from gxdindexer_ray.ops.dedup import _MERSENNE, _mulmod_m61, _perm_params
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, _MERSENNE, size=500, dtype=np.uint64)
+    h = np.concatenate([h, np.array([0, 1, _MERSENNE - 1, _MERSENNE - 2], dtype=np.uint64)])
+    a, b = _perm_params(8)
+    edge = np.array([1, 2, _MERSENNE - 1], dtype=np.uint64)
+    for ai, bi in list(zip(a, b)) + [(e, e) for e in edge]:
+        got = _mulmod_m61(ai, h, bi)
+        want = np.array([(int(ai) * int(x) + int(bi)) % _MERSENNE for x in h],
+                        dtype=np.uint64)
+        assert np.array_equal(got, want)
+
+
+def test_simhash_batch_matches_scalar(neardup_docs):
+    from gxdindexer_ray.ops.dedup import simhash, simhash_64
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    df = neardup_docs.to_pandas()
+    out = simhash(neardup_docs).to_pandas().set_index("doc_id")["simhash"]
+    for _, row in df.iterrows():
+        assert int(out[row["doc_id"]]) == simhash_64(tokenize(row["text"]))
 
 
 def test_simhash_near_for_neardups(neardup_docs):
