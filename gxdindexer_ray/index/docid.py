@@ -28,13 +28,44 @@ def doc_id_of(url: str) -> int:
     return int.from_bytes(h, "big") & _MASK63
 
 
+def blake2b_rows(arr: pa.Array | pa.ChunkedArray, digest_size: int) -> np.ndarray:
+    """Per-row blake2b digests of a string/binary column as an (n,
+    digest_size//8) big-endian-uint64 matrix. Values are byte-identical to
+    hashing each row's UTF-8 payload individually, but the loop touches
+    only raw Arrow buffers (memoryview slices, digests bulk-written into
+    one buffer) — no per-row Python string / int construction. Null rows
+    hash as empty payload."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    words = digest_size // 8
+    if n == 0:
+        return np.empty((0, words), dtype=np.uint64)
+    bufs = arr.buffers()
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odtype = np.int64 if large else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odtype, count=n + 1, offset=arr.offset * odtype().nbytes)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    valid = None
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    out = bytearray(n * digest_size)
+    b2b = hashlib.blake2b
+    ds = digest_size
+    empty_digest = b2b(b"", digest_size=ds).digest()
+    for i in range(n):
+        if valid is not None and not valid[i]:
+            out[i * ds:(i + 1) * ds] = empty_digest
+        else:
+            out[i * ds:(i + 1) * ds] = b2b(data[offs[i]:offs[i + 1]],
+                                           digest_size=ds).digest()
+    return np.frombuffer(bytes(out), dtype=">u8").astype(np.uint64).reshape(n, words)
+
+
 def doc_id_column(url_col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized-enough docID column (hashing is per-row by nature)."""
-    if isinstance(url_col, pa.ChunkedArray):
-        url_col = url_col.combine_chunks()
-    out = np.empty(len(url_col), dtype=np.int64)
-    blake2b = hashlib.blake2b
-    for i, v in enumerate(url_col):
-        h = blake2b(v.as_py().encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "big") & _MASK63
-    return pa.array(out, type=pa.int64())
+    """docID column: blake2b-64(url) & (2^63-1), buffer-level batch loop
+    (see blake2b_rows) — same values as doc_id_of per row."""
+    d = blake2b_rows(url_col, 8)[:, 0]
+    return pa.array((d & np.uint64(_MASK63)).astype(np.int64), type=pa.int64())

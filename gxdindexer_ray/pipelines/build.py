@@ -67,19 +67,16 @@ _KEY_SORT = ["doc_id", "warc_ts", "th_hi", "th_lo"]
 
 def _tiebreak_cols(text: pa.Array) -> tuple[pa.Array, pa.Array]:
     """dedup-rule v2 tie-break (shared with oracle.engine.dedup_tiebreak_hash):
-    blake2b-128 of the text, as two big-endian int64 halves so the
-    lexicographic (th_hi, th_lo) int order equals the bytes order."""
-    import hashlib
+    blake2b-128 of the text, as two big-endian int64 halves (two's-
+    complement reinterpretation, value-identical to the original
+    ``(int.from_bytes ^ 2^63) - 2^63`` formulation). Hashing goes through
+    the buffer-level batch loop in index.docid.blake2b_rows — no per-row
+    Python string construction."""
+    from ..index.docid import blake2b_rows
 
-    b2b = hashlib.blake2b
-    hi = np.empty(len(text), np.int64)
-    lo = np.empty(len(text), np.int64)
-    for i, v in enumerate(text):
-        h = b2b((v.as_py() or "").encode("utf-8"), digest_size=16).digest()
-        # flip the sign bit so signed int64 order == unsigned bytes order
-        hi[i] = (int.from_bytes(h[:8], "big") ^ (1 << 63)) - (1 << 63)
-        lo[i] = (int.from_bytes(h[8:], "big") ^ (1 << 63)) - (1 << 63)
-    return pa.array(hi, pa.int64()), pa.array(lo, pa.int64())
+    d = blake2b_rows(text, 16)
+    return (pa.array(d[:, 0].view(np.int64), pa.int64()),
+            pa.array(d[:, 1].view(np.int64), pa.int64()))
 
 
 def _extract_slim(batch: pa.Table) -> pa.Table:
