@@ -4,7 +4,7 @@
   python -m gxdindexer_ray list                         # named pipelines
   python -m gxdindexer_ray build  --pages D --out D     # flagship index build
   python -m gxdindexer_ray append --pages D --index D   # delta generation
-  python -m gxdindexer_ray compact --index D            # fold generations
+  python -m gxdindexer_ray compact --index D            # fold generations\n  python -m gxdindexer_ray delete --index D --urls U[,U]  # tombstone docs
   python -m gxdindexer_ray query  --index D --q "..." [--k 10]
   python -m gxdindexer_ray run    --pipeline NAME [NAME...|all] --sf DIR
 
@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold delta generations into the base index")
     c.add_argument("--index", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
+
+    d = sub.add_parser("delete", help="tombstone docs by id or url (takedowns)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    d.add_argument("--urls", default=None, help="comma-separated urls (hashed to doc_ids)")
+    d.add_argument("--num-cpus", type=int, default=None)
 
     q = sub.add_parser("query", help="top-k BM25 query against a built index")
     q.add_argument("--index", required=True)
@@ -105,6 +111,18 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines import compact_index
 
             m = compact_index(args.index, DEFAULT_CONFIG)
+            print(json.dumps(m))
+            return 0
+        if args.cmd == "delete":
+            from .index.docid import doc_id_of
+            from .pipelines import delete_docs
+
+            ids = [int(x) for x in args.ids.split(",")] if args.ids else []
+            ids += [doc_id_of(u) for u in args.urls.split(",")] if args.urls else []
+            if not ids:
+                print("delete: need --ids and/or --urls", file=sys.stderr)
+                return 2
+            m = delete_docs(args.index, ids)
             print(json.dumps(m))
             return 0
         if args.cmd == "query":

@@ -33,14 +33,34 @@ from .varint import varint_decode, varint_encode, varint_encode_segments
 
 @dataclass
 class PostingList:
-    """Decoded, in-memory posting list (docIDs strictly ascending)."""
+    """Decoded, in-memory posting list (docIDs strictly ascending).
+
+    ``kept`` is set only when tombstoned docs were masked out at decode
+    time: the indices of the surviving postings within the ENCODED list
+    (``decode_positions`` needs them to realign the position stream)."""
 
     doc_ids: np.ndarray  # uint64
     tfs: np.ndarray      # uint64
     dls: np.ndarray      # uint64
+    kept: np.ndarray | None = None
 
     def __len__(self) -> int:
         return int(self.doc_ids.size)
+
+
+def _dead_mask(doc_ids: np.ndarray, dead: np.ndarray) -> np.ndarray | None:
+    """Boolean keep-mask for a sorted dead-id array, or None if no hit."""
+    if dead is None or len(dead) == 0 or doc_ids.size == 0:
+        return None
+    # match doc_ids' uint64 dtype: a mixed int64/uint64 searchsorted would
+    # go through float64 and lose exactness above 2^53
+    dead = np.asarray(dead, dtype=np.int64).astype(np.uint64)
+    pos = np.searchsorted(dead, doc_ids)
+    pos_c = np.minimum(pos, dead.size - 1)
+    hit = dead[pos_c] == doc_ids
+    if not hit.any():
+        return None
+    return ~hit
 
 
 def bm25_tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -162,13 +182,23 @@ def encode_postings(
 
 
 def decode_postings(row: dict, *, block_size: int) -> PostingList:
-    """Decode a full posting list from a segment-row payload dict."""
+    """Decode a full posting list from a segment-row payload dict.
+
+    If the reader attached a sorted tombstone array under ``row["_dead"]``
+    (deleted docs awaiting compaction), those postings are masked out here
+    — every scorer and candidate path excludes them automatically, and
+    ``kept`` records the surviving encoded indices for position decode."""
     n = int(row["n_postings"])
     gaps = varint_decode(row["docs_payload"], count=n)
     tfs = varint_decode(row["tfs_payload"], count=n)
     dls = varint_decode(row["dls_payload"], count=n)
     doc_ids = np.cumsum(gaps, dtype=np.uint64)
-    return PostingList(doc_ids=doc_ids, tfs=tfs, dls=dls)
+    keep = _dead_mask(doc_ids, row.get("_dead"))
+    if keep is None:
+        return PostingList(doc_ids=doc_ids, tfs=tfs, dls=dls)
+    kept = np.flatnonzero(keep)
+    return PostingList(doc_ids=doc_ids[kept], tfs=tfs[kept], dls=dls[kept],
+                       kept=kept)
 
 
 def decode_positions(row: dict, pl: PostingList) -> tuple[np.ndarray, np.ndarray]:
@@ -176,8 +206,16 @@ def decode_positions(row: dict, pl: PostingList) -> tuple[np.ndarray, np.ndarray
 
     Returns ``(offsets, positions)``: ``positions[offsets[i]:offsets[i+1]]``
     are the ascending 0-based token positions of posting i. Position gaps
-    reset per posting (first is absolute), mirroring the docID-gap scheme."""
-    tfs = np.asarray(pl.tfs, dtype=np.int64)
+    reset per posting (first is absolute), mirroring the docID-gap scheme.
+    When ``pl`` was tombstone-masked (``pl.kept``), the stream is decoded
+    against the FULL encoded tf layout and then re-gathered to the
+    surviving postings, so offsets align with ``pl`` exactly."""
+    if pl.kept is None:
+        tfs = np.asarray(pl.tfs, dtype=np.int64)
+    else:
+        tfs = np.asarray(
+            varint_decode(row["tfs_payload"], count=int(row["n_postings"])),
+            dtype=np.int64)
     total = int(tfs.sum())
     gaps = varint_decode(row["pos_payload"], count=total)
     off = np.concatenate([[0], np.cumsum(tfs)])
@@ -186,11 +224,22 @@ def decode_positions(row: dict, pl: PostingList) -> tuple[np.ndarray, np.ndarray
     nz = off[:-1] > 0
     base[nz] = cs[off[:-1][nz] - 1]
     positions = cs - np.repeat(base, tfs)
-    return off, positions
+    if pl.kept is None:
+        return off, positions
+    lens = tfs[pl.kept]
+    starts = off[:-1][pl.kept]
+    new_off = np.concatenate([[0], np.cumsum(lens)])
+    total_k = int(new_off[-1])
+    # ragged gather of the kept postings' position runs
+    idx = np.repeat(starts - new_off[:-1], lens) + np.arange(total_k, dtype=np.int64)
+    return new_off, positions[idx]
 
 
 def decode_block(row: dict, block: int, *, block_size: int) -> PostingList:
-    """Decode a single block (for block-max WAND's lazy deep pointer moves)."""
+    """Decode a single block (for block-max WAND's lazy deep pointer moves).
+    Tombstoned docs (``row["_dead"]``) are masked out; a block may come
+    back EMPTY — WAND cursors skip to the next block (block_max stays a
+    true upper bound since removing docs only lowers the real maximum)."""
     n = int(row["n_postings"])
     n_blocks = (n + block_size - 1) // block_size
     if not (0 <= block < n_blocks):
@@ -210,4 +259,7 @@ def decode_block(row: dict, block: int, *, block_size: int) -> PostingList:
     dls = varint_decode(sl(row["dls_payload"], l_off, block), count=cnt)
     base = np.uint64(0) if block == 0 else np.uint64(row["skip_last_doc"][block - 1])
     doc_ids = base + np.cumsum(gaps, dtype=np.uint64)
-    return PostingList(doc_ids=doc_ids, tfs=tfs, dls=dls)
+    keep = _dead_mask(doc_ids, row.get("_dead"))
+    if keep is None:
+        return PostingList(doc_ids=doc_ids, tfs=tfs, dls=dls)
+    return PostingList(doc_ids=doc_ids[keep], tfs=tfs[keep], dls=dls[keep])

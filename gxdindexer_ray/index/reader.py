@@ -52,6 +52,47 @@ def check_not_compacting(index_dir: str | Path) -> None:
             f"({marker}); re-run compact_index to converge before reading")
 
 
+def load_tombstones(index_dir: str | Path):
+    """(doc_id, upto_gen) tombstone arrays from ``tombstones/*.parquet``
+    (sorted by doc_id), or None when no deletes are pending. An occurrence
+    of ``doc_id`` in generation g (base = 0, gen-0001 = 1, ...) is dead
+    iff some tombstone has ``upto_gen >= g`` — so a doc deleted and later
+    re-appended stays visible through its NEW generation only."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tdir = Path(index_dir) / "tombstones"
+    if not tdir.exists():
+        return None
+    files = sorted(tdir.glob("*.parquet"))
+    if not files:
+        return None
+    ids = []
+    upto = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "upto_gen"])
+        ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        upto.append(t["upto_gen"].to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids).astype(np.int64)
+    upto = np.concatenate(upto).astype(np.int64)
+    # keep the WIDEST tombstone per doc (max upto_gen)
+    order = np.lexsort((-upto, ids))
+    ids = ids[order]
+    upto = upto[order]
+    first = np.r_[True, ids[1:] != ids[:-1]]
+    return ids[first], upto[first]
+
+
+def dead_ids_for_gen(tombs, gen: int):
+    """Sorted dead doc_ids applicable to generation ``gen`` (see
+    load_tombstones), or None."""
+    if tombs is None:
+        return None
+    ids, upto = tombs
+    out = ids[upto >= gen]
+    return out if out.size else None
+
+
 def read_global_stats(index_dir: str | Path) -> dict:
     """Corpus stats across the base index and every appended generation:
     N and total_dl sum; avgdl recomputed from the sums; the scoring
@@ -92,15 +133,19 @@ def build_lexicon(index_dir: str | Path) -> dict:
     GLOBAL avgdl — block-max WAND stays exact after appends."""
     index_dir = Path(index_dir)
     gstats = read_global_stats(index_dir)
+    tombs = load_tombstones(index_dir)
     files: list[Path] = []
     bm_scale: list[float] = []
-    for d in [index_dir] + generation_dirs(index_dir):
+    dead_by_file: list = []
+    for gen, d in enumerate([index_dir] + generation_dirs(index_dir)):
         ds = read_json(d / "stats.json") or {}
         davg = float(ds.get("avgdl", 0.0))
         scale = max(1.0, gstats["avgdl"] / davg) if davg > 0 else 1.0
+        dead = dead_ids_for_gen(tombs, gen)
         for f in sorted((d / "segments").glob("*.parquet")):
             files.append(f)
             bm_scale.append(scale)
+            dead_by_file.append(dead)
     lex: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
     payload_cols = []
     for fi, f in enumerate(files):
@@ -122,7 +167,7 @@ def build_lexicon(index_dir: str | Path) -> dict:
             lex.setdefault(terms[i], []).append((fi, g, in_g, dfs[i], cfs[i], shards[i]))
             in_g += 1
     return {"files": [str(f) for f in files], "payload_cols": payload_cols,
-            "lex": lex, "bm_scale": bm_scale}
+            "lex": lex, "bm_scale": bm_scale, "dead_by_file": dead_by_file}
 
 
 class IndexReader:
@@ -145,6 +190,7 @@ class IndexReader:
         # per FILE, so mixed-generation segment directories read correctly
         self._payload_columns_by_file = state["payload_cols"]
         self._bm_scale = state.get("bm_scale") or [1.0] * len(self._files)
+        self._dead_by_file = state.get("dead_by_file") or [None] * len(self._files)
         self._lex = state["lex"]
         self._cache: OrderedDict[str, list[dict]] = OrderedDict()
         self._cache_terms = cache_terms
@@ -190,8 +236,13 @@ class IndexReader:
             for key, items in wanted.items():
                 tbl = results[key]
                 scale = self._bm_scale[key[0]]
+                dead = self._dead_by_file[key[0]]
                 for t, row in items:
                     r = tbl.slice(row, 1).to_pylist()[0]
+                    if dead is not None:
+                        # pending tombstones: the codec masks these doc_ids
+                        # out at decode time (codecs.postings)
+                        r["_dead"] = dead
                     if scale != 1.0 and r.get("block_max") is not None:
                         # safe-bound rescale for appended generations (see
                         # build_lexicon) — exact scoring is untouched, only

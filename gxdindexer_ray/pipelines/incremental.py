@@ -22,6 +22,12 @@ the existing build machinery:
   reference's full optimize, Indexer.java:136-148). For delta corpora
   disjoint from the base, the compacted segments are byte-identical to a
   from-scratch build of the concatenated corpus (tested).
+- ``delete_docs``: tombstone generations for takedowns — (doc_id,
+  upto_gen) batches that readers mask out at posting-decode time (top-k
+  stays exact; WAND block-max bounds only loosen) and that compaction
+  drops physically (byte-identical to a rebuild without the deleted
+  docs, tested). The reference's only delete path is truncate-rebuild
+  (Indexer.java:83-89).
 
 Scale notes: the cross-generation exclusion set ships as one sorted int64
 array via ``ray.put`` (8 B/doc; ~8 GB at 10^9 docs — beyond that, replace
@@ -42,7 +48,8 @@ import ray
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, IndexConfig
-from ..index.reader import generation_dirs, read_global_stats
+from ..index.reader import (check_not_compacting, dead_ids_for_gen,
+                            generation_dirs, load_tombstones, read_global_stats)
 from ..state.manifest import atomic_write_json, config_key, fingerprint_inputs, read_json
 from .build import build_index, _hot_from_partials, _segments_phase, PhaseManifest
 
@@ -103,6 +110,49 @@ def _check_scoring_config(root: Path, cfg: IndexConfig) -> None:
             "generations must agree")
 
 
+def delete_docs(index_dir: str | Path, doc_ids) -> dict:
+    """Tombstone documents (takedowns / robots revocations) without a
+    rebuild — the delete path the reference lacks (its only answer is
+    truncate-rebuild, Indexer.java:83-89).
+
+    Writes a tombstone batch ``tombstones/del-NNNN.parquet`` of
+    (doc_id, upto_gen) rows, where ``upto_gen`` = the current newest
+    generation index: every EXISTING occurrence of the doc (first-wins
+    ownership puts it in exactly one generation <= upto_gen) goes dead,
+    while a later re-append creates a new, live occurrence. Readers mask
+    tombstoned postings at decode time (top-k exactness preserved —
+    block-max bounds only loosen); ``compact_index`` drops them
+    physically. Corpus stats (N, avgdl, df) drift until compaction, the
+    standard deleted-docs semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(index_dir)
+    check_not_compacting(root)
+    if not (root / "stats.json").exists():
+        raise FileNotFoundError(f"{root} is not a built index (no stats.json)")
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    gens = read_json(root / "generations.json") or {"generations": []}
+    upto = len(gens["generations"])
+    tdir = root / "tombstones"
+    tdir.mkdir(exist_ok=True)
+    seq = len(list(tdir.glob("del-*.parquet"))) + 1
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "upto_gen": pa.array(np.full(ids.size, upto, np.int64), pa.int64())})
+    tmp = tdir / f".del-{seq:04d}.parquet.tmp"
+    pq.write_table(tbl, tmp)
+    tmp.rename(tdir / f"del-{seq:04d}.parquet")
+    return {"n_tombstoned": int(ids.size), "upto_gen": upto, "batch": seq}
+
+
+def _dead_arrays(root: Path, n_gens: int):
+    """Per-generation sorted dead-id arrays (index 0 = base), or None."""
+    tombs = load_tombstones(root)
+    if tombs is None:
+        return None
+    return [dead_ids_for_gen(tombs, g) for g in range(n_gens + 1)]
+
+
 def append_index(
     pages_dir: str | Path,
     index_dir: str | Path,
@@ -120,7 +170,19 @@ def append_index(
     _check_scoring_config(root, cfg)
     gens = read_json(root / "generations.json") or {"generations": []}
     prior = [root] + [root / g for g in gens["generations"]]
-    ids = collect_doc_ids(prior)
+    # exclusion set = prior-owned ids MINUS their pending tombstones, so a
+    # deleted doc is re-addable (the tombstone's upto_gen predates the new
+    # generation, which therefore serves the fresh copy)
+    dead = _dead_arrays(root, len(gens["generations"]))
+    parts = []
+    for g, d in enumerate(prior):
+        ids_g = collect_doc_ids([d])
+        if dead is not None and dead[g] is not None and ids_g.size:
+            pos = np.searchsorted(dead[g], ids_g)
+            pos_c = np.minimum(pos, dead[g].size - 1)
+            ids_g = ids_g[dead[g][pos_c] != ids_g]
+        parts.append(ids_g)
+    ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
     # the exclusion context is part of the delta's checkpoint key: resuming
     # a generation build against a CHANGED base must invalidate
     salt = hashlib.blake2b(ids.tobytes(), digest_size=8).hexdigest()
@@ -142,6 +204,35 @@ def append_index(
         append_wall_sec=round(time.perf_counter() - t0, 3),
     )
     return metrics
+
+
+def _drop_dead_rows(path: str, dead: np.ndarray) -> int:
+    """Rewrite one docstore file without its tombstoned rows (no-op when
+    none are present; file removed entirely when all rows are dead).
+    Writer options match the build's docstore writes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size == 0 or dead.size == 0:
+        return 0
+    pos = np.searchsorted(dead, ids)
+    pos_c = np.minimum(pos, dead.size - 1)
+    hit = dead[pos_c] == ids
+    n_hit = int(hit.sum())
+    if n_hit == 0:
+        return 0
+    p = Path(path)
+    full = pq.read_table(path)
+    out = full.filter(pa.array(~hit))
+    if out.num_rows == 0:
+        p.unlink()
+    else:
+        tmp = p.with_suffix(".tmp")
+        pq.write_table(out, tmp, compression="lz4", row_group_size=1024)
+        tmp.rename(p)
+    return n_hit
 
 
 def compact_index(
@@ -175,6 +266,29 @@ def compact_index(
     marker = root / "compacting.json"
     atomic_write_json(marker, {"started_at": time.time(),
                                "generations": list(gens["generations"])})
+
+    # ---- physically drop tombstoned docs from each generation's docstore
+    # (sparse per-file rewrites, one Ray task per file; a file with no dead
+    # rows is untouched). Idempotent: a crash mid-way re-runs the same
+    # filters as no-ops. The tombstones dir goes away only after ALL
+    # rewrites complete, so every derived artifact below (stats, hot
+    # terms, segments) is computed from the post-delete corpus — identical
+    # to a from-scratch rebuild without the deleted docs.
+    dead = _dead_arrays(root, len(gens["generations"]))
+    n_dropped = 0
+    if dead is not None:
+        drop = ray.remote(_drop_dead_rows)
+        tasks = []
+        for g, d in enumerate([root] + [root / x for x in gens["generations"]]):
+            dg = dead[g]
+            if dg is None:
+                continue
+            dref = ray.put(np.asarray(dg, dtype=np.int64))
+            for f in sorted((d / "docs").glob("*.parquet")):
+                tasks.append(drop.remote(str(f), dref))
+        n_dropped = int(sum(ray.get(tasks)))
+        shutil.rmtree(root / "tombstones", ignore_errors=True)
+    metrics["tombstoned_dropped"] = n_dropped
 
     # ---- fold generation docstores into the base docstore (rename only;
     # gen- prefix keeps names collision-free and lineage-readable)

@@ -96,6 +96,8 @@ def candidate_topk(
                 pl = decode_postings(r, block_size=block_size)
                 r["_pl"] = pl
             ids = pl.doc_ids
+            if ids.size == 0:  # every posting tombstoned
+                continue
             pos = np.searchsorted(ids, cand)
             pos_c = np.minimum(pos, ids.size - 1)
             valid = (pos < ids.size) & (ids[pos_c] == cand)

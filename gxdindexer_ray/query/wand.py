@@ -51,16 +51,20 @@ class _Cursor:
         self._load_block(0)
 
     def _load_block(self, b: int) -> None:
-        if b >= self.n_blocks:
-            self.doc = _EXHAUSTED
-            return
-        pl = decode_block(self.row, b, block_size=self.block_size)
-        self.cur_block = b
-        self.docs = pl.doc_ids.astype(np.int64)
-        self.tfs = pl.tfs
-        self.dls = pl.dls
-        self.idx = 0
-        self.doc = int(self.docs[0])
+        # a block can decode EMPTY when every posting in it is tombstoned
+        # (codecs.decode_block masks row["_dead"]) — skip to the next one
+        while b < self.n_blocks:
+            pl = decode_block(self.row, b, block_size=self.block_size)
+            if pl.doc_ids.size:
+                self.cur_block = b
+                self.docs = pl.doc_ids.astype(np.int64)
+                self.tfs = pl.tfs
+                self.dls = pl.dls
+                self.idx = 0
+                self.doc = int(self.docs[0])
+                return
+            b += 1
+        self.doc = _EXHAUSTED
 
     def next(self) -> None:
         self.idx += 1
@@ -79,7 +83,17 @@ class _Cursor:
             return
         if b != self.cur_block:
             self._load_block(b)
+            if self.doc == _EXHAUSTED:
+                return
+            if self.cur_block > b:
+                # landed past the target block (it was fully tombstoned):
+                # every doc here already exceeds skip_last[b] >= target
+                return
         i = int(np.searchsorted(self.docs, target, side="left"))
+        if i >= self.docs.size:
+            # masked tail: the block's surviving docs all precede target
+            self._load_block(self.cur_block + 1)
+            return
         self.idx = i
         self.doc = int(self.docs[i])
 

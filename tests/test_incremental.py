@@ -304,3 +304,103 @@ def test_cli_append_compact(ray_session, corpora, tmp_path):
     assert (idx / "generations.json").exists()
     assert main(["compact", "--index", str(idx)]) == 0
     assert not (idx / "generations.json").exists()
+
+
+def test_tombstone_delete_lifecycle(ray_session, tmp_path):
+    """Tombstone deletes (takedowns without rebuild): delete -> every query
+    path excludes the docs (bmw == brute, phrase too) -> compact drops them
+    physically and the segments are byte-identical to a from-scratch build
+    of the corpus without the deleted docs."""
+    from gxdindexer_ray.index.docid import doc_id_of
+    from gxdindexer_ray.index.reader import read_global_stats
+    from gxdindexer_ray.pipelines import (SearchEngine, append_index, build_index,
+                                          compact_index, delete_docs)
+
+    base_docs = [(f"https://d.example/{i}", f"zebra common{i % 5} filler{i}")
+                 for i in range(40)]
+    delta_docs = [(f"https://e.example/{i}", f"zebra common{i % 5} extra{i}")
+                  for i in range(20)]
+    base, delta = tmp_path / "tb", tmp_path / "td"
+    _mini_corpus(base, base_docs)
+    _mini_corpus(delta, delta_docs, ts0=1_700_000_000_000_000)
+    idx = tmp_path / "tidx"
+    build_index(base, idx, CFG)
+    append_index(delta, idx, CFG)
+
+    before = {d for d, _ in SearchEngine(idx, warm_top_terms=0).topk("zebra", 100, "brute")}
+    dels = {doc_id_of("https://d.example/3"), doc_id_of("https://e.example/7")}
+    m = delete_docs(idx, list(dels))
+    assert m["n_tombstoned"] == 2
+
+    eng = SearchEngine(idx, warm_top_terms=0)
+    brute = eng.topk("zebra", 100, "brute")
+    bmw = eng.topk("zebra", 100, "bmw")
+    assert bmw == brute  # WAND stays exact over masked postings
+    after = {d for d, _ in brute}
+    assert after == before - dels
+    ph = {d for d, _ in eng.phrase_topk("zebra common3", 50)}
+    assert doc_id_of("https://d.example/3") not in ph and ph
+
+    compact_index(idx, CFG)
+    assert not (idx / "tombstones").exists()
+    assert read_global_stats(idx)["N"] == 58
+
+    keep = ([d for d in base_docs if d[0] != "https://d.example/3"]
+            + [d for d in delta_docs if d[0] != "https://e.example/7"])
+    refc = tmp_path / "trefc"
+    _mini_corpus(refc, keep)
+    ref = tmp_path / "tref"
+    build_index(refc, ref, CFG)
+    si = {f.name: f.read_bytes() for f in sorted((idx / "segments").glob("*.parquet"))}
+    sr = {f.name: f.read_bytes() for f in sorted((ref / "segments").glob("*.parquet"))}
+    assert si.keys() == sr.keys()
+    for name in si:
+        assert si[name] == sr[name], f"segment {name} differs from delete-free rebuild"
+
+
+def test_delete_then_reappend_serves_new_copy(ray_session, tmp_path):
+    """A tombstone kills only PRIOR occurrences: re-appending the same url
+    after a delete serves the fresh copy from the new generation; deleting
+    again kills that one too; compaction converges."""
+    from gxdindexer_ray.index.docid import doc_id_of
+    from gxdindexer_ray.index.reader import read_global_stats
+    from gxdindexer_ray.pipelines import (SearchEngine, append_index, build_index,
+                                          compact_index, delete_docs)
+
+    docs = [(f"https://r.example/{i}", f"kiwi word{i}") for i in range(20)]
+    base = tmp_path / "rb"
+    _mini_corpus(base, docs)
+    idx = tmp_path / "ridx"
+    build_index(base, idx, CFG)
+    x = doc_id_of("https://r.example/5")
+    delete_docs(idx, [x])
+    assert x not in {d for d, _ in SearchEngine(idx, warm_top_terms=0).topk("kiwi", 50)}
+
+    readd = tmp_path / "rreadd"
+    _mini_corpus(readd, [("https://r.example/5", "kiwi freshword")],
+                 ts0=1_700_000_000_000_000)
+    m = append_index(readd, idx, CFG)
+    assert m["excluded_prior_docs"] == 19  # the tombstoned doc is re-addable
+    eng = SearchEngine(idx, warm_top_terms=0)
+    assert x in {d for d, _ in eng.topk("kiwi", 50)}
+    assert {d for d, _ in eng.topk("freshword", 5)} == {x}
+
+    delete_docs(idx, [x])  # covers the new generation now
+    assert x not in {d for d, _ in SearchEngine(idx, warm_top_terms=0).topk("kiwi", 50)}
+    compact_index(idx, CFG)
+    assert read_global_stats(idx)["N"] == 19
+
+
+def test_cli_delete(ray_session, tmp_path):
+    from gxdindexer_ray.__main__ import main
+    from gxdindexer_ray.index.docid import doc_id_of
+    from gxdindexer_ray.pipelines import SearchEngine, build_index
+
+    docs = [(f"https://c.example/{i}", f"mango word{i}") for i in range(10)]
+    base = tmp_path / "cb"
+    _mini_corpus(base, docs)
+    idx = tmp_path / "cidx"
+    build_index(base, idx, CFG)
+    assert main(["delete", "--index", str(idx), "--urls", "https://c.example/4"]) == 0
+    assert doc_id_of("https://c.example/4") not in {
+        d for d, _ in SearchEngine(idx, warm_top_terms=0).topk("mango", 20)}
