@@ -141,18 +141,26 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: in
 
 
 def build_ivf_index(ds, index_dir, *, n_clusters: int = 16, sample_limit: int = 5000,
-                    id_col: str = "vec_id", emb_col: str = "embedding") -> dict:
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    max_cell_rows: int = 100_000) -> dict:
     """Build a PERSISTED IVF index: deterministic k-means centroids
-    (centroids.npy) + the vectors re-laid-out as one parquet file per cell.
+    (centroids.npy) + the vectors re-laid-out as parquet files per cell.
     The cell IS the partition key at rest — a query probing ``nprobe``
     cells reads only those files (partition pruning), which is the IVF
-    scale path the query-time-only variant lacked. Atomic tmp+rename."""
+    scale path the query-time-only variant lacked. Atomic tmp+rename.
+
+    HOT cells split into sub-shards of at most ``max_cell_rows`` rows
+    (``cell-CCCCC-SSS.parquet``, shard = splitmix64(vec_id) mod
+    n_shards), so no single writer/reader task ever has to hold an entire
+    skewed cell — the same slot-split idea as index/merge's term-hash
+    slots. Queries read every shard file of a probed cell, one task per
+    FILE."""
     import json
     import shutil
 
     import pyarrow.parquet as pq
 
-    from .relational import hash_exchange_apply
+    from .relational import _splitmix64, hash_exchange_apply, pre_aggregate
 
     out = Path(index_dir)
     tmp = out.with_name(out.name + ".tmp")
@@ -169,23 +177,48 @@ def build_ivf_index(ds, index_dir, *, n_clusters: int = 16, sample_limit: int = 
         cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
         return batch.select([id_col, emb_col]).append_column("cell", pa.array(cell, pa.int32()))
 
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    # per-cell counts (tiny: n_clusters rows) -> shards per cell
+    counts = pre_aggregate(assigned.select_columns(["cell"]), ["cell"],
+                           counts="rows").to_pandas()
+    n_shards = {int(r["cell"]): max(1, -(-int(r["rows"]) // max_cell_rows))
+                for _, r in counts.iterrows()}
+    shard_lut = np.ones(n_clusters, dtype=np.int64)
+    for c, s in n_shards.items():
+        shard_lut[c] = s
+    lut_ref = ray.put(shard_lut)
+
+    def subshard(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = (_splitmix64(ids.view(np.uint64))
+              % lut[cells].astype(np.uint64)).astype(np.int64)
+        key = cells * 1000 + sh
+        return batch.append_column("cellshard", pa.array(key, pa.int64()))
 
     def write_cell(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return pa.table({"cell": pa.array([], pa.int32()),
                              "rows": pa.array([], pa.int64())})
-        c = int(tbl["cell"][0].as_py())
-        pq.write_table(tbl.drop_columns(["cell"]), tmp / f"cell-{c:05d}.parquet",
-                       compression="lz4")
+        c, s = divmod(int(tbl["cellshard"][0].as_py()), 1000)
+        pq.write_table(tbl.drop_columns(["cell", "cellshard"]),
+                       tmp / f"cell-{c:05d}-{s:03d}.parquet", compression="lz4")
         return pa.table({"cell": pa.array([c], pa.int32()),
                          "rows": pa.array([tbl.num_rows], pa.int64())})
 
-    cells = hash_exchange_apply(assigned, "cell", write_cell,
+    sharded = assigned.map_batches(subshard, batch_format="pyarrow")
+    cells = hash_exchange_apply(sharded, "cellshard", write_cell,
                                 batch_format="pyarrow", drop_bucket_col=False).to_pandas()
     np.save(tmp / "centroids.npy", centroids)
+    rows_per_cell: dict[int, int] = {}
+    for _, r in cells.iterrows():
+        rows_per_cell[int(r["cell"])] = rows_per_cell.get(int(r["cell"]), 0) + int(r["rows"])
     meta = {"n_clusters": int(n_clusters), "dim": int(centroids.shape[1]),
-            "cells": {int(r["cell"]): int(r["rows"]) for _, r in cells.iterrows()}}
+            "layout": "sharded-v2", "max_cell_rows": int(max_cell_rows),
+            "cells": rows_per_cell,
+            "shards": {c: int(s) for c, s in sorted(n_shards.items())}}
     (tmp / "meta.json").write_text(json.dumps(meta, sort_keys=True))
     if out.exists():
         shutil.rmtree(out)
@@ -235,10 +268,15 @@ def ivf_search(index_dir, query_ids: np.ndarray, query_matrix: np.ndarray, *,
     task = ray.remote(num_cpus=1)(_search_cell)
     futs = []
     for c, q_idx in sorted(by_cell.items()):
-        f = index_dir / f"cell-{c:05d}.parquet"
-        if not f.exists():  # empty cell
-            continue
-        futs.append(task.remote(str(f), qids[q_idx], qn[q_idx], k, id_col, emb_col))
+        # sharded-v2 layout (one file per sub-shard of a hot cell) with
+        # fallback to the v1 single-file-per-cell layout; one task per
+        # FILE bounds per-task memory to max_cell_rows vectors
+        files = sorted(index_dir.glob(f"cell-{c:05d}-*.parquet"))
+        v1 = index_dir / f"cell-{c:05d}.parquet"
+        if v1.exists():
+            files.append(v1)
+        for f in files:
+            futs.append(task.remote(str(f), qids[q_idx], qn[q_idx], k, id_col, emb_col))
     if not futs:
         return pd.DataFrame(columns=["qid", "rank", "nid"]).astype(np.int64)
     parts = pa.concat_tables(ray.get(futs)).to_pandas()
@@ -254,7 +292,8 @@ def ivf_search(index_dir, query_ids: np.ndarray, query_matrix: np.ndarray, *,
 def ivf_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
             n_clusters: int = 16, nprobe: int = 4, sample_limit: int = 5000,
             id_col: str = "vec_id", emb_col: str = "embedding",
-            index_dir: str | Path | None = None) -> pd.DataFrame:
+            index_dir: str | Path | None = None,
+            max_cell_rows: int = 100_000) -> pd.DataFrame:
     """Approximate top-k through the PERSISTED IVF layout: builds (or
     reuses, when ``index_dir`` already holds an index) the cell-partitioned
     index, then probes ``nprobe`` cells."""
@@ -265,6 +304,7 @@ def ivf_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
     index_dir = Path(index_dir)
     if not (index_dir / "meta.json").exists():
         build_ivf_index(ds, index_dir, n_clusters=n_clusters,
-                        sample_limit=sample_limit, id_col=id_col, emb_col=emb_col)
+                        sample_limit=sample_limit, id_col=id_col, emb_col=emb_col,
+                        max_cell_rows=max_cell_rows)
     return ivf_search(index_dir, query_ids, query_matrix, k=k, nprobe=nprobe,
                       id_col=id_col, emb_col=emb_col)

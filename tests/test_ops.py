@@ -135,6 +135,34 @@ def test_ivf_knn_recall(ray_session):
     assert recall / len(qids) >= 0.8
 
 
+def test_ivf_sharded_cells_identical(ray_session, tmp_path):
+    """A forced tiny max_cell_rows splits hot cells into sub-shard files;
+    search results must be IDENTICAL to the unsharded layout (same probed
+    candidate set, per-file partials merged)."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.similarity import ivf_knn
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 32))
+    vecs = [centers[i % 8] + 0.15 * rng.normal(size=32) for i in range(800)]
+    df = pd.DataFrame({
+        "vec_id": np.arange(800, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    ds = rd.from_pandas(df)
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    qmat = np.stack([vecs[0], vecs[1], vecs[2]])
+    big = ivf_knn(ds, qids, qmat, k=10, n_clusters=16, nprobe=4,
+                  index_dir=tmp_path / "ivf-big")
+    small = ivf_knn(ds, qids, qmat, k=10, n_clusters=16, nprobe=4,
+                    index_dir=tmp_path / "ivf-small", max_cell_rows=40)
+    shard_files = list((tmp_path / "ivf-small").glob("cell-*-0[0-9][1-9].parquet"))
+    assert shard_files, "forced cap produced no multi-shard cells"
+    pd.testing.assert_frame_equal(big.reset_index(drop=True),
+                                  small.reset_index(drop=True))
+
+
 def test_multimodal_stage(ray_session):
     import ray.data as rd
 
