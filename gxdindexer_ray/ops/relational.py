@@ -672,19 +672,26 @@ def stable_bucket_ids(df: pd.DataFrame, cols: list[str], n_buckets: int) -> np.n
     keys mix via vectorized splitmix64; anything else goes through
     blake2b-64 of the canonical joined string (Python's builtin ``hash``
     is salted and equally forbidden)."""
-    import hashlib
-
     if all(np.issubdtype(df[c].dtype, np.integer) for c in cols):
         h = np.zeros(len(df), dtype=np.uint64)
         for c in cols:
             h = _splitmix64(h ^ _splitmix64(df[c].to_numpy(np.int64).view(np.uint64)))
         return (h % np.uint64(n_buckets)).astype(np.int32)
-    b2b = hashlib.blake2b
-    keys = df[cols].astype(str).agg("\x00".join, axis=1)
-    out = np.empty(len(df), dtype=np.int64)
-    for i, k in enumerate(keys):
-        out[i] = int.from_bytes(b2b(k.encode("utf-8"), digest_size=8).digest(), "big") % n_buckets
-    return out.astype(np.int32)
+    # canonical joined key via vectorized pandas string concat, hashed via
+    # the buffer-level batch loop (per UNIQUE key only) — values identical
+    # to the original per-row blake2b of the same joined string
+    import pyarrow.compute as pc
+
+    from ..index.docid import blake2b_rows
+
+    keys = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        keys = keys + "\x00" + df[c].astype(str)
+    arr = pa.array(keys.to_numpy(dtype=object), pa.string())
+    dic = pc.dictionary_encode(arr)
+    uh = blake2b_rows(dic.dictionary, 8)[:, 0]
+    idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return (uh[idx] % np.uint64(n_buckets)).astype(np.int32)
 
 
 def add_hash_bucket(ds, cols: list[str], n_buckets: int, out: str = "__bucket"):

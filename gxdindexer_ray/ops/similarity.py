@@ -68,14 +68,22 @@ def brute_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qid, grp in parts.groupby("qid", sort=True):
-        grp = grp.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), 1):
-            out_rows.append((int(qid), rank, int(r["nid"])))
-    return pd.DataFrame(out_rows, columns=["qid", "rank", "nid"]).astype(
-        {"qid": np.int64, "rank": np.int64, "nid": np.int64}
-    )
+    return _rank_merge(parts, k)
+
+
+def _rank_merge(parts: pd.DataFrame, k: int, dedup_nid: bool = False) -> pd.DataFrame:
+    """Vectorized final merge of per-batch/per-cell (qid, nid, sim)
+    partials: sort by (qid, sim desc, nid), optional per-qid nid dedup,
+    head-k per qid with a cumcount rank — no Python row loop."""
+    if parts.empty:
+        return pd.DataFrame(columns=["qid", "rank", "nid"]).astype(np.int64)
+    parts = parts.sort_values(["qid", "sim", "nid"],
+                              ascending=[True, False, True], kind="mergesort")
+    if dedup_nid:
+        parts = parts.drop_duplicates(["qid", "nid"], keep="first")
+    parts = parts.assign(rank=parts.groupby("qid", sort=False).cumcount() + 1)
+    parts = parts[parts["rank"] <= k]
+    return parts[["qid", "rank", "nid"]].reset_index(drop=True).astype(np.int64)
 
 
 def _block_pair_sims(tbl_i: pa.Table, tbl_j: pa.Table, same: bool, threshold: float,
@@ -280,13 +288,7 @@ def ivf_search(index_dir, query_ids: np.ndarray, query_matrix: np.ndarray, *,
     if not futs:
         return pd.DataFrame(columns=["qid", "rank", "nid"]).astype(np.int64)
     parts = pa.concat_tables(ray.get(futs)).to_pandas()
-    rows = []
-    for qid, grp in parts.groupby("qid", sort=True):
-        grp = grp.drop_duplicates("nid").sort_values(
-            ["sim", "nid"], ascending=[False, True], kind="mergesort").head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), 1):
-            rows.append((int(qid), rank, int(r["nid"])))
-    return pd.DataFrame(rows, columns=["qid", "rank", "nid"]).astype(np.int64)
+    return _rank_merge(parts, k, dedup_nid=True)
 
 
 def ivf_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,

@@ -123,35 +123,37 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     )
 
 
-def fingerprint_doc(tokens: list[str], k: int = 4, window: int = 8) -> list[int]:
+def fingerprint_doc(tokens: list[str], k: int = 4, window: int = 8,
+                    _h: np.ndarray | None = None) -> list[int]:
     """Winnowing (Schleimer et al., SIGMOD 2003): k-gram rolling hashes, min
-    per sliding window, dedup consecutive. Deterministic."""
-    if len(tokens) < k:
+    per sliding window, dedup consecutive. Deterministic. ``_h`` lets the
+    batch path pass precomputed token hashes (same values as
+    ``_token_hashes``)."""
+    h = _token_hashes(tokens) if _h is None else _h
+    if h.size < k:
         return []
-    h = _token_hashes(tokens)
     # k-gram hash = blake-combined via multiply-xor rolling (vectorized)
-    kg = h[: len(h) - k + 1].copy()
+    kg = h[: h.size - k + 1].copy()
     for i in range(1, k):
-        kg = (kg * np.uint64(1099511628211)) ^ h[i : len(h) - k + 1 + i]
+        kg = (kg * np.uint64(1099511628211)) ^ h[i : h.size - k + 1 + i]
     if kg.size <= window:
         return [int(kg.min()) & ((1 << 63) - 1)]
     sw = np.lib.stride_tricks.sliding_window_view(kg, window)
     mins = sw.min(axis=1)
-    out = []
-    prev = None
-    for m in mins.tolist():
-        if m != prev:
-            out.append(m & ((1 << 63) - 1))  # int64-safe fingerprint
-            prev = m
-    return out
+    keep = np.r_[True, mins[1:] != mins[:-1]]  # dedup consecutive (raw values)
+    return (mins[keep] & np.uint64((1 << 63) - 1)).astype(np.int64).tolist()
 
 
 def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 4, window: int = 8):
     def f(batch: pa.Table) -> pa.Table:
+        from .dedup import _token_hashes_flat
+
         flat, doc_idx = tokenize_column(batch[text_col])
-        toks = flat.to_pylist()
+        # one dictionary-encoded hashing pass for the whole batch (the
+        # Python blake2b loop runs per UNIQUE token); per-doc slices reuse it
+        hflat = _token_hashes_flat(flat) & np.uint64((1 << 63) - 1)
         bounds = np.searchsorted(doc_idx, np.arange(batch.num_rows + 1))
-        fps = [fingerprint_doc(toks[bounds[i]:bounds[i + 1]], k, window)
+        fps = [fingerprint_doc((), k, window, _h=hflat[bounds[i]:bounds[i + 1]])
                for i in range(batch.num_rows)]
         return pa.table(
             {

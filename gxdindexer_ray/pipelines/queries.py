@@ -53,11 +53,12 @@ def q01_pricing_summary(sf: str):
         filter=(pc.field("l_shipdate") <= cutoff),
     )
 
-    def derive(df: pd.DataFrame) -> pd.DataFrame:
-        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
-        return df
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
 
-    ds = ds.map_batches(derive, batch_format="pandas")
+    ds = ds.map_batches(derive, batch_format="pyarrow")
     out = pre_aggregate(
         ds, ["l_returnflag", "l_linestatus"],
         sums={"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice", "sum_disc_price": "disc_price"},
@@ -83,12 +84,14 @@ def q02_event_normalize(sf: str):
     GxdResultIndexer.java:1271-1278) as a vectorized dict lookup."""
     ds = read_table(sf, "events", columns=["event_type"])
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        mapping = {"click": "engaged", "purchase": "engaged", "signup": "engaged", "view": "passive"}
-        df["detection"] = df.event_type.map(mapping).fillna("other")
-        return df[["detection"]]
+    def norm(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        engaged = pc.is_in(et, value_set=pa.array(["click", "purchase", "signup"]))
+        det = pc.if_else(engaged, "engaged",
+                         pc.if_else(pc.equal(et, "view"), "passive", "other"))
+        return pa.table({"detection": det})
 
-    ds = ds.map_batches(norm, batch_format="pandas")
+    ds = ds.map_batches(norm, batch_format="pyarrow")
     return pre_aggregate(ds, ["detection"], counts="n")
 
 
@@ -341,14 +344,14 @@ def q14_round_half(sf: str):
     .25/.75 thresholds, GxdResultIndexer.java:1280-1296)."""
     ds = read_table(sf, "events", columns=["value"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy()
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
         fl = np.floor(v)
         frac = v - fl
         out = np.where(frac < 0.25, fl, np.where(frac < 0.75, fl + 0.5, fl + 1.0))
-        return pd.DataFrame({"vround": out})
+        return pa.table({"vround": pa.array(out, pa.float64())})
 
-    ds = ds.map_batches(f, batch_format="pandas")
+    ds = ds.map_batches(f, batch_format="pyarrow")
     return pre_aggregate(ds, ["vround"], counts="n")
 
 
@@ -364,11 +367,13 @@ def q15_composite_key(sf: str):
     """M3 underscore key joiner (GxdResultIndexer.java:296-313)."""
     ds = read_table(sf, "events", columns=["event_type", "user_id"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df["ukey"] = df.event_type + "_" + (df.user_id % 10).astype(str)
-        return df[["ukey"]]
+    def f(t: pa.Table) -> pa.Table:
+        suffix = pc.cast(
+            pa.array(t["user_id"].to_numpy(zero_copy_only=False) % 10), pa.string())
+        ukey = pc.binary_join_element_wise(t["event_type"], suffix, "_")
+        return pa.table({"ukey": ukey})
 
-    ds = ds.map_batches(f, batch_format="pandas")
+    ds = ds.map_batches(f, batch_format="pyarrow")
     return pre_aggregate(ds, ["ukey"], counts="n")
 
 
@@ -397,12 +402,14 @@ def q17_conditional_label(sf: str):
     """M7 conditional note prefixing (GxdResultIndexer.java:1475-1484)."""
     ds = read_table(sf, "orders", columns=["o_orderstatus", "o_orderpriority"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df["label"] = np.where(df.o_orderstatus == "F",
-                               "final: " + df.o_orderpriority, df.o_orderpriority)
-        return df[["label"]]
+    def f(t: pa.Table) -> pa.Table:
+        pri = t["o_orderpriority"]
+        label = pc.if_else(pc.equal(t["o_orderstatus"], "F"),
+                           pc.binary_join_element_wise(pa.scalar("final: "), pri, ""),
+                           pri)
+        return pa.table({"label": label})
 
-    ds = ds.map_batches(f, batch_format="pandas")
+    ds = ds.map_batches(f, batch_format="pyarrow")
     return pre_aggregate(ds, ["label"], counts="n")
 
 
