@@ -239,8 +239,35 @@ def run_scaling() -> dict:
     }
 
 
+def run_benchmark_steal_gated() -> dict:
+    """Run the benchmark, retrying (fresh Ray session each attempt) while
+    host steal over the bench interval is >= GRAFT_MAX_STEAL percent.
+
+    Rationale: the round-2 per-round record was captured during a 19%-steal
+    storm and read as a 4-10x operator regression until re-adjudicated at a
+    calm host. Gating the official capture on measured-calm conditions makes
+    round-over-round comparisons meaningful without manual re-runs. If every
+    attempt is stormy, the lowest-steal run is emitted (with the full
+    attempt log) rather than blocking the driver forever."""
+    max_steal = float(os.environ.get("GRAFT_MAX_STEAL", "5"))
+    retries = int(os.environ.get("GRAFT_STEAL_RETRIES", "3"))
+    attempts = []
+    best = None
+    for i in range(max(1, retries)):
+        res = run_benchmark()
+        steal = res.get("host_cpu", {}).get("steal_pct", 0.0)
+        attempts.append(steal)
+        if best is None or steal < best.get("host_cpu", {}).get("steal_pct", 0.0):
+            best = res
+        if steal < max_steal:
+            break
+        time.sleep(30)  # let the interference burst pass before retrying
+    best["steal_gate"] = {"max_steal_pct": max_steal, "attempt_steal_pcts": attempts}
+    return best
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_benchmark()))
+        print(json.dumps(run_benchmark_steal_gated()))
