@@ -562,6 +562,40 @@ def test_hash_exchange_apply_group_integrity(ray_session):
         assert int(per_key.loc[7, "rows"]) == 60 + sum(1 for i in range(60) if i % 11 == 7)
 
 
+def test_hash_exchange_many_blocks_stress(ray_session):
+    """Exchange-metadata scale contract: >=1k input blocks x 64 buckets must
+    (a) keep the driver footprint at O(partition tasks + buckets) — blocks are
+    chunked ~16 per partition task, so the driver never ray.gets a
+    per-(block, bucket) map — and (b) preserve group integrity: every key's
+    rows reach exactly ONE fn call, with nothing lost or duplicated."""
+    import pandas as pd
+    import ray.data as rd
+    from gxdindexer_ray.ops.relational import keyed_exchange_apply
+
+    n_blocks, rows_per_block, n_keys = 1024, 4, 257
+    frames = []
+    rng = np.random.default_rng(7)
+    for i in range(n_blocks):
+        ks = rng.integers(0, n_keys, size=rows_per_block)
+        frames.append(pd.DataFrame({"k": ks.astype(np.int64),
+                                    "v": np.full(rows_per_block, i, dtype=np.int64)}))
+    expect = pd.concat(frames).groupby("k")["v"].agg(["count", "sum"])
+    ds = rd.from_pandas(frames)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("k")["v"].agg(["count", "sum"]).reset_index()
+        agg["calls"] = 1
+        return agg
+
+    out = keyed_exchange_apply(ds, ["k"], per_bucket, n_buckets=64,
+                               batch_format="pandas").to_pandas()
+    per_key = out.groupby("k")[["count", "sum", "calls"]].sum()
+    assert len(per_key) == len(expect)
+    assert (per_key["calls"] == 1).all()          # one fn call saw each key
+    assert (per_key["count"] == expect["count"]).all()
+    assert (per_key["sum"] == expect["sum"]).all()
+
+
 def test_transitive_closure_distributed_matches_driver_variant(ray_session):
     """The fully-distributed closure (Dataset-resident seen-set) must equal
     the driver-set variant on the same DAG."""
