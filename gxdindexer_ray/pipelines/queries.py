@@ -681,6 +681,89 @@ FROM scores ORDER BY score_r DESC, doc_id LIMIT 10
 """
 
 
+_INCR_LIFECYCLE_V = 1  # bump to invalidate the cached lifecycle artifact
+
+
+def q46_incremental_topk(sf: str):
+    """Incremental index lifecycle end-to-end through the driver gate —
+    the delete path the reference lacks (its only answer to any corpus
+    change is truncate-rebuild, Indexer.java:83-89): build a BASE index
+    over doc_id%10!=7, APPEND the remaining docs as a delta generation,
+    tombstone-DELETE doc_id%17==3 (hits BOTH generations), COMPACT, then
+    BM25 top-10. Compaction is tested byte-identical to a from-scratch
+    rebuild without the deleted docs (test_incremental), so the oracle is
+    plain BM25 over documents WHERE doc_id % 17 <> 3 with stats (N,
+    avgdl, df) recomputed over the surviving corpus."""
+    import hashlib
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from ..state.manifest import atomic_write_json, read_json
+    from .build import build_index
+    from .incremental import append_index, compact_index, delete_docs
+    from .search import SearchEngine
+
+    fp = _documents_fingerprint(sf) + f"|incr-v{_INCR_LIFECYCLE_V}"
+    tag = hashlib.blake2b(f"{Path(sf).resolve()}|{fp}".encode(),
+                          digest_size=6).hexdigest()
+    base = Path("/tmp/gxdray") / f"incr-{tag}"
+    ix = base / "index"
+    done = base / "_lifecycle_done.json"
+    with _INDEX_BUILD_LOCK:
+        meta = read_json(done)
+        if not (meta and meta.get("fingerprint") == fp):
+            # the lifecycle mutates the index in place (append/delete/
+            # compact are one-way) — a stale or partial artifact is
+            # rebuilt from scratch, never resumed mid-lifecycle
+            shutil.rmtree(base, ignore_errors=True)
+            cfg = IndexConfig()
+            pages_base = _documents_as_pages(
+                sf, base / "pages-base", keep=lambda d: d % 10 != 7, part_tag="|base")
+            pages_delta = _documents_as_pages(
+                sf, base / "pages-delta", keep=lambda d: d % 10 == 7, part_tag="|delta")
+            build_index(pages_base, ix, cfg, resume=True)
+            append_index(pages_delta, ix, cfg)
+            # original doc ids -> internal index doc_ids via docstore urls
+            # (tiny driver-side metadata pass: one url per deleted doc)
+            dead_internal = []
+            for docs_dir in [ix / "docs", ix / "gen-0001" / "docs"]:
+                t = pads.dataset(str(docs_dir), format="parquet").to_table(
+                    columns=["doc_id", "url"])
+                for did, url in zip(t["doc_id"].to_pylist(), t["url"].to_pylist()):
+                    if int(url.rsplit("/", 1)[1]) % 17 == 3:
+                        dead_internal.append(did)
+            delete_docs(ix, dead_internal)
+            compact_index(ix, cfg)
+            atomic_write_json(done, {"fingerprint": fp,
+                                     "n_deleted": len(dead_internal)})
+    eng = SearchEngine(ix, warm_top_terms=0)
+    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+    return _hits_to_orig_topk(ix, hits)
+
+
+SQL_Q46 = """
+WITH docs_s AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM docs_s),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs_s) AS n_docs,
+                 (SELECT count(*) FROM toks2) * 1.0 / (SELECT count(*) FROM docs_s) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       WHERE term IN ('hash','merge','scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * 1.9) / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * (dl.dl / stats.avgdl))) ) AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r
+FROM scores ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
 def q41_dedup_corpus(sf: str):
     """Near-dup dedup end-to-end (the training-data pipeline's headline
     operator): LSH candidates -> distributed exact verify -> connected
@@ -846,16 +929,19 @@ def _documents_fingerprint(sf: str) -> str:
     return f"{st.st_size}-{st.st_mtime_ns}-w{_PAGES_WRAP_VERSION}"
 
 
-def _documents_as_pages(sf: str, target: Path) -> Path:
+def _documents_as_pages(sf: str, target: Path, keep=None, part_tag: str = "") -> Path:
     """Deterministically wrap the documents table as a pages corpus
     (url https://site<id%503>.example.com/doc/<id> — site-bearing so the
     enrichment regex join is exercised; html = templated escape(text));
-    idempotent per content fingerprint."""
+    idempotent per content fingerprint. ``keep`` (optional, doc_id ->
+    bool) selects a subset (used by the incremental lifecycle to split
+    base/delta corpora); ``part_tag`` must uniquely name the subset so
+    the fingerprint cache can't serve the wrong slice."""
     import html as _h
 
     import pyarrow.parquet as pq
 
-    fp = _documents_fingerprint(sf)
+    fp = _documents_fingerprint(sf) + part_tag
     done = target / "_done.json"
     from ..state.manifest import atomic_write_json, read_json
 
@@ -866,6 +952,8 @@ def _documents_as_pages(sf: str, target: Path) -> Path:
     tbl = pq.read_table(str(Path(sf) / "documents.parquet"), columns=["doc_id", "text"])
     urls, htmls = [], []
     for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if keep is not None and not keep(did):
+            continue
         urls.append(f"https://site{did % _N_WRAP_SITES}.example.com/doc/{did}")
         htmls.append(f"<html><body><p>{_h.escape(text or '')}</p></body></html>".encode())
     out = pa.table(
@@ -1194,6 +1282,7 @@ CATALOG: dict[str, tuple] = {
     "q43_simhash_neardup": (q43_simhash_neardup, None),
     "q44_bpe_token_count": (q44_bpe_token_count, SQL_Q44),
     "q45_salted_skew_join": (q45_salted_skew_join, SQL_Q45),
+    "q46_incremental_topk": (q46_incremental_topk, SQL_Q46),
 }
 
 
