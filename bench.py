@@ -167,6 +167,23 @@ def run_benchmark() -> dict:
         extra["query"]["pool_qps"] = round(1000 / timings["query_batch_pool"], 1)
         extra["query"]["pool_hits"] = n_hits
 
+        # ---- MinHash signature throughput (the dominant dedup CPU at
+        # 100 TB) over the built docstore: 200k real extracted texts,
+        # 64 exact uint64-mulmod permutations per doc
+        from gxdindexer_ray.ops.dedup import minhash_signatures
+
+        docs_ds = rd.read_parquet(str(Path(INDEX_DIR) / "docs"),
+                                  columns=["doc_id", "text"])
+        t0 = time.perf_counter()
+        n_sig = minhash_signatures(docs_ds).count()
+        dt = time.perf_counter() - t0
+        timings["minhash_signatures"] = round(dt, 3)
+        extra["dedup"] = {
+            "docs": n_sig,
+            "docs_per_sec": round(n_sig / dt, 1),
+            "signatures_per_sec": round(n_sig * 64 / dt, 1),
+        }
+
         # ---- representative operator pipelines over $GRAFT_SF_DIR --------
         for name in ("q01_pricing_summary", "q04_order_revenue", "q09_first_event",
                      "q21_sessionize", "q23_term_stats", "q30_knn"):

@@ -227,6 +227,34 @@ def minhash_signature_batch(token_lists: list[list[str]], a: np.ndarray, b: np.n
     return _sig_matrix(sh_doc, sh_hash, n_docs, a, b)
 
 
+def minhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       n_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+    """Per-doc MinHash signatures as a Dataset of (id, sig fixed_size_list
+    <int64>[n_perm]) — the measurable signature stage of
+    ``minhash_lsh_candidates`` exposed on its own, for throughput
+    benchmarking and for LSH variants that persist signatures at rest.
+    Same kernels, byte-identical minima (uint64 stored as int64 view)."""
+    a_p, b_p = _perm_params(n_perm, seed)
+    import ray
+
+    ref = ray.put((a_p, b_p))
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ap, bp = ray.get(ref)
+        flat, doc_idx = tokenize_column(batch[text_col])
+        tok_hash = _token_hashes_flat(flat)
+        sh_doc, sh_hash = _shingle_hashes_per_doc(tok_hash, doc_idx,
+                                                  batch.num_rows, shingle_k)
+        sig = _sig_matrix(sh_doc, sh_hash, batch.num_rows, ap, bp)
+        vals = pa.array(sig.reshape(-1).view(np.int64), pa.int64())
+        return pa.table({
+            id_col: batch[id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(vals, n_perm),
+        })
+
+    return ds.map_batches(sigs, batch_format="pyarrow")
+
+
 def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            n_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                            seed: int = 7):

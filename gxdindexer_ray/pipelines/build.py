@@ -204,6 +204,45 @@ def make_docstore_writer_fn(docs_tmp: str, sample_tmp: str | None = None,
     return write
 
 
+_PRIOR_TS_SENTINEL = -(1 << 62)  # epoch-us far before any real warc_ts
+
+
+def make_prior_keys_fn(dead_ref):
+    """Map a prior generation's docstore batches (doc_id column only) to
+    dedup-exchange key rows that ALWAYS WIN: warc_ts/th sentinels sort
+    before any real row in _KEY_SORT, so a re-crawled doc becomes the
+    loser and is dropped by the ordinary sparse-rewrite path. This is the
+    scale path for incremental appends — prior ownership is co-partitioned
+    through the same exchange as intra-build dedup instead of being
+    collected on the driver and broadcast (O(prior N) driver memory).
+    ``dead_ref``: optional ray.put ref of the generation's SORTED
+    tombstoned ids — a deleted doc must NOT exclude a fresh copy."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if dead_ref is not None:
+            dead = ray.get(dead_ref)
+            if dead.size and ids.size:
+                pos = np.searchsorted(dead, ids)
+                pos_c = np.minimum(pos, dead.size - 1)
+                ids = ids[~((pos < dead.size) & (dead[pos_c] == ids))]
+        n = ids.size
+        i64_min = np.iinfo(np.int64).min
+        return pa.table({
+            "bucket": pa.array((ids >> (63 - _DEDUP_RANGE_BITS)).astype(np.int32)),
+            "doc_id": pa.array(ids),
+            "warc_ts": pa.array(np.full(n, _PRIOR_TS_SENTINEL, np.int64),
+                                pa.timestamp("us")),
+            "th_hi": pa.array(np.full(n, i64_min, np.int64)),
+            "th_lo": pa.array(np.full(n, i64_min, np.int64)),
+            "dl": pa.array(np.zeros(n, np.int64)),
+            "file": pa.array([""] * n, pa.string()),
+            "row": pa.array(np.full(n, -1, np.int32)),
+        }).cast(_KEYS_SCHEMA)
+
+    return f
+
+
 def _find_losers(g: pa.Table) -> pa.Table:
     """Reduce side of the key exchange: within one doc-range bucket, the
     winner per doc_id is min (warc_ts, th_hi, th_lo) — dedup-rule v2,
@@ -230,11 +269,14 @@ def make_loser_dropper(docs_tmp: str):
     import pyarrow.parquet as pq
 
     def drop(g: pa.Table) -> pa.Table:
+        empty = pa.table({"file": pa.array([], pa.string()),
+                          "dropped": pa.array([], pa.int64()),
+                          "dropped_dl": pa.array([], pa.int64())})
         if g.num_rows == 0:  # no duplicate losers anywhere
-            return pa.table({"file": pa.array([], pa.string()),
-                             "dropped": pa.array([], pa.int64()),
-                             "dropped_dl": pa.array([], pa.int64())})
+            return empty
         fname = g["file"][0].as_py()
+        if fname == "":  # prior-generation sentinel rows can never lose,
+            return empty  # but guard the rewrite path regardless
         path = Path(docs_tmp) / fname
         rows = np.sort(g["row"].to_numpy(zero_copy_only=False).astype(np.int64))
         tbl = pq.read_table(path)
@@ -335,6 +377,7 @@ def build_index(
     resume: bool = True,
     parallelism: int | None = None,
     exclude_ids_ref=None,
+    exclude_prior_docstores=None,
     key_salt: str = "",
 ) -> dict:
     """Build the full index; returns the metrics dict (also metrics.json).
@@ -343,7 +386,15 @@ def build_index(
     array of doc_ids to drop at the door (incremental append: docs already
     owned by an earlier generation). ``key_salt`` folds the exclusion
     context into the checkpoint key so a resume against a changed base
-    invalidates."""
+    invalidates.
+
+    ``exclude_prior_docstores``: the broadcast-free alternative for LARGE
+    prior corpora — a list of (parquet file list, dead_ids ray ref or
+    None) per prior generation. Prior doc_ids are streamed into the dedup
+    key exchange as always-win sentinel rows (see make_prior_keys_fn), so
+    exclusion is co-partitioned with the exchange and nothing prior-sized
+    ever lands on the driver or is broadcast. Mutually exclusive with
+    ``exclude_ids_ref``; results are identical (tested)."""
     pages_dir, out = Path(pages_dir), Path(out_dir)
     input_files = sorted(str(p) for p in pages_dir.glob("*.parquet"))
     if not input_files:
@@ -411,7 +462,22 @@ def build_index(
         # all-to-all in the same lineage as the extract map makes the
         # executor's per-operator reservations throttle the map (measured
         # ~44% map utilization at 8 CPUs with the fused variant)
-        keys = keys.materialize().repartition(max(8, _n_cpus() // 2)).materialize()
+        keys = keys.materialize()
+        n_prior = 0
+        if exclude_prior_docstores:
+            prior_parts = []
+            for files, dead_ref in exclude_prior_docstores:
+                if not files:
+                    continue
+                prior_parts.append(
+                    rd.read_parquet(files, columns=["doc_id"]).map_batches(
+                        make_prior_keys_fn(dead_ref), batch_format="pyarrow"))
+            if prior_parts:
+                pk = (prior_parts[0].union(*prior_parts[1:])
+                      if len(prior_parts) > 1 else prior_parts[0]).materialize()
+                n_prior = int(pk.count())
+                keys = keys.union(pk)
+        keys = keys.repartition(max(8, _n_cpus() // 2)).materialize()
         # whole-group integrity is load-bearing here (a split bucket would
         # silently keep duplicate docs) -> explicit exchange, not map_groups
         losers = hash_exchange_apply(keys, "bucket", _find_losers,
@@ -438,10 +504,12 @@ def build_index(
         n_losers = int(dropped["dropped"].sum()) if len(dropped) else 0
         losers_dl = int(dropped["dropped_dl"].sum()) if len(dropped) else 0
         # corpus stats fall out of the key rows for free (P1 needs no scan)
+        # prior sentinel rows carry dl=0, so only the count needs adjusting
         p0.seal(files=len(list(docs_dir.glob("*.parquet"))),
                 dup_losers_dropped=n_losers,
                 sample_cut=sample_cut,
-                n_docs=int(keys.count()) - n_losers,
+                n_prior_keys=n_prior,
+                n_docs=int(keys.count()) - n_prior - n_losers,
                 total_dl=int(keys.sum("dl") or 0) - losers_dl)
     metrics["phases"]["docstore"] = round(time.perf_counter() - t0, 3)
 

@@ -153,19 +153,46 @@ def _dead_arrays(root: Path, n_gens: int):
     return [dead_ids_for_gen(tombs, g) for g in range(n_gens + 1)]
 
 
+# above this many prior docs, append_index switches from the broadcast
+# exclusion set (8 B/doc through driver + object store) to streaming prior
+# ids into the dedup key exchange (nothing prior-sized leaves the workers)
+EXCHANGE_EXCLUSION_THRESHOLD = 20_000_000
+
+
+def _prior_rows_estimate(dirs: list[Path]) -> int:
+    """Prior corpus size from parquet METADATA only (no column reads)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _docstore_files(dirs))
+
+
 def append_index(
     pages_dir: str | Path,
     index_dir: str | Path,
     cfg: IndexConfig = DEFAULT_CONFIG,
     *,
     resume: bool = True,
+    exclusion: str = "auto",
 ) -> dict:
     """Index NEW pages as a delta generation of an existing index.
 
     Returns the delta build's metrics dict plus generation bookkeeping.
     Re-appending the same pages is a no-op for already-owned docs (they
-    are excluded at the door), and the phase-manifest resume machinery
-    applies within the generation build itself."""
+    are excluded by cross-generation first-wins dedup), and the
+    phase-manifest resume machinery applies within the generation build.
+
+    ``exclusion`` picks how prior ownership is enforced:
+    - "broadcast": collect prior ids (minus tombstones) into one sorted
+      array, ``ray.put`` once, filter at the extraction door. Cheapest
+      for small bases — excluded docs are never extracted.
+    - "exchange": stream prior ids into the dedup key exchange as
+      always-win sentinel rows (build.make_prior_keys_fn). O(1) driver
+      memory regardless of base size; re-crawled docs pay extraction
+      and are then dropped by the ordinary loser rewrite.
+    - "auto" (default): exchange when the prior corpus exceeds
+      EXCHANGE_EXCLUSION_THRESHOLD rows (estimated from parquet
+      metadata), else broadcast. Both modes produce identical indexes
+      (tested)."""
     root = Path(index_dir)
     _check_scoring_config(root, cfg)
     gens = read_json(root / "generations.json") or {"generations": []}
@@ -174,23 +201,48 @@ def append_index(
     # deleted doc is re-addable (the tombstone's upto_gen predates the new
     # generation, which therefore serves the fresh copy)
     dead = _dead_arrays(root, len(gens["generations"]))
-    parts = []
-    for g, d in enumerate(prior):
-        ids_g = collect_doc_ids([d])
-        if dead is not None and dead[g] is not None and ids_g.size:
-            pos = np.searchsorted(dead[g], ids_g)
-            pos_c = np.minimum(pos, dead[g].size - 1)
-            ids_g = ids_g[dead[g][pos_c] != ids_g]
-        parts.append(ids_g)
-    ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    # the exclusion context is part of the delta's checkpoint key: resuming
-    # a generation build against a CHANGED base must invalidate
-    salt = hashlib.blake2b(ids.tobytes(), digest_size=8).hexdigest()
-    ids_ref = ray.put(ids)
+    if exclusion == "auto":
+        exclusion = ("exchange" if _prior_rows_estimate(prior) >
+                     EXCHANGE_EXCLUSION_THRESHOLD else "broadcast")
     gen_name = f"gen-{len(gens['generations']) + 1:04d}"
     t0 = time.perf_counter()
-    metrics = build_index(pages_dir, root / gen_name, cfg, resume=resume,
-                          exclude_ids_ref=ids_ref, key_salt=salt)
+    n_excluded = 0
+    if exclusion == "broadcast":
+        parts = []
+        for g, d in enumerate(prior):
+            ids_g = collect_doc_ids([d])
+            if dead is not None and dead[g] is not None and ids_g.size:
+                pos = np.searchsorted(dead[g], ids_g)
+                pos_c = np.minimum(pos, dead[g].size - 1)
+                ids_g = ids_g[dead[g][pos_c] != ids_g]
+            parts.append(ids_g)
+        ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        # the exclusion context is part of the delta's checkpoint key: a
+        # resume against a CHANGED base must invalidate
+        salt = hashlib.blake2b(ids.tobytes(), digest_size=8).hexdigest()
+        n_excluded = int(ids.size)
+        metrics = build_index(pages_dir, root / gen_name, cfg, resume=resume,
+                              exclude_ids_ref=ray.put(ids), key_salt=salt)
+    elif exclusion == "exchange":
+        sides = []
+        h = hashlib.blake2b(digest_size=8)
+        for g, d in enumerate(prior):
+            files = _docstore_files([d])
+            for f in files:  # exclusion-context fingerprint without reading ids
+                st = Path(f).stat()
+                h.update(f"{f}|{st.st_size}|{st.st_mtime_ns};".encode())
+            dg = dead[g] if dead is not None else None
+            if dg is not None:
+                h.update(np.asarray(dg, np.int64).tobytes())
+            dref = ray.put(np.asarray(dg, np.int64)) if dg is not None and dg.size else None
+            sides.append((files, dref))
+        metrics = build_index(pages_dir, root / gen_name, cfg, resume=resume,
+                              exclude_prior_docstores=sides,
+                              key_salt="ex:" + h.hexdigest())
+        n_excluded = int((read_json(root / gen_name / "_manifests" /
+                                    "phase-docstore.json") or {}).get("n_prior_keys", 0))
+    else:
+        raise ValueError(f"unknown exclusion mode {exclusion!r}")
     if gen_name not in gens["generations"]:
         gens["generations"].append(gen_name)
         atomic_write_json(root / "generations.json", gens)
@@ -198,7 +250,8 @@ def append_index(
     metrics.update(
         generation=gen_name,
         n_generations=len(gens["generations"]),
-        excluded_prior_docs=int(ids.size),
+        excluded_prior_docs=n_excluded,
+        exclusion_mode=exclusion,
         global_N=g["N"],
         global_avgdl=g["avgdl"],
         append_wall_sec=round(time.perf_counter() - t0, 3),

@@ -128,6 +128,77 @@ def test_append_dedups_across_generations(corpora, tmp_path):
         IndexReader(ref, warm_top_terms=0).term_stats()
 
 
+def test_append_exchange_exclusion_matches_broadcast(ray_session, corpora, tmp_path):
+    """exclusion="exchange" (prior ids co-partitioned through the dedup key
+    exchange as always-win sentinel rows — the O(1)-driver-memory scale
+    path) must produce an index identical to exclusion="broadcast",
+    including when the delta re-crawls docs the base already owns."""
+    from gxdindexer_ray.index.reader import IndexReader, read_global_stats
+    from gxdindexer_ray.pipelines import append_index, build_index
+
+    a, b, full, _ = corpora
+    ta = pa.concat_tables([pq.read_table(f) for f in sorted(Path(a).glob("*.parquet"))])
+    tb = pa.concat_tables([pq.read_table(f) for f in sorted(Path(b).glob("*.parquet"))])
+    recrawl = ta.slice(100, 150).set_column(
+        ta.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        pa.compute.add(ta.slice(100, 150)["warc_ts"],
+                       pa.scalar(86_400_000_000, pa.duration("us"))),
+    ).cast(tb.schema)
+    bprime = tmp_path / "bprime_x"
+    bprime.mkdir()
+    pq.write_table(pa.concat_tables([tb, recrawl]).combine_chunks(),
+                   bprime / "part-0.parquet")
+
+    idx_b, idx_x = tmp_path / "idx_bc", tmp_path / "idx_ex"
+    build_index(a, idx_b, CFG)
+    build_index(a, idx_x, CFG)
+    m_b = append_index(bprime, idx_b, CFG, exclusion="broadcast")
+    m_x = append_index(bprime, idx_x, CFG, exclusion="exchange")
+    assert m_x["exclusion_mode"] == "exchange"
+    assert m_b["excluded_prior_docs"] == m_x["excluded_prior_docs"] > 0
+
+    gb, gx = read_global_stats(idx_b), read_global_stats(idx_x)
+    assert gb["N"] == gx["N"] and gb["total_dl"] == gx["total_dl"]
+    assert IndexReader(idx_b, warm_top_terms=0).term_stats() == \
+        IndexReader(idx_x, warm_top_terms=0).term_stats()
+    # the delta generation's segment artifacts are byte-identical
+    sb = sorted((idx_b / "gen-0001" / "segments").glob("*.parquet"))
+    sx = sorted((idx_x / "gen-0001" / "segments").glob("*.parquet"))
+    assert [p.name for p in sb] == [p.name for p in sx]
+    assert all(x.read_bytes() == y.read_bytes() for x, y in zip(sb, sx))
+
+
+def test_append_exchange_respects_tombstones(ray_session, tmp_path):
+    """A tombstoned doc must be re-addable under exclusion="exchange": the
+    dead-id filter runs inside the prior-keys map, so the sentinel row for
+    a deleted doc never enters the exchange."""
+    from gxdindexer_ray.pipelines import SearchEngine, append_index, build_index
+    from gxdindexer_ray.pipelines.incremental import delete_docs
+
+    docs = [(f"https://t.example/{i}", f"tango{i % 5} uniform") for i in range(40)]
+    base = tmp_path / "base"
+    _mini_corpus(base, docs)
+    idx = tmp_path / "idx_xt"
+    build_index(base, idx, CFG)
+    eng = SearchEngine(idx, warm_top_terms=0)
+    victim = eng.topk("tango1", 1, "brute")[0][0]
+    delete_docs(idx, [victim])
+    # fresh copy of the deleted doc, later timestamp + changed body
+    redo = tmp_path / "redo"
+    _mini_corpus(redo, [(u, body + " redo") for u, body in docs
+                        if body.startswith("tango1")],
+                 ts0=1_700_000_000_000_000)
+    m = append_index(redo, idx, CFG, exclusion="exchange")
+    assert m["exclusion_mode"] == "exchange"
+    # ONLY the tombstoned doc is re-addable: the other tango1 re-crawls are
+    # still owned by the live base copies and lose (first-wins). "redo"
+    # exists only in the new generation, so exactly one hit — the victim's
+    # url (same doc_id, fresh content).
+    hits = SearchEngine(idx, warm_top_terms=0).topk("redo", 10, "brute")
+    assert [h for h, _ in hits] == [victim]
+
+
 def test_compact_restores_single_build_layout(appended_and_ref, corpora):
     from gxdindexer_ray.pipelines import compact_index
 

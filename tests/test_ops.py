@@ -66,6 +66,27 @@ def test_exact_jaccard_and_signatures_deterministic():
         assert np.array_equal(batch[i], minhash_signature(doc, a, b))
 
 
+def test_minhash_signatures_dataset_matches_scalar(ray_session):
+    """The standalone signature Dataset stage (bench surface) must emit the
+    same minima as the scalar reference path, including tokenization."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.dedup import _perm_params, minhash_signature
+    from gxdindexer_ray.ops.dedup import minhash_signatures
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    texts = {1: "the quick brown fox jumps over the lazy dog",
+             2: "pack my box with five dozen liquor jugs",
+             3: "ab", 4: ""}
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                                 "text": pa.array(list(texts.values()), pa.string())}))
+    out = minhash_signatures(ds, n_perm=16).to_pandas().set_index("doc_id")
+    a, b = _perm_params(16)
+    for did, text in texts.items():
+        want = minhash_signature(tokenize(text), a, b)
+        got = np.asarray(out.loc[did, "sig"], dtype=np.int64).view(np.uint64)
+        assert np.array_equal(got, want), did
+
+
 def test_mulmod_m61_exact():
     from gxdindexer_ray.ops.dedup import _MERSENNE, _mulmod_m61, _perm_params
 
