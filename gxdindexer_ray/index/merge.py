@@ -73,36 +73,74 @@ def merge_bucket_files(bucket_files: list[str], segments_dir: str, avgdl: float,
     SLOTS merged one at a time (cfg.merge_max_postings per slot). The
     split count derives from the bucket's total n_postings — a pure
     function of corpus content, never of batching or parallelism — so the
-    segment file set stays deterministic; compressed payloads (~10
-    B/posting) are held across slots, which is the documented residual
-    bound (raise cfg.n_buckets to shrink it)."""
+    segment file set stays deterministic. Compressed payloads are slot-
+    bounded too: partials are written rslot-sorted (spimi.py) and each
+    slot reads only its own row groups via parquet min/max stats, so
+    nothing bucket-sized is ever resident (only n_postings — 8 B/row —
+    is read bucket-wide, to pick the split count)."""
     cfg = cfg or IndexConfig()
-    tbl = pa.concat_tables(pq.read_table(f) for f in sorted(bucket_files))
+    files = sorted(bucket_files)
     merger = BucketMerger(segments_dir=segments_dir, avgdl=avgdl, cfg=cfg)
-    total_postings = int(pa.compute.sum(tbl["n_postings"]).as_py() or 0)
+    pfs = [pq.ParquetFile(f) for f in files]
+    total_postings = 0
+    for pf in pfs:
+        col = pf.read(columns=["n_postings"])["n_postings"]
+        total_postings += int(pa.compute.sum(col).as_py() or 0)
     slots = 1
     while slots < 64 and total_postings / slots > cfg.merge_max_postings:
         slots *= 2
     if slots == 1:
+        tbl = pa.concat_tables(pf.read() for pf in pfs)
         return merger(tbl).to_pylist()[0]
 
-    import hashlib
-
-    terms = tbl["term"].to_pylist()
-    slot_of = {}
-    slot_ids = np.empty(len(terms), np.int8)
-    for i, t in enumerate(terms):
-        s = slot_of.get(t)
-        if s is None:
-            s = hashlib.blake2b(t.encode(), digest_size=2).digest()[0] & (slots - 1)
-            slot_of[t] = s
-        slot_ids[i] = s
+    have_rslot = all("rslot" in pf.schema_arrow.names for pf in pfs)
     rows = []
-    for s in range(slots):
-        sub = tbl.filter(pa.array(slot_ids == s))
-        if sub.num_rows == 0:
-            continue
-        rows.append(merger(sub, file_suffix=f"-{s:02d}").to_pylist()[0])
+    if have_rslot:
+        # slot s = {terms : slot_byte & (slots-1) == s} is the contiguous
+        # rslot range [rev_k(s), rev_k(s)+1) << (6-k) — see spimi._REV6
+        k = slots.bit_length() - 1
+        width = 64 >> k
+        for s in range(slots):
+            rev = int(f"{s:0{k}b}"[::-1], 2) if k else 0
+            lo, hi = rev * width, rev * width + width
+            parts = []
+            for pf in pfs:
+                ci = pf.schema_arrow.names.index("rslot")
+                gs = []
+                for g in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(g).column(ci).statistics
+                    if st is None or st.min is None or (st.min < hi and st.max >= lo):
+                        gs.append(g)
+                if gs:
+                    parts.append(pf.read_row_groups(gs))
+            if not parts:
+                continue
+            sub = pa.concat_tables(parts)
+            rs = sub["rslot"]
+            sub = sub.filter(pa.compute.and_(
+                pa.compute.greater_equal(rs, lo), pa.compute.less(rs, hi)))
+            if sub.num_rows == 0:
+                continue
+            rows.append(merger(sub, file_suffix=f"-{s:02d}").to_pylist()[0])
+    else:
+        # partials from a pre-rslot layout: legacy whole-bucket path
+        import hashlib
+
+        tbl = pa.concat_tables(pf.read() for pf in pfs)
+        terms = tbl["term"].to_pylist()
+        slot_of: dict = {}
+        slot_ids = np.empty(len(terms), np.int8)
+        for i, t in enumerate(terms):
+            s = slot_of.get(t)
+            if s is None:
+                s = hashlib.blake2b(t.encode(), digest_size=2).digest()[0] & (slots - 1)
+                slot_of[t] = s
+            slot_ids[i] = s
+        for s in range(slots):
+            sub = tbl.filter(pa.array(slot_ids == s))
+            if sub.num_rows == 0:
+                continue
+            rows.append(merger(sub, file_suffix=f"-{s:02d}").to_pylist()[0])
     agg = dict(rows[0])
     agg.update(
         n_terms=sum(r["n_terms"] for r in rows),

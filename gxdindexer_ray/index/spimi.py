@@ -32,6 +32,7 @@ from ..text.tokenize import doc_term_counts
 PARTIAL_SCHEMA = pa.schema(
     [
         pa.field("bucket", pa.int32()),
+        pa.field("rslot", pa.int32()),
         pa.field("term", pa.string()),
         pa.field("shard", pa.int32()),
         pa.field("n_postings", pa.int64()),
@@ -42,10 +43,25 @@ PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
+# bit-reversal of the 6-bit term-slot byte. Oversized buckets are merged in
+# 2^k term-hash SLOTS (k <= 6, decided at merge time from the bucket's
+# posting count); a slot is {terms : slot_byte & (2^k - 1) == s}, i.e. the
+# LOW k bits are fixed — not a contiguous slot_byte range. Bit-reversing
+# makes every such set a contiguous ``rslot`` range, so partials sorted by
+# rslot let the merge read ONLY the row groups of the slot it is merging
+# (parquet min/max stats) instead of holding the whole bucket's compressed
+# payloads across slots.
+_REV6 = np.array([int(f"{i:06b}"[::-1], 2) for i in range(64)], dtype=np.int32)
+
 
 def bucket_of(term: str, shard: int, n_buckets: int) -> int:
     h = hashlib.blake2b(f"{term}\x00{shard}".encode(), digest_size=4).digest()
     return int.from_bytes(h, "big") % n_buckets
+
+
+def slot_byte_of(term: str) -> int:
+    """The 6-bit term-slot byte (shared definition with index.merge)."""
+    return hashlib.blake2b(term.encode(), digest_size=2).digest()[0] & 63
 
 
 def make_spimi_fn(hot_terms_ref, cfg: IndexConfig):
@@ -93,7 +109,10 @@ def make_spimi_writer_fn(hot_terms_ref, cfg: IndexConfig, partials_dir: str):
             _local["b"] = b
         tbl = b(batch)
         buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
-        order = np.argsort(buckets, kind="stable")
+        rslots = tbl["rslot"].to_numpy(zero_copy_only=False)
+        # rslot-sorted within each bucket file: oversized-bucket merges can
+        # then row-group-prune to exactly the term-hash slot they're merging
+        order = np.lexsort((rslots, buckets))
         tbl = tbl.take(pa.array(order))
         buckets = buckets[order]
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]])
@@ -105,7 +124,10 @@ def make_spimi_writer_fn(hot_terms_ref, cfg: IndexConfig, partials_dir: str):
             d = Path(partials_dir) / f"bucket={bk:05d}"
             d.mkdir(parents=True, exist_ok=True)
             f = d / f"part-{tag}-{i}.parquet"
-            pq.write_table(tbl.slice(s, e - s), f, compression="lz4")
+            # ~64 row groups per file -> slot pruning resolves to ~1/slots
+            # of the file's bytes; tiny files degrade to one group
+            pq.write_table(tbl.slice(s, e - s), f, compression="lz4",
+                           row_group_size=max(32, -(-(e - s) // 64)))
             out_b.append(bk)
             out_path.append(str(f))
             out_rows.append(e - s)
@@ -131,6 +153,7 @@ class SpimiPartialBuilder:
             hot = ray.get(hot_terms_ref) if isinstance(hot_terms_ref, ray.ObjectRef) else hot_terms_ref
             self.hot = frozenset(hot)
         self._bucket_cache: dict[tuple[str, int], int] = {}
+        self._rslot_cache: dict[str, int] = {}
 
     def _bucket(self, term: str, shard: int) -> int:
         key = (term, shard)
@@ -139,6 +162,13 @@ class SpimiPartialBuilder:
             b = bucket_of(term, shard, self.cfg.n_buckets)
             self._bucket_cache[key] = b
         return b
+
+    def _rslot(self, term: str) -> int:
+        r = self._rslot_cache.get(term)
+        if r is None:
+            r = int(_REV6[slot_byte_of(term)])
+            self._rslot_cache[term] = r
+        return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -216,9 +246,12 @@ class SpimiPartialBuilder:
             (self._bucket(t, int(s)) for t, s in zip(terms_out, seg_shards)),
             dtype=np.int32, count=nseg,
         )
+        rslots = np.fromiter((self._rslot(t) for t in terms_out),
+                             dtype=np.int32, count=nseg)
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int32()),
+                "rslot": pa.array(rslots, pa.int32()),
                 "term": pa.array(terms_out, pa.string()),
                 "shard": pa.array(seg_shards.astype(np.int32), pa.int32()),
                 "n_postings": pa.array(seg_ends - seg_starts, pa.int64()),
