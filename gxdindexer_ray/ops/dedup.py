@@ -295,6 +295,14 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
         })
 
     sig_ds = ds.map_batches(sigs, batch_format="pyarrow")
+    return band_bucket_pairs(sig_ds)
+
+
+def band_bucket_pairs(sig_ds, n_buckets: int = 64):
+    """Shared LSH candidate generation: (band, bhash, doc) signature rows
+    -> deduplicated (a, b) candidate pairs (a < b). One bhash-keyed
+    exchange; pairs emitted per (band, bucket) group; used by both
+    MinHash-LSH (text) and hyperplane-LSH (embeddings)."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -308,7 +316,7 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
 
     from .relational import dedup_first, mod_exchange_apply
 
-    cand = mod_exchange_apply(sig_ds, "bhash", pairs, 64)
+    cand = mod_exchange_apply(sig_ds, "bhash", pairs, n_buckets)
     return dedup_first(cand, ["a", "b"], ["a", "b"])
 
 

@@ -133,6 +133,133 @@ def embedding_near_dup(ds, *, threshold: float, id_col: str = "vec_id",
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _embedding_rows(ds, ids, id_col: str, emb_col: str, out_id: str, out_emb: str):
+    """(id, embedding) rows for the candidate id set (broadcast id filter —
+    8 B/candidate, same bound as the Jaccard verify's doc filter)."""
+    import pyarrow.compute as pc
+
+    id_arr = pa.array(sorted(ids), pa.int64())
+
+    def grab(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch[id_col], value_set=id_arr))
+        return pa.table({out_id: sub[id_col], out_emb: sub[emb_col]})
+
+    return ds.map_batches(grab, batch_format="pyarrow")
+
+
+def verify_pairs_cosine(ds, pairs, *, threshold: float, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> pd.DataFrame:
+    """EXACT cosine on candidate (a, b) pairs, DISTRIBUTED: candidate
+    vectors are partitioned-joined onto the pair set (two key-hash
+    shuffles of candidate-sized data); the per-bucket reducer does one
+    vectorized row-wise dot and only pairs with sim > threshold survive.
+    Mirrors dedup.verify_pairs_jaccard — nothing embedding-sized reaches
+    the driver."""
+    import ray.data as rd
+
+    from .relational import partitioned_join
+
+    empty = pd.DataFrame(columns=["a", "b", "sim"]).astype(
+        {"a": np.int64, "b": np.int64, "sim": np.float64})
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return empty
+        pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
+        ids = set(pairs["a"]) | set(pairs["b"])
+    else:
+        pairs = pairs.materialize()
+        pair_rows = pairs.select_columns(["a", "b"]).take_all()
+        if not pair_rows:
+            return empty
+        ids = {int(r["a"]) for r in pair_rows} | {int(r["b"]) for r in pair_rows}
+        pairs_ds = pairs
+
+    e_a = _embedding_rows(ds, ids, id_col, emb_col, "a_key", "emb_a").materialize()
+    j1 = partitioned_join(pairs_ds, e_a, "a", "a_key", how="inner")
+    e_b = e_a.map_batches(lambda t: t.rename_columns(["b_key", "emb_b"]),
+                          batch_format="pyarrow")
+
+    def cos_post(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        va = _normalize(np.stack([np.asarray(v, np.float64) for v in df["emb_a"]]))
+        vb = _normalize(np.stack([np.asarray(v, np.float64) for v in df["emb_b"]]))
+        sims = np.einsum("ij,ij->i", va, vb)
+        out = pd.DataFrame({"a": df["a"].to_numpy(np.int64),
+                            "b": df["b"].to_numpy(np.int64),
+                            "sim": np.round(sims, 6)})
+        return out[out["sim"] > threshold]
+
+    j2 = partitioned_join(j1, e_b, "b", "b_key", how="inner", bucket_post=cos_post)
+    out = j2.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype(
+        {"a": np.int64, "b": np.int64, "sim": np.float64})
+
+
+def hyperplane_signatures(ds, *, n_planes: int = 128, bands: int = 8,
+                          id_col: str = "vec_id", emb_col: str = "embedding",
+                          seed: int = 7):
+    """Random-hyperplane (sign-of-projection) LSH signature rows
+    (band, bhash, doc) for an embedding Dataset. The plane matrix is
+    regenerated per task from the seed (deterministic, dim x n_planes —
+    cheaper than broadcasting for small dims). Collision probability per
+    bit is 1 - theta/pi, so banding is selective only in the HIGH-cosine
+    regime (near-dup, sim >= ~0.9); for low thresholds use the exact tile
+    join (embedding_near_dup) or the IVF index."""
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+    assert rows <= 62, "band hash packs into a 62-bit int"
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        from .relational import _splitmix64
+
+        m = _normalize(_to_matrix(batch[emb_col]))
+        dim = m.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        bits = (m @ planes) > 0  # (n, n_planes)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = ids.size
+        weights = (np.uint64(1) << np.arange(rows, dtype=np.uint64))
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        band_hashes = np.empty(bands * n, dtype=np.uint64)
+        for bi in range(bands):
+            packed = bits[:, bi * rows:(bi + 1) * rows].astype(np.uint64) @ weights
+            band_hashes[bi * n:(bi + 1) * n] = _splitmix64(
+                packed ^ np.uint64(bi + 1))  # salt: same bits in another band differ
+        return pa.table({
+            "band": pa.array(band_ids, pa.int32()),
+            "bhash": pa.array((band_hashes >> np.uint64(1)).astype(np.int64), pa.int64()),
+            "doc": pa.array(np.tile(ids, bands), pa.int64()),
+        })
+
+    return ds.map_batches(sigs, batch_format="pyarrow")
+
+
+def embedding_lsh_near_dup(ds, ds_again, *, threshold: float,
+                           n_planes: int = 128, bands: int = 8,
+                           id_col: str = "vec_id", emb_col: str = "embedding",
+                           seed: int = 7) -> pd.DataFrame:
+    """Approximate all-pairs cosine near-dup — the LSH-bucketed SCALE path
+    past the exact O(n^2) tile join (embedding_near_dup): hyperplane
+    signatures -> banded bucket candidates (shared band_bucket_pairs
+    machinery with MinHash-LSH) -> DISTRIBUTED exact-cosine verification.
+    Output is a SUBSET of the exact join's pairs (precision 1 by
+    construction); recall is the banding probability 1-(1-p^r)^b with
+    p = 1 - arccos(sim)/pi — e.g. ~0.97 for sim 0.98 at the 128/8
+    defaults, ~1.0 for exact duplicates. ``ds``/``ds_again`` are two
+    reads of the same table (signatures and verification each consume
+    one pass)."""
+    from .dedup import band_bucket_pairs
+
+    sig_ds = hyperplane_signatures(ds, n_planes=n_planes, bands=bands,
+                                   id_col=id_col, emb_col=emb_col, seed=seed)
+    cand = band_bucket_pairs(sig_ds)
+    return verify_pairs_cosine(ds_again, cand, threshold=threshold,
+                               id_col=id_col, emb_col=emb_col)
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 0) -> np.ndarray:
     """Deterministic Lloyd k-means on normalized vectors (cosine ≈ L2)."""
     rng = np.random.default_rng(seed)

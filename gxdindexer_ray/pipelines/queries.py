@@ -899,6 +899,56 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 """
 
 
+def _augment_with_scaled_dup(t: pa.Table) -> pa.Table:
+    """Deterministic duplicate augmentation: every vector re-added at
+    vec_id+100000 scaled by 2.0 (cosine-identical, bit-different
+    payload). Pure Arrow/numpy; empty batches pass through typed."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if ids.size == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "embedding": pa.array([], pa.list_(pa.float32()))})
+    m = sim_ops._to_matrix(t["embedding"])
+    both = np.concatenate([m, m * 2.0]).astype(np.float32)
+    d = m.shape[1]
+    vals = pa.array(both.reshape(-1), pa.float32())
+    offs = pa.array((np.arange(2 * ids.size + 1) * d).astype(np.int32), pa.int32())
+    return pa.table({
+        "vec_id": pa.array(np.concatenate([ids, ids + 100000]), pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, vals),
+    })
+
+
+def q47_embedding_lsh_dup(sf: str):
+    """Hyperplane-LSH embedding near-dup — the approximate SCALE path past
+    q31's exact O(n^2) tile join: sign-of-projection signatures -> banded
+    bucket candidates (shared machinery with MinHash-LSH) -> distributed
+    exact-cosine verify. Run on a deterministic duplicate augmentation
+    (every vector re-added scaled by 2): duplicate signatures are
+    identical, so LSH recall for them is exactly 1, the verify bounds
+    precision, and the output provably equals the exact SQL cosine join
+    over the augmented table at threshold 0.9 (no base pair exceeds
+    ~0.48 — see BASELINE/TESTDATA). Recall in the non-trivial 0.9x regime
+    is unit-tested on constructed near-dups (test_ops)."""
+    a1 = read_table(sf, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        _augment_with_scaled_dup, batch_format="pyarrow")
+    a2 = read_table(sf, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        _augment_with_scaled_dup, batch_format="pyarrow")
+    out = sim_ops.embedding_lsh_near_dup(a1, a2, threshold=0.9)
+    return out[["a", "b"]]
+
+
+SQL_Q47 = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> x * 2.0) AS embedding FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
+"""
+
+
 def q32_blob_meta(sf: str):
     """Multimodal plumbing: opaque binary payload through an actor-pool
     metadata stage (decode itself stubbed/fake — see ops/multimodal.py)."""
@@ -1283,6 +1333,7 @@ CATALOG: dict[str, tuple] = {
     "q44_bpe_token_count": (q44_bpe_token_count, SQL_Q44),
     "q45_salted_skew_join": (q45_salted_skew_join, SQL_Q45),
     "q46_incremental_topk": (q46_incremental_topk, SQL_Q46),
+    "q47_embedding_lsh_dup": (q47_embedding_lsh_dup, SQL_Q47),
 }
 
 

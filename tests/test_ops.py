@@ -583,6 +583,39 @@ def test_hash_exchange_apply_group_integrity(ray_session):
         assert int(per_key.loc[7, "rows"]) == 60 + sum(1 for i in range(60) if i % 11 == 7)
 
 
+def test_embedding_lsh_near_dup_recall_and_precision(ray_session):
+    """Hyperplane-LSH near-dup vs the exact tile join on constructed
+    high-cosine near-dups: output must be a SUBSET of the exact pairs
+    (precision 1 by construction — candidates are exactly verified) and
+    recall of planted sim~0.98 pairs must meet the banding bound."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.similarity import embedding_lsh_near_dup, embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    planted = base[:25] + 0.12 * rng.standard_normal((25, 32))  # sim ~0.97-0.99
+    m = np.concatenate([base, planted]).astype(np.float32)
+    ids = np.arange(225, dtype=np.int64)
+
+    def mk():
+        vals = pa.array(m.reshape(-1), pa.float32())
+        offs = pa.array((np.arange(226) * 32).astype(np.int32), pa.int32())
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.ListArray.from_arrays(offs, vals),
+        }))
+
+    exact = embedding_near_dup(mk(), threshold=0.9)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    got = embedding_lsh_near_dup(mk(), mk(), threshold=0.9)
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= exact_pairs            # precision 1
+    planted_pairs = {(i, 200 + i) for i in range(25)} & exact_pairs
+    assert len(planted_pairs) >= 20            # construction sanity
+    recall = len(got_pairs & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.8, recall
+
+
 def test_hash_exchange_many_blocks_stress(ray_session):
     """Exchange-metadata scale contract: >=1k input blocks x 64 buckets must
     (a) keep the driver footprint at O(partition tasks + buckets) — blocks are
