@@ -885,6 +885,29 @@ def q40_ivf_knn(sf: str):
     return sim_ops.ivf_knn(ds, ids, mat, k=5, n_clusters=8, nprobe=3, index_dir=ix)
 
 
+def q48_ivf_exhaustive_knn(sf: str):
+    """IVF correctness gate: probing ALL cells must equal brute-force
+    cosine top-k EXACTLY — validates that the persisted cell layout
+    partitions the corpus (no row lost or duplicated across cells and
+    hot-cell sub-shards, forced here by a small max_cell_rows) and that
+    the per-cell partial top-k + rank merge is exact. Same SQL oracle as
+    q30; unlike q40 (nprobe<cells, rows-only), this one is hash-gated."""
+    import hashlib
+
+    ids, mat = _query_vectors(sf, 3)
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    st = (Path(sf) / "embeddings.parquet").stat()
+    tag = hashlib.blake2b(
+        f"{Path(sf).resolve()}|{st.st_size}-{st.st_mtime_ns}|x".encode(), digest_size=6
+    ).hexdigest()
+    ix = Path("/tmp/gxdray") / f"ivf-x-{tag}"
+    return sim_ops.ivf_knn(ds, ids, mat, k=5, n_clusters=8, nprobe=8,
+                           index_dir=ix, max_cell_rows=64)
+
+
+SQL_Q48 = SQL_Q30
+
+
 def q31_embedding_neardup(sf: str):
     out = sim_ops.embedding_near_dup(
         read_table(sf, "embeddings", columns=["vec_id", "embedding"]), threshold=0.45
@@ -1334,6 +1357,7 @@ CATALOG: dict[str, tuple] = {
     "q45_salted_skew_join": (q45_salted_skew_join, SQL_Q45),
     "q46_incremental_topk": (q46_incremental_topk, SQL_Q46),
     "q47_embedding_lsh_dup": (q47_embedding_lsh_dup, SQL_Q47),
+    "q48_ivf_exhaustive_knn": (q48_ivf_exhaustive_knn, SQL_Q48),
 }
 
 
