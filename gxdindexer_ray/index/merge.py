@@ -61,7 +61,8 @@ MANIFEST_SCHEMA = pa.schema(
 
 
 def merge_bucket_files(bucket_files: list[str], segments_dir: str, avgdl: float,
-                       cfg: IndexConfig | None = None) -> dict:
+                       cfg: IndexConfig | None = None, *,
+                       total_postings: int | None = None) -> dict:
     """Reducer for the file-based exchange: read one bucket's partial files,
     merge, write its segment(s). Run as one Ray task per bucket
     (``ray.remote(merge_bucket_files)``) — this is the rare drop below the
@@ -76,23 +77,25 @@ def merge_bucket_files(bucket_files: list[str], segments_dir: str, avgdl: float,
     segment file set stays deterministic. Compressed payloads are slot-
     bounded too: partials are written rslot-sorted (spimi.py) and each
     slot reads only its own row groups via parquet min/max stats, so
-    nothing bucket-sized is ever resident (only n_postings — 8 B/row —
-    is read bucket-wide, to pick the split count)."""
+    nothing bucket-sized is ever resident. The split count comes from
+    ``total_postings`` (the SPIMI writers' manifest sums) when the caller
+    has it; otherwise one cheap n_postings column pass derives it."""
     cfg = cfg or IndexConfig()
     files = sorted(bucket_files)
     merger = BucketMerger(segments_dir=segments_dir, avgdl=avgdl, cfg=cfg)
-    pfs = [pq.ParquetFile(f) for f in files]
-    total_postings = 0
-    for pf in pfs:
-        col = pf.read(columns=["n_postings"])["n_postings"]
-        total_postings += int(pa.compute.sum(col).as_py() or 0)
+    if total_postings is None:
+        total_postings = 0
+        for f in files:
+            col = pq.read_table(f, columns=["n_postings"])["n_postings"]
+            total_postings += int(pa.compute.sum(col).as_py() or 0)
     slots = 1
     while slots < 64 and total_postings / slots > cfg.merge_max_postings:
         slots *= 2
     if slots == 1:
-        tbl = pa.concat_tables(pf.read() for pf in pfs)
+        tbl = pa.concat_tables(pq.read_table(f) for f in files)
         return merger(tbl).to_pylist()[0]
 
+    pfs = [pq.ParquetFile(f) for f in files]
     have_rslot = all("rslot" in pf.schema_arrow.names for pf in pfs)
     rows = []
     if have_rslot:

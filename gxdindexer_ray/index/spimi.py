@@ -116,27 +116,33 @@ def make_spimi_writer_fn(hot_terms_ref, cfg: IndexConfig, partials_dir: str):
         tbl = tbl.take(pa.array(order))
         buckets = buckets[order]
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]])
+        npost = tbl["n_postings"].to_numpy(zero_copy_only=False)
         tag = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        out_b, out_path, out_rows, out_bytes = [], [], [], []
+        out_b, out_path, out_rows, out_bytes, out_post = [], [], [], [], []
         for i in range(bounds.size - 1):
             s, e = int(bounds[i]), int(bounds[i + 1])
             bk = int(buckets[s])
             d = Path(partials_dir) / f"bucket={bk:05d}"
             d.mkdir(parents=True, exist_ok=True)
             f = d / f"part-{tag}-{i}.parquet"
-            # ~64 row groups per file -> slot pruning resolves to ~1/slots
-            # of the file's bytes; tiny files degrade to one group
+            # ~<=64 row groups per file (floor 256 rows/group: parquet
+            # per-group overhead must not dominate small partials) ->
+            # slot pruning resolves to a fraction of the file's bytes
             pq.write_table(tbl.slice(s, e - s), f, compression="lz4",
-                           row_group_size=max(32, -(-(e - s) // 64)))
+                           row_group_size=max(256, -(-(e - s) // 64)))
             out_b.append(bk)
             out_path.append(str(f))
             out_rows.append(e - s)
             out_bytes.append(f.stat().st_size)
+            out_post.append(int(npost[s:e].sum()))
         return pa.table({
             "bucket": pa.array(out_b, pa.int32()),
             "path": pa.array(out_path, pa.string()),
             "rows": pa.array(out_rows, pa.int64()),
             "bytes": pa.array(out_bytes, pa.int64()),
+            # per-file posting totals: the merge decides its slot split
+            # from these manifest sums without re-reading any column
+            "postings": pa.array(out_post, pa.int64()),
         })
 
     return spimi_write

@@ -688,8 +688,11 @@ def _segments_phase(out: Path, doc_files: list[str], stats: dict, hot_terms: lis
             batch_size=cfg.spimi_batch_size,
         )
         by_bucket: dict[int, list[str]] = {}
+        bucket_postings: dict[int, int] = {}
         for w in writes.take_all():
-            by_bucket.setdefault(int(w["bucket"]), []).append(w["path"])
+            bk = int(w["bucket"])
+            by_bucket.setdefault(bk, []).append(w["path"])
+            bucket_postings[bk] = bucket_postings.get(bk, 0) + int(w.get("postings") or 0)
         _save_exec_stats(out, "p3-spimi-map", writes)
 
         # reduce side: one task per bucket. On wide single boxes more than
@@ -724,7 +727,8 @@ def _segments_phase(out: Path, doc_files: list[str], stats: dict, hot_terms: lis
         merge_cpus = int(_os.environ.get("GXDRAY_MERGE_CPUS", "0")) or max(1, ncpu // target_conc)
         merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
         futs = [
-            merge_task.remote(by_bucket[bk], str(seg_tmp), stats["avgdl"], cfg)
+            merge_task.remote(by_bucket[bk], str(seg_tmp), stats["avgdl"], cfg,
+                              total_postings=bucket_postings[bk] or None)
             for bk in sorted(by_bucket, key=lambda b: -bucket_bytes[b])
         ]
         rows = ray.get(futs)
