@@ -1119,6 +1119,120 @@ FROM scores ORDER BY score_r DESC, doc_id LIMIT 10
 """
 
 
+# the q33 BM25 CTE stack, shared by the serving-feature oracles (fq /
+# facet / collapse below score or match the SAME query the same way)
+_SQL_BM25_CTES = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM toks2) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       WHERE term IN ('hash','merge','scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * 1.9) / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * (dl.dl / stats.avgdl))) ) AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id)
+"""
+
+
+def _site_of(urls) -> pa.ChunkedArray:
+    """Vectorized site number from a wrapped-corpus url column."""
+    return pc.cast(
+        pc.replace_substring_regex(
+            urls, pattern=r"^https://site(\d+)\.example\.com/.*$", replacement=r"\1"),
+        pa.int64())
+
+
+def _orig_id_of(meta: pa.Table) -> pa.ChunkedArray:
+    """Vectorized original documents.doc_id (the url tail) from docstore
+    metadata — the tie-break key the SQL oracles order by."""
+    return pc.cast(
+        pc.replace_substring_regex(meta["url"], pattern="^.*/", replacement=""),
+        pa.int64())
+
+
+def q49_filtered_topk(sf: str):
+    """Query-time dynamic metadata filter — Solr fq semantics, the serving
+    feature the reference's web app layers on its indexes (every GXD page
+    is 'this query AND these facet restrictions'): BM25 stats stay GLOBAL
+    (identical scores to the unfiltered query), only the result set is
+    restricted to docs whose url site < 100. Contrast q42, which derives a
+    sub-corpus index with its OWN stats. The filter docset is one pruned
+    docstore column scan, cached per filter key (Solr's filterCache)."""
+    from .search import DocFilter, SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix)
+    flt = DocFilter("site<100", ["url"],
+                    lambda t: pc.less(_site_of(t["url"]), 100))
+    hits = eng.filtered_topk(_BM25_TERMS, k=1_000_000, doc_filter=flt)
+    return _hits_to_orig_topk(ix, hits)
+
+
+SQL_Q49 = _SQL_BM25_CTES + """
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r
+FROM scores WHERE doc_id % 503 < 100 ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
+def q50_facet_counts(sf: str):
+    """Solr facet.field over the OR match set: docs matching ANY standard
+    query term, counted per url site; top-20 facet values (count desc,
+    site asc). Match set = union of the terms' postings (tombstone-masked
+    at decode); metadata via row-group-pruned docstore reads."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix)
+    out = eng.facet_counts(_BM25_TERMS, "url", value_fn=_site_of, top=20)
+    df = out.rename_columns(["site", "n_docs"]).to_pandas()
+    return df.astype({"site": np.int64, "n_docs": np.int64})
+
+
+SQL_Q50 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('hash','merge','scan'))
+SELECT doc_id % 503 AS site, count(*) AS n_docs
+FROM matched GROUP BY site ORDER BY n_docs DESC, site LIMIT 20
+"""
+
+
+def q51_collapse_topk(sf: str):
+    """Solr field collapsing (group.field): the best-scoring hit per url
+    site, top-10 groups. Scores are fixed-point rounded and ties broken on
+    the original doc id BEFORE collapsing (score_round/tie_fn), so the
+    group champion the engine picks is the one the SQL window picks."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix)
+    rows = eng.collapse_topk(_BM25_TERMS, k=10, field="url",
+                             value_fn=_site_of, tie_fn=_orig_id_of,
+                             score_round=6)
+    df = pd.DataFrame(
+        [(site, orig, score) for site, _did, orig, score in rows],
+        columns=["site", "doc_id", "score_r"])
+    return df.astype({"site": np.int64, "doc_id": np.int64,
+                      "score_r": np.float64})
+
+
+SQL_Q51 = _SQL_BM25_CTES + """,
+sc AS (SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r,
+              doc_id % 503 AS site FROM scores),
+best AS (SELECT site, doc_id, score_r,
+                row_number() OVER (PARTITION BY site ORDER BY score_r DESC, doc_id) AS rn
+         FROM sc)
+SELECT site, doc_id, score_r FROM best WHERE rn = 1
+ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
 def q34_json_extract(sf: str):
     """M13 JSON-serialized struct fields (the reference Jackson-serializes
     pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
@@ -1358,6 +1472,9 @@ CATALOG: dict[str, tuple] = {
     "q46_incremental_topk": (q46_incremental_topk, SQL_Q46),
     "q47_embedding_lsh_dup": (q47_embedding_lsh_dup, SQL_Q47),
     "q48_ivf_exhaustive_knn": (q48_ivf_exhaustive_knn, SQL_Q48),
+    "q49_filtered_topk": (q49_filtered_topk, SQL_Q49),
+    "q50_facet_counts": (q50_facet_counts, SQL_Q50),
+    "q51_collapse_topk": (q51_collapse_topk, SQL_Q51),
 }
 
 

@@ -166,8 +166,7 @@ class PhraseAndBooleanMixin:
                 matched.append(int(did))
         return matched
 
-    def _texts_for(self, doc_ids) -> dict[int, str]:
-        import pyarrow.compute as pc
+    def _docstore_dataset(self):
         import pyarrow.dataset as pads
 
         from ..index.reader import generation_dirs
@@ -176,13 +175,179 @@ class PhraseAndBooleanMixin:
         files = [str(f)
                  for d in [root] + generation_dirs(root)
                  for f in sorted((d / "docs").glob("*.parquet"))]
-        ds = pads.dataset(files, format="parquet")
+        return pads.dataset(files, format="parquet")
+
+    def _meta_for(self, doc_ids, columns: list[str]) -> pa.Table:
+        """Docstore metadata for a match set. The docstore files are
+        docID-range clustered, so the isin filter resolves to row-group-
+        pruned reads, not scans."""
+        import pyarrow.compute as pc
+
         ids = [int(d) for d in doc_ids]
-        tbl = ds.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids))
+        return self._docstore_dataset().to_table(
+            columns=["doc_id", *columns], filter=pc.field("doc_id").isin(ids))
+
+    def _texts_for(self, doc_ids) -> dict[int, str]:
+        tbl = self._meta_for(doc_ids, ["text"])
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
 
 
-class SearchEngine(PhraseAndBooleanMixin):
+class DocFilter:
+    """A named, cacheable docstore predicate — the reference deployment's
+    Solr ``fq`` (filter query). ``columns`` are the docstore columns the
+    vectorized ``mask_fn(table) -> pa.BooleanArray`` needs; ``key`` is the
+    cache identity (two filters with equal keys are assumed equal)."""
+
+    def __init__(self, key: str, columns: list[str], mask_fn):
+        self.key = key
+        self.columns = list(columns)
+        self.mask_fn = mask_fn
+
+
+class ServingFeaturesMixin:
+    """Query-time serving features the reference's Solr deployment layers on
+    the raw index — filter queries, facets, field collapsing — re-expressed
+    over our segments + docstore (semantics parity only, no Solr code):
+
+    - ``filtered_topk``: Solr-fq semantics — BM25 stats stay GLOBAL (df, N,
+      avgdl unchanged), only the result set is restricted. The filter's
+      doc-id set is computed once by a column-pruned docstore scan and
+      cached per ``DocFilter.key`` (Solr's filterCache), so repeated
+      queries under the same filter pay zero extra I/O.
+    - ``facet_counts``: value counts of a docstore field over the OR match
+      set (Solr facet.field).
+    - ``collapse_topk``: best-scoring hit per field value (Solr field
+      collapsing / group.field), top-k groups.
+
+    Scale bounds (all df-/selectivity-proportional, none corpus-sized):
+    match sets are the union of the query terms' postings (tombstone-masked
+    at decode); metadata fetches are doc_id-isin reads against the
+    docID-range-clustered docstore (row-group pruned); a cached filter
+    docset costs 8 B per passing doc."""
+
+    _FILTER_CACHE_MAX = 32
+
+    def filter_docset(self, doc_filter: DocFilter):
+        """Sorted uint64 doc-id array passing the filter (cached)."""
+        import numpy as np
+
+        cache = getattr(self, "_filter_cache", None)
+        if cache is None:
+            cache = self._filter_cache = {}
+        hit = cache.get(doc_filter.key)
+        if hit is not None:
+            return hit
+        parts = []
+        for batch in self._docstore_dataset().to_batches(
+                columns=["doc_id", *doc_filter.columns]):
+            t = pa.Table.from_batches([batch])
+            m = doc_filter.mask_fn(t)
+            parts.append(t["doc_id"].filter(m).to_numpy(zero_copy_only=False))
+        out = (np.unique(np.concatenate(parts).astype(np.uint64))
+               if parts else np.empty(0, dtype=np.uint64))
+        if len(cache) >= self._FILTER_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[doc_filter.key] = out
+        return out
+
+    def _union_docs(self, terms: list[str]) -> "np.ndarray":
+        """OR match set: sorted union of the terms' posting docIDs
+        (already tombstone-masked at decode)."""
+        import numpy as np
+
+        if not terms:
+            return np.empty(0, dtype=np.uint64)
+        term_rows = self.reader.fetch_terms(sorted(set(terms)))
+        sets = [pl.doc_ids for rows in term_rows.values()
+                for pl in _decoded(rows, self.reader.block_size)]
+        if not sets:
+            return np.empty(0, dtype=np.uint64)
+        return np.unique(np.concatenate(sets))
+
+    def filtered_topk(self, query: str, k: int, doc_filter: DocFilter,
+                      ) -> list[tuple[int, float]]:
+        """Top-k under a dynamic metadata filter, fq semantics: identical
+        scores to an unfiltered query (global stats), restricted results.
+        Contrast with ``build_filtered_index`` (q42), which derives a
+        sub-corpus index with its OWN stats."""
+        import numpy as np
+
+        terms = sorted(set(tokenize(query)))
+        cand = self._union_docs(terms)
+        if cand.size == 0:
+            return []
+        allowed = self.filter_docset(doc_filter)
+        cand = np.intersect1d(cand, allowed, assume_unique=True)
+        if cand.size == 0:
+            return []
+        return self._score_candidates(terms, cand, k)
+
+    def facet_counts(self, query: str, field: str, value_fn=None,
+                     top: int | None = None) -> pa.Table:
+        """(value, n_docs) over the OR match set, count-desc then value-asc.
+        ``value_fn`` (optional, vectorized ``ChunkedArray -> Array``) derives
+        the facet value from the raw column (e.g. site from url)."""
+        import pyarrow.compute as pc
+
+        terms = sorted(set(tokenize(query)))
+        cand = self._union_docs(terms)
+        if cand.size == 0:
+            empty = pa.table({"value": pa.array([], pa.string()),
+                              "n_docs": pa.array([], pa.int64())})
+            return empty
+        meta = self._meta_for(cand, [field])
+        vals = meta[field]
+        if value_fn is not None:
+            vals = value_fn(vals)
+        vc = pc.value_counts(vals)
+        out = pa.table({"value": vc.field("values"),
+                        "n_docs": pc.cast(vc.field("counts"), pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("n_docs", "descending"),
+                                                ("value", "ascending")])
+        out = out.take(order)
+        return out.slice(0, top) if top is not None else out
+
+    def collapse_topk(self, query: str, k: int, field: str, value_fn=None,
+                      tie_fn=None, score_round: int | None = None,
+                      ) -> list[tuple[object, int, object, float]]:
+        """Field collapsing: the best hit per field value, top-k groups.
+        Best = max score, ties broken by ascending tie key. ``tie_fn``
+        (vectorized, receives the metadata table) supplies the tie key
+        (default: index doc_id); ``score_round`` rounds scores fixed-point
+        (floor(x*10^r + 0.5) / 10^r) BEFORE collapsing so rank ties resolve
+        the way the SQL oracles do. Returns (value, doc_id, tie, score)."""
+        import numpy as np
+        import pandas as pd
+
+        terms = sorted(set(tokenize(query)))
+        cand = self._union_docs(terms)
+        if cand.size == 0:
+            return []
+        hits = self._score_candidates(terms, cand, k=cand.size)
+        ids = np.asarray([h for h, _ in hits], dtype=np.uint64)
+        scores = np.asarray([s for _, s in hits], dtype=np.float64)
+        if score_round is not None:
+            m = 10.0 ** score_round
+            scores = np.floor(scores * m + 0.5) / m
+        meta = self._meta_for(ids, [field])
+        vals = meta[field]
+        if value_fn is not None:
+            vals = value_fn(vals)
+        tie = tie_fn(meta) if tie_fn is not None else meta["doc_id"]
+        df = pd.DataFrame({"doc_id": np.asarray(meta["doc_id"]).astype(np.uint64),
+                           "value": vals.to_pandas(),
+                           "tie": tie.to_pandas()}).merge(
+            pd.DataFrame({"doc_id": ids, "score": scores}), on="doc_id")
+        df = df.sort_values(["value", "score", "tie"],
+                            ascending=[True, False, True], kind="mergesort")
+        best = df.drop_duplicates("value", keep="first")
+        best = best.sort_values(["score", "tie"],
+                                ascending=[False, True], kind="mergesort").head(k)
+        return list(zip(best["value"], (int(d) for d in best["doc_id"]),
+                        best["tie"], best["score"]))
+
+
+class SearchEngine(PhraseAndBooleanMixin, ServingFeaturesMixin):
     def __init__(self, index_dir: str | Path, warm_top_terms: int = 64,
                  lexicon: dict | None = None):
         self.reader = IndexReader(index_dir, warm_top_terms=warm_top_terms,

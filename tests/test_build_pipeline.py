@@ -224,3 +224,73 @@ def test_positional_index(ray_session, pages_1k, tmp_path_factory, oracle_1k):
             toks = tokenize(oracle_1k.text_by_url[url_of[int(did)]])
             expected_pos = [j for j, t in enumerate(toks) if t == term]
             assert pos[off[i]:off[i + 1]].tolist() == expected_pos
+
+
+def test_serving_features_match_brute(built):
+    """filtered_topk (fq semantics), facet_counts, collapse_topk vs direct
+    reimplementations over the docstore + the (oracle-gated) full scorer."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from gxdindexer_ray.fixtures.pages import vocabulary
+    from gxdindexer_ray.pipelines import SearchEngine
+    from gxdindexer_ray.pipelines.search import DocFilter
+
+    out, _ = built
+    eng = SearchEngine(out)
+    vocab = vocabulary(42)
+    query = f"{HOT_TERM} {vocab[0]} {vocab[1]}"
+
+    all_hits = eng.topk(query, k=10**9, method="brute")
+    assert len(all_hits) > 50
+    docs = pads.dataset(str(out / "docs"), format="parquet").to_table(
+        columns=["doc_id", "dl"])
+    dl_of = dict(zip(docs["doc_id"].to_pylist(), docs["dl"].to_pylist()))
+
+    # --- filtered_topk: identical scores, restricted results (Solr fq)
+    flt = DocFilter("dl>=30", ["dl"], lambda t: pc.greater_equal(t["dl"], 30))
+    got = eng.filtered_topk(query, k=5, doc_filter=flt)
+    want = [(d, s) for d, s in all_hits if dl_of[d] >= 30][:5]
+    assert got == want
+    # the filter docset is cached per key (Solr filterCache)
+    assert eng.filter_docset(flt) is eng.filter_docset(flt)
+
+    # --- facet_counts over the OR match set, bucketed dl
+    bucket = lambda a: pc.divide(a, 10)
+    cand = eng._union_docs(sorted(set(query.split())))
+    want_counts = pd.Series(
+        [dl_of[int(d)] // 10 for d in cand]).value_counts()
+    ft = eng.facet_counts(query, "dl", value_fn=bucket)
+    got_counts = dict(zip(ft["value"].to_pylist(), ft["n_docs"].to_pylist()))
+    assert got_counts == {int(k): int(v) for k, v in want_counts.items()}
+    # ordering: count desc, value asc
+    pairs = list(zip(ft["n_docs"].to_pylist(), ft["value"].to_pylist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+    # --- collapse_topk: best hit per bucket, top-k groups
+    rows = eng.collapse_topk(query, k=4, field="dl", value_fn=bucket)
+    df = pd.DataFrame([(dl_of[d] // 10, d, s) for d, s in all_hits],
+                      columns=["value", "doc_id", "score"])
+    df = df.sort_values(["value", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    best = df.drop_duplicates("value", keep="first")
+    best = best.sort_values(["score", "doc_id"],
+                            ascending=[False, True], kind="mergesort").head(4)
+    want_rows = [(int(v), int(d), int(d), float(s))
+                 for v, d, s in zip(best["value"], best["doc_id"], best["score"])]
+    assert [(int(v), int(d), int(t), float(s)) for v, d, t, s in rows] == want_rows
+
+
+def test_filtered_topk_empty_and_nomatch(built):
+    import pyarrow.compute as pc
+
+    from gxdindexer_ray.pipelines import SearchEngine
+    from gxdindexer_ray.pipelines.search import DocFilter
+
+    out, _ = built
+    eng = SearchEngine(out)
+    none = DocFilter("dl<0", ["dl"], lambda t: pc.less(t["dl"], 0))
+    assert eng.filtered_topk(HOT_TERM, k=5, doc_filter=none) == []
+    assert eng.filtered_topk("doesnotexistxyz", k=5,
+                             doc_filter=DocFilter("dl>=0", ["dl"],
+                                                  lambda t: pc.greater_equal(t["dl"], 0))) == []
