@@ -181,11 +181,21 @@ class PhraseAndBooleanMixin:
         """Docstore metadata for a match set. The docstore files are
         docID-range clustered, so the isin filter resolves to row-group-
         pruned reads, not scans."""
+        import numpy as np
         import pyarrow.compute as pc
 
         ids = [int(d) for d in doc_ids]
-        return self._docstore_dataset().to_table(
+        tbl = self._docstore_dataset().to_table(
             columns=["doc_id", *columns], filter=pc.field("doc_id").isin(ids))
+        got = tbl["doc_id"].to_numpy()
+        if np.unique(got).size != got.size:
+            # a doc deleted and RE-ADDED before compaction exists in two
+            # generations; files scan base -> generations in append order,
+            # so the LAST row per doc_id is the live one
+            _, last_rev = np.unique(got[::-1], return_index=True)
+            keep = np.sort(got.size - 1 - last_rev)
+            tbl = tbl.take(pa.array(keep))
+        return tbl
 
     def _texts_for(self, doc_ids) -> dict[int, str]:
         tbl = self._meta_for(doc_ids, ["text"])
@@ -237,12 +247,28 @@ class ServingFeaturesMixin:
         hit = cache.get(doc_filter.key)
         if hit is not None:
             return hit
-        parts = []
+        from ..index.reader import generation_dirs
+
+        multi_gen = bool(generation_dirs(self.reader.index_dir))
+        parts, all_ids, all_masks = [], [], []
         for batch in self._docstore_dataset().to_batches(
                 columns=["doc_id", *doc_filter.columns]):
             t = pa.Table.from_batches([batch])
             m = doc_filter.mask_fn(t)
-            parts.append(t["doc_id"].filter(m).to_numpy(zero_copy_only=False))
+            if multi_gen:
+                # a deleted-then-re-added doc has rows in two generations;
+                # the LAST row (append order) is live — resolve precedence
+                # before filtering, so a stale row can't admit/veto the doc
+                all_ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+                all_masks.append(np.asarray(m).astype(bool))
+            else:
+                parts.append(t["doc_id"].filter(m).to_numpy(zero_copy_only=False))
+        if multi_gen and all_ids:
+            ids = np.concatenate(all_ids)
+            masks = np.concatenate(all_masks)
+            _, last_rev = np.unique(ids[::-1], return_index=True)
+            keep = ids.size - 1 - last_rev
+            parts = [ids[keep][masks[keep]]]
         out = (np.unique(np.concatenate(parts).astype(np.uint64))
                if parts else np.empty(0, dtype=np.uint64))
         if len(cache) >= self._FILTER_CACHE_MAX:

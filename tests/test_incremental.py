@@ -475,3 +475,55 @@ def test_cli_delete(ray_session, tmp_path):
     assert main(["delete", "--index", str(idx), "--urls", "https://c.example/4"]) == 0
     assert doc_id_of("https://c.example/4") not in {
         d for d, _ in SearchEngine(idx, warm_top_terms=0).topk("mango", 20)}
+
+
+def test_serving_features_across_generations(ray_session, tmp_path):
+    """fq filters / facets / collapse on a multi-generation index with a
+    delete + re-add (same doc_id alive in a NEW generation, its stale row
+    still on disk in the base): metadata precedence is the live row, facet
+    counts don't double-count, the stale row can't admit/veto the doc in a
+    filter docset — and everything equals the compacted index."""
+    import pyarrow.compute as pc
+
+    from gxdindexer_ray.index.docid import doc_id_of
+    from gxdindexer_ray.pipelines import (SearchEngine, append_index, build_index,
+                                          compact_index, delete_docs)
+    from gxdindexer_ray.pipelines.search import DocFilter
+
+    docs = [(f"https://s.example/{i}",
+             "papaya " + " ".join(f"w{j}" for j in range(i % 4)))
+            for i in range(30)]
+    base = tmp_path / "sb"
+    _mini_corpus(base, docs)
+    idx = tmp_path / "sidx"
+    build_index(base, idx, CFG)
+    x = doc_id_of("https://s.example/5")
+    delete_docs(idx, [x])
+    readd = tmp_path / "sre"
+    # re-added with a much longer body -> different dl than the stale row
+    _mini_corpus(readd,
+                 [("https://s.example/5",
+                   "papaya " + " ".join(f"z{j}" for j in range(20)))],
+                 ts0=1_700_000_000_000_000)
+    append_index(readd, idx, CFG)
+
+    flt = DocFilter("dl>=10", ["dl"], lambda t: pc.greater_equal(t["dl"], 10))
+    eng = SearchEngine(idx, warm_top_terms=0)
+    live = eng.facet_counts("papaya", "dl")
+    got_f = eng.filtered_topk("papaya", 50, doc_filter=flt)
+    got_c = eng.collapse_topk("papaya", 5, "dl")
+
+    counts = dict(zip(live["value"].to_pylist(), live["n_docs"].to_pylist()))
+    assert counts.get(21) == 1          # counted once, under its NEW dl
+    assert sum(counts.values()) == 30   # 29 base survivors + the re-add
+    assert {d for d, _ in got_f} == {x}  # only the re-add passes dl>=10
+
+    compact_index(idx, CFG)
+    engc = SearchEngine(idx, warm_top_terms=0)
+    assert engc.facet_counts("papaya", "dl").to_pylist() == live.to_pylist()
+    # doc identity is compaction-invariant; SCORES legitimately drift, as in
+    # Lucene: tombstoned docs keep counting in N/avgdl/df until compaction
+    assert [d for d, _ in engc.filtered_topk("papaya", 50, doc_filter=flt)] \
+        == [d for d, _ in got_f]
+    assert [(v, d) for v, d, _t, _s in engc.collapse_topk("papaya", 5, "dl")] \
+        == [(v, d) for v, d, _t, _s in got_c]
