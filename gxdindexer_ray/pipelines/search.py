@@ -166,36 +166,58 @@ class PhraseAndBooleanMixin:
                 matched.append(int(did))
         return matched
 
-    def _docstore_dataset(self):
+    def _docstore_by_gen(self) -> list[tuple[int, "object"]]:
+        """[(generation index, parquet dataset of its docs)], base = 0."""
         import pyarrow.dataset as pads
 
         from ..index.reader import generation_dirs
 
         root = Path(self.reader.index_dir)
-        files = [str(f)
-                 for d in [root] + generation_dirs(root)
-                 for f in sorted((d / "docs").glob("*.parquet"))]
-        return pads.dataset(files, format="parquet")
+        out = []
+        for gen, d in enumerate([root] + generation_dirs(root)):
+            files = [str(f) for f in sorted((d / "docs").glob("*.parquet"))]
+            if files:
+                out.append((gen, pads.dataset(files, format="parquet")))
+        return out
+
+    def _tombstones(self):
+        from ..index.reader import load_tombstones
+
+        if not hasattr(self, "_tombs_cache"):
+            self._tombs_cache = load_tombstones(self.reader.index_dir)
+        return self._tombs_cache
+
+    def _alive_mask(self, doc_ids: "np.ndarray", gen: int):
+        """Boolean mask of rows alive in generation ``gen`` — the reader's
+        own decode rule (a row is dead iff some tombstone has
+        upto_gen >= gen, so deleted-then-re-added docs stay visible through
+        their NEW generation only), or None when nothing is dead."""
+        import numpy as np
+
+        from ..index.reader import dead_ids_for_gen
+
+        dead = dead_ids_for_gen(self._tombstones(), gen)
+        if dead is None or doc_ids.size == 0:
+            return None
+        alive = ~np.isin(doc_ids, dead)
+        return None if alive.all() else alive
 
     def _meta_for(self, doc_ids, columns: list[str]) -> pa.Table:
-        """Docstore metadata for a match set. The docstore files are
-        docID-range clustered, so the isin filter resolves to row-group-
-        pruned reads, not scans."""
-        import numpy as np
+        """Docstore metadata for a match set, tombstone-masked per
+        generation. The docstore files are docID-range clustered, so the
+        isin filter resolves to row-group-pruned reads, not scans."""
         import pyarrow.compute as pc
 
         ids = [int(d) for d in doc_ids]
-        tbl = self._docstore_dataset().to_table(
-            columns=["doc_id", *columns], filter=pc.field("doc_id").isin(ids))
-        got = tbl["doc_id"].to_numpy()
-        if np.unique(got).size != got.size:
-            # a doc deleted and RE-ADDED before compaction exists in two
-            # generations; files scan base -> generations in append order,
-            # so the LAST row per doc_id is the live one
-            _, last_rev = np.unique(got[::-1], return_index=True)
-            keep = np.sort(got.size - 1 - last_rev)
-            tbl = tbl.take(pa.array(keep))
-        return tbl
+        parts = []
+        for gen, ds in self._docstore_by_gen():
+            t = ds.to_table(columns=["doc_id", *columns],
+                            filter=pc.field("doc_id").isin(ids))
+            alive = self._alive_mask(t["doc_id"].to_numpy(), gen)
+            if alive is not None:
+                t = t.filter(pa.array(alive))
+            parts.append(t)
+        return pa.concat_tables(parts)
 
     def _texts_for(self, doc_ids) -> dict[int, str]:
         tbl = self._meta_for(doc_ids, ["text"])
@@ -247,28 +269,16 @@ class ServingFeaturesMixin:
         hit = cache.get(doc_filter.key)
         if hit is not None:
             return hit
-        from ..index.reader import generation_dirs
-
-        multi_gen = bool(generation_dirs(self.reader.index_dir))
-        parts, all_ids, all_masks = [], [], []
-        for batch in self._docstore_dataset().to_batches(
-                columns=["doc_id", *doc_filter.columns]):
-            t = pa.Table.from_batches([batch])
-            m = doc_filter.mask_fn(t)
-            if multi_gen:
-                # a deleted-then-re-added doc has rows in two generations;
-                # the LAST row (append order) is live — resolve precedence
-                # before filtering, so a stale row can't admit/veto the doc
-                all_ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
-                all_masks.append(np.asarray(m).astype(bool))
-            else:
-                parts.append(t["doc_id"].filter(m).to_numpy(zero_copy_only=False))
-        if multi_gen and all_ids:
-            ids = np.concatenate(all_ids)
-            masks = np.concatenate(all_masks)
-            _, last_rev = np.unique(ids[::-1], return_index=True)
-            keep = ids.size - 1 - last_rev
-            parts = [ids[keep][masks[keep]]]
+        parts = []
+        for gen, ds in self._docstore_by_gen():
+            for batch in ds.to_batches(columns=["doc_id", *doc_filter.columns]):
+                t = pa.Table.from_batches([batch])
+                passing = t["doc_id"].filter(doc_filter.mask_fn(t)) \
+                    .to_numpy(zero_copy_only=False)
+                # stale rows of deleted / re-added docs can't admit the doc:
+                # same per-generation tombstone rule the posting decode uses
+                alive = self._alive_mask(passing, gen)
+                parts.append(passing if alive is None else passing[alive])
         out = (np.unique(np.concatenate(parts).astype(np.uint64))
                if parts else np.empty(0, dtype=np.uint64))
         if len(cache) >= self._FILTER_CACHE_MAX:
