@@ -125,11 +125,14 @@ def make_spimi_writer_fn(hot_terms_ref, cfg: IndexConfig, partials_dir: str):
             d = Path(partials_dir) / f"bucket={bk:05d}"
             d.mkdir(parents=True, exist_ok=True)
             f = d / f"part-{tag}-{i}.parquet"
-            # ~<=64 row groups per file (floor 256 rows/group: parquet
-            # per-group overhead must not dominate small partials) ->
-            # slot pruning resolves to a fraction of the file's bytes
+            # row groups floor at 4096 rows: a partial under that writes ONE
+            # group (measured: 64 tiny groups cost 2-3x on both write and
+            # read, and buckets small enough to produce tiny partials never
+            # slot-split anyway); only genuinely large partials — the ones
+            # whose bucket can exceed merge_max_postings — carry the <=64
+            # groups slot pruning reads selectively via rslot min/max stats
             pq.write_table(tbl.slice(s, e - s), f, compression="lz4",
-                           row_group_size=max(256, -(-(e - s) // 64)))
+                           row_group_size=max(4096, -(-(e - s) // 64)))
             out_b.append(bk)
             out_path.append(str(f))
             out_rows.append(e - s)
