@@ -167,6 +167,39 @@ def run_benchmark() -> dict:
         extra["query"]["pool_qps"] = round(1000 / timings["query_batch_pool"], 1)
         extra["query"]["pool_hits"] = n_hits
 
+        # ---- serving features over the built index: fq-filtered top-10
+        # (first call pays the filter-docset scan, the rest hit the
+        # filterCache — both reported), facet counts, field collapsing
+        import pyarrow.compute as _pc
+
+        from gxdindexer_ray.pipelines.search import DocFilter
+
+        flt = DocFilter("dl>=60", ["dl"], lambda t: _pc.greater_equal(t["dl"], 60))
+        serve_qs = [q["query"] for q in qset[:50]]
+        t0 = time.perf_counter()
+        eng.filtered_topk(serve_qs[0], 10, doc_filter=flt)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for q in serve_qs:
+            eng.filtered_topk(q, 10, doc_filter=flt)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fac = eng.facet_counts(serve_qs[0], "dl",
+                               value_fn=lambda a: _pc.divide(a, 25))
+        t_facet = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        eng.collapse_topk(serve_qs[0], 10, "dl",
+                          value_fn=lambda a: _pc.divide(a, 25))
+        t_collapse = time.perf_counter() - t0
+        timings["serving_features"] = round(cold + warm + t_facet + t_collapse, 3)
+        extra["serving"] = {
+            "filtered_cold_ms": round(cold * 1000, 2),
+            "filtered_warm_qps": round(len(serve_qs) / warm, 1),
+            "facet_ms": round(t_facet * 1000, 2),
+            "facet_values": fac.num_rows,
+            "collapse_ms": round(t_collapse * 1000, 2),
+        }
+
         # ---- MinHash signature throughput (the dominant dedup CPU at
         # 100 TB) over the built docstore: 200k real extracted texts,
         # 64 exact uint64-mulmod permutations per doc
