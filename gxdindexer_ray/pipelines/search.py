@@ -166,10 +166,8 @@ class PhraseAndBooleanMixin:
                 matched.append(int(did))
         return matched
 
-    def _docstore_by_gen(self) -> list[tuple[int, "object"]]:
-        """[(generation index, parquet dataset of its docs)], base = 0."""
-        import pyarrow.dataset as pads
-
+    def _docstore_files_by_gen(self) -> list[tuple[int, list[str]]]:
+        """[(generation index, its docstore parquet paths)], base = 0."""
         from ..index.reader import generation_dirs
 
         root = Path(self.reader.index_dir)
@@ -177,8 +175,15 @@ class PhraseAndBooleanMixin:
         for gen, d in enumerate([root] + generation_dirs(root)):
             files = [str(f) for f in sorted((d / "docs").glob("*.parquet"))]
             if files:
-                out.append((gen, pads.dataset(files, format="parquet")))
+                out.append((gen, files))
         return out
+
+    def _docstore_by_gen(self) -> list[tuple[int, "object"]]:
+        """[(generation index, parquet dataset of its docs)], base = 0."""
+        import pyarrow.dataset as pads
+
+        return [(gen, pads.dataset(files, format="parquet"))
+                for gen, files in self._docstore_files_by_gen()]
 
     def _tombstones(self):
         from ..index.reader import load_tombstones
@@ -269,22 +274,75 @@ class ServingFeaturesMixin:
         hit = cache.get(doc_filter.key)
         if hit is not None:
             return hit
-        parts = []
-        for gen, ds in self._docstore_by_gen():
-            for batch in ds.to_batches(columns=["doc_id", *doc_filter.columns]):
-                t = pa.Table.from_batches([batch])
-                passing = t["doc_id"].filter(doc_filter.mask_fn(t)) \
-                    .to_numpy(zero_copy_only=False)
-                # stale rows of deleted / re-added docs can't admit the doc:
-                # same per-generation tombstone rule the posting decode uses
-                alive = self._alive_mask(passing, gen)
-                parts.append(passing if alive is None else passing[alive])
-        out = (np.unique(np.concatenate(parts).astype(np.uint64))
-               if parts else np.empty(0, dtype=np.uint64))
+        if self._use_distributed_filter():
+            out = self._filter_docset_distributed(doc_filter)
+        else:
+            parts = []
+            for gen, ds in self._docstore_by_gen():
+                for batch in ds.to_batches(columns=["doc_id", *doc_filter.columns]):
+                    t = pa.Table.from_batches([batch])
+                    passing = t["doc_id"].filter(doc_filter.mask_fn(t)) \
+                        .to_numpy(zero_copy_only=False)
+                    # stale rows of deleted / re-added docs can't admit the
+                    # doc: same per-generation tombstone rule as decode
+                    alive = self._alive_mask(passing, gen)
+                    parts.append(passing if alive is None else passing[alive])
+            out = (np.unique(np.concatenate(parts).astype(np.uint64))
+                   if parts else np.empty(0, dtype=np.uint64))
         if len(cache) >= self._FILTER_CACHE_MAX:
             cache.pop(next(iter(cache)))
         cache[doc_filter.key] = out
         return out
+
+    # docstores above this many bytes build filter docsets as a Ray Data
+    # job (cold-filter cost then scales with the cluster, not one process)
+    DIST_FILTER_MIN_BYTES = int(
+        __import__("os").environ.get("GXDRAY_DIST_FILTER_MIN_BYTES",
+                                     256 * 1024 * 1024))
+
+    def _use_distributed_filter(self) -> bool:
+        import os
+
+        import ray
+
+        if not ray.is_initialized():
+            return False
+        total = sum(os.path.getsize(f)
+                    for _, fs in self._docstore_files_by_gen() for f in fs)
+        return total >= self.DIST_FILTER_MIN_BYTES
+
+    def _filter_docset_distributed(self, doc_filter: DocFilter):
+        """Cold-filter scan as a Ray Data job: column-pruned parallel read,
+        per-batch mask + per-generation tombstone mask in the tasks; only
+        PASSING doc ids (8 B each) return to the driver. Tombstone arrays
+        ship via the object store once (delete-rate-sized)."""
+        import numpy as np
+        import ray
+        import ray.data as rd
+
+        from ..index.reader import dead_ids_for_gen
+
+        tombs = self._tombstones()
+        parts = []
+        for gen, files in self._docstore_files_by_gen():
+            dead = dead_ids_for_gen(tombs, gen)
+            dead_ref = ray.put(dead) if dead is not None else None
+            mask_fn = doc_filter.mask_fn
+
+            def passing(t: pa.Table, dead_ref=dead_ref, mask_fn=mask_fn) -> pa.Table:
+                ids = t["doc_id"].filter(mask_fn(t)).to_numpy(zero_copy_only=False)
+                if dead_ref is not None and ids.size:
+                    ids = ids[~np.isin(ids, ray.get(dead_ref))]
+                return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+            parts.append(
+                rd.read_parquet(files, columns=["doc_id", *doc_filter.columns])
+                .map_batches(passing, batch_format="pyarrow"))
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        got = [b["doc_id"].to_numpy() for b in ds.iter_batches(batch_format="pyarrow")]
+        if not got:
+            return np.empty(0, dtype=np.uint64)
+        return np.unique(np.concatenate(got).astype(np.uint64))
 
     def _union_docs(self, terms: list[str]) -> "np.ndarray":
         """OR match set: sorted union of the terms' posting docIDs

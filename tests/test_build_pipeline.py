@@ -294,3 +294,21 @@ def test_filtered_topk_empty_and_nomatch(built):
     assert eng.filtered_topk("doesnotexistxyz", k=5,
                              doc_filter=DocFilter("dl>=0", ["dl"],
                                                   lambda t: pc.greater_equal(t["dl"], 0))) == []
+
+
+def test_filter_docset_distributed_matches_local(built, ray_session):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from gxdindexer_ray.pipelines import SearchEngine
+    from gxdindexer_ray.pipelines.search import DocFilter
+
+    out, _ = built
+    flt = DocFilter("dl>=25", ["dl"], lambda t: pc.greater_equal(t["dl"], 25))
+    local = SearchEngine(out).filter_docset(flt)
+    eng = SearchEngine(out)
+    eng.DIST_FILTER_MIN_BYTES = 0  # force the Ray Data path
+    assert eng._use_distributed_filter()
+    dist = eng.filter_docset(flt)
+    assert np.array_equal(local, dist)
+    assert local.size > 0
