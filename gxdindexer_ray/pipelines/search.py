@@ -168,15 +168,7 @@ class PhraseAndBooleanMixin:
 
     def _docstore_files_by_gen(self) -> list[tuple[int, list[str]]]:
         """[(generation index, its docstore parquet paths)], base = 0."""
-        from ..index.reader import generation_dirs
-
-        root = Path(self.reader.index_dir)
-        out = []
-        for gen, d in enumerate([root] + generation_dirs(root)):
-            files = [str(f) for f in sorted((d / "docs").glob("*.parquet"))]
-            if files:
-                out.append((gen, files))
-        return out
+        return _index_docstore_files_by_gen(self.reader.index_dir)
 
     def _docstore_by_gen(self) -> list[tuple[int, "object"]]:
         """[(generation index, parquet dataset of its docs)], base = 0."""
@@ -241,6 +233,87 @@ class DocFilter:
         self.mask_fn = mask_fn
 
 
+def _index_docstore_files_by_gen(index_dir) -> list[tuple[int, list[str]]]:
+    """[(generation index, its docstore parquet paths)], base = 0."""
+    from ..index.reader import generation_dirs
+
+    root = Path(index_dir)
+    out = []
+    for gen, d in enumerate([root] + generation_dirs(root)):
+        files = [str(f) for f in sorted((d / "docs").glob("*.parquet"))]
+        if files:
+            out.append((gen, files))
+    return out
+
+
+def build_filter_docset(index_dir, doc_filter: DocFilter, *,
+                        dist_min_bytes: int | None = None) -> "np.ndarray":
+    """Sorted uint64 array of doc ids passing ``doc_filter`` — the fq
+    docset. Rows are tombstone-masked with the decode rule (a generation-g
+    row is dead iff some tombstone has upto_gen >= g). Docstores above
+    ``dist_min_bytes`` scan as a Ray Data job (column-pruned parallel read;
+    only passing ids, 8 B each, return to the driver); smaller ones scan
+    locally. Module-level so pool serving can build the set ONCE and
+    broadcast it instead of paying the scan per actor."""
+    import os
+
+    import numpy as np
+
+    from ..index.reader import dead_ids_for_gen, load_tombstones
+
+    if dist_min_bytes is None:
+        dist_min_bytes = int(os.environ.get(
+            "GXDRAY_DIST_FILTER_MIN_BYTES", 256 * 1024 * 1024))
+    by_gen = _index_docstore_files_by_gen(index_dir)
+    tombs = load_tombstones(index_dir)
+
+    import ray
+
+    total = sum(os.path.getsize(f) for _, fs in by_gen for f in fs)
+    if ray.is_initialized() and total >= dist_min_bytes:
+        import ray.data as rd
+
+        parts_ds = []
+        for gen, files in by_gen:
+            dead = dead_ids_for_gen(tombs, gen)
+            dead_ref = ray.put(dead) if dead is not None else None
+            mask_fn = doc_filter.mask_fn
+
+            def passing(t: pa.Table, dead_ref=dead_ref, mask_fn=mask_fn) -> pa.Table:
+                ids = t["doc_id"].filter(mask_fn(t)).to_numpy(zero_copy_only=False)
+                if dead_ref is not None and ids.size:
+                    ids = ids[~np.isin(ids, ray.get(dead_ref))]
+                return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+            parts_ds.append(
+                rd.read_parquet(files, columns=["doc_id", *doc_filter.columns])
+                .map_batches(passing, batch_format="pyarrow"))
+        ds = parts_ds[0].union(*parts_ds[1:]) if len(parts_ds) > 1 else parts_ds[0]
+        got = [b["doc_id"].to_numpy()
+               for b in ds.iter_batches(batch_format="pyarrow")]
+        if not got:
+            return np.empty(0, dtype=np.uint64)
+        return np.unique(np.concatenate(got).astype(np.uint64))
+
+    import pyarrow.dataset as pads
+
+    parts = []
+    for gen, files in by_gen:
+        dead = dead_ids_for_gen(tombs, gen)
+        for batch in pads.dataset(files, format="parquet").to_batches(
+                columns=["doc_id", *doc_filter.columns]):
+            t = pa.Table.from_batches([batch])
+            ids = t["doc_id"].filter(doc_filter.mask_fn(t)) \
+                .to_numpy(zero_copy_only=False)
+            # stale rows of deleted / re-added docs can't admit the doc:
+            # same per-generation tombstone rule the posting decode uses
+            if dead is not None and ids.size:
+                ids = ids[~np.isin(ids, dead)]
+            parts.append(ids)
+    return (np.unique(np.concatenate(parts).astype(np.uint64))
+            if parts else np.empty(0, dtype=np.uint64))
+
+
 class ServingFeaturesMixin:
     """Query-time serving features the reference's Solr deployment layers on
     the raw index — filter queries, facets, field collapsing — re-expressed
@@ -264,85 +337,25 @@ class ServingFeaturesMixin:
 
     _FILTER_CACHE_MAX = 32
 
+    # docstores above this many bytes build filter docsets as a Ray Data
+    # job (cold-filter cost then scales with the cluster, not one process);
+    # class attribute so tests can force either path per instance
+    DIST_FILTER_MIN_BYTES = None  # None -> env / 256 MB default
+
     def filter_docset(self, doc_filter: DocFilter):
         """Sorted uint64 doc-id array passing the filter (cached)."""
-        import numpy as np
-
         cache = getattr(self, "_filter_cache", None)
         if cache is None:
             cache = self._filter_cache = {}
         hit = cache.get(doc_filter.key)
         if hit is not None:
             return hit
-        if self._use_distributed_filter():
-            out = self._filter_docset_distributed(doc_filter)
-        else:
-            parts = []
-            for gen, ds in self._docstore_by_gen():
-                for batch in ds.to_batches(columns=["doc_id", *doc_filter.columns]):
-                    t = pa.Table.from_batches([batch])
-                    passing = t["doc_id"].filter(doc_filter.mask_fn(t)) \
-                        .to_numpy(zero_copy_only=False)
-                    # stale rows of deleted / re-added docs can't admit the
-                    # doc: same per-generation tombstone rule as decode
-                    alive = self._alive_mask(passing, gen)
-                    parts.append(passing if alive is None else passing[alive])
-            out = (np.unique(np.concatenate(parts).astype(np.uint64))
-                   if parts else np.empty(0, dtype=np.uint64))
+        out = build_filter_docset(self.reader.index_dir, doc_filter,
+                                  dist_min_bytes=self.DIST_FILTER_MIN_BYTES)
         if len(cache) >= self._FILTER_CACHE_MAX:
             cache.pop(next(iter(cache)))
         cache[doc_filter.key] = out
         return out
-
-    # docstores above this many bytes build filter docsets as a Ray Data
-    # job (cold-filter cost then scales with the cluster, not one process)
-    DIST_FILTER_MIN_BYTES = int(
-        __import__("os").environ.get("GXDRAY_DIST_FILTER_MIN_BYTES",
-                                     256 * 1024 * 1024))
-
-    def _use_distributed_filter(self) -> bool:
-        import os
-
-        import ray
-
-        if not ray.is_initialized():
-            return False
-        total = sum(os.path.getsize(f)
-                    for _, fs in self._docstore_files_by_gen() for f in fs)
-        return total >= self.DIST_FILTER_MIN_BYTES
-
-    def _filter_docset_distributed(self, doc_filter: DocFilter):
-        """Cold-filter scan as a Ray Data job: column-pruned parallel read,
-        per-batch mask + per-generation tombstone mask in the tasks; only
-        PASSING doc ids (8 B each) return to the driver. Tombstone arrays
-        ship via the object store once (delete-rate-sized)."""
-        import numpy as np
-        import ray
-        import ray.data as rd
-
-        from ..index.reader import dead_ids_for_gen
-
-        tombs = self._tombstones()
-        parts = []
-        for gen, files in self._docstore_files_by_gen():
-            dead = dead_ids_for_gen(tombs, gen)
-            dead_ref = ray.put(dead) if dead is not None else None
-            mask_fn = doc_filter.mask_fn
-
-            def passing(t: pa.Table, dead_ref=dead_ref, mask_fn=mask_fn) -> pa.Table:
-                ids = t["doc_id"].filter(mask_fn(t)).to_numpy(zero_copy_only=False)
-                if dead_ref is not None and ids.size:
-                    ids = ids[~np.isin(ids, ray.get(dead_ref))]
-                return pa.table({"doc_id": pa.array(ids, pa.int64())})
-
-            parts.append(
-                rd.read_parquet(files, columns=["doc_id", *doc_filter.columns])
-                .map_batches(passing, batch_format="pyarrow"))
-        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-        got = [b["doc_id"].to_numpy() for b in ds.iter_batches(batch_format="pyarrow")]
-        if not got:
-            return np.empty(0, dtype=np.uint64)
-        return np.unique(np.concatenate(got).astype(np.uint64))
 
     def _union_docs(self, terms: list[str]) -> "np.ndarray":
         """OR match set: sorted union of the terms' posting docIDs
@@ -364,13 +377,19 @@ class ServingFeaturesMixin:
         scores to an unfiltered query (global stats), restricted results.
         Contrast with ``build_filtered_index`` (q42), which derives a
         sub-corpus index with its OWN stats."""
+        return self.topk_in_docset(query, k, self.filter_docset(doc_filter))
+
+    def topk_in_docset(self, query: str, k: int, allowed: "np.ndarray",
+                       ) -> list[tuple[int, float]]:
+        """Top-k restricted to a precomputed sorted uint64 docset (the fq
+        fast path when the docset is already built and broadcast — pool
+        actors intersect, they never re-scan)."""
         import numpy as np
 
         terms = sorted(set(tokenize(query)))
         cand = self._union_docs(terms)
         if cand.size == 0:
             return []
-        allowed = self.filter_docset(doc_filter)
         cand = np.intersect1d(cand, allowed, assume_unique=True)
         if cand.size == 0:
             return []
@@ -483,7 +502,8 @@ class _QueryActor:
     driver, ray.put) instead of each actor re-parsing every segment's
     metadata — the per-actor load was the pool's QPS bound."""
 
-    def __init__(self, index_dir: str, method: str = "auto", lexicon_ref=None):
+    def __init__(self, index_dir: str, method: str = "auto", lexicon_ref=None,
+                 docset_ref=None):
         import ray
 
         lexicon = ray.get(lexicon_ref) if lexicon_ref is not None else None
@@ -491,13 +511,21 @@ class _QueryActor:
         # row groups concurrently just thrashes shared memory bandwidth
         self.engine = SearchEngine(index_dir, warm_top_terms=0, lexicon=lexicon)
         self.method = method
+        # pool-level fq: the docset was built ONCE on the driver and is a
+        # zero-copy plasma read here — actors never re-scan the docstore
+        self.docset = ray.get(docset_ref) if docset_ref is not None else None
+
+    def _topk(self, q: str, k: int):
+        if self.docset is not None:
+            return self.engine.topk_in_docset(q, k, self.docset)
+        return self.engine.topk(q, k, self.method)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, q, k in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist(), batch["k"].to_pylist()
         ):
-            for rank, (doc_id, score) in enumerate(self.engine.topk(q, int(k), self.method), 1):
+            for rank, (doc_id, score) in enumerate(self._topk(q, int(k)), 1):
                 qids.append(qid)
                 ranks.append(rank)
                 docs.append(doc_id)
@@ -512,8 +540,14 @@ class _QueryActor:
         )
 
 
-def batch_search(queries_ds, index_dir: str | Path, *, method: str = "auto", concurrency=None):
+def batch_search(queries_ds, index_dir: str | Path, *, method: str = "auto",
+                 concurrency=None, doc_filter: DocFilter | None = None):
     """Run a Dataset of (query_id, query, k) through the index actor pool.
+
+    ``doc_filter`` applies one fq filter to the whole pass (the common
+    serving shape: "English only", "this partner's sites"): the docset is
+    built ONCE on the driver (distributed scan for big docstores) and
+    broadcast; actors intersect per query, never re-scan.
 
     Pool is deliberately modest (each actor amortizes one lexicon load over
     many query batches; query serving is read+decode bound, so a few actors
@@ -524,6 +558,8 @@ def batch_search(queries_ds, index_dir: str | Path, *, method: str = "auto", con
     from ..index.reader import build_lexicon
 
     lexicon_ref = ray.put(build_lexicon(index_dir))  # built once, shared
+    docset_ref = (ray.put(build_filter_docset(index_dir, doc_filter))
+                  if doc_filter is not None else None)
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     # FIXED pool size: autoscaling ramped actors one-by-one and the whole
     # pass finished before the pool reached size (measured 52-60 qps
@@ -538,7 +574,8 @@ def batch_search(queries_ds, index_dir: str | Path, *, method: str = "auto", con
     return queries_ds.map_batches(
         _QueryActor,
         fn_constructor_kwargs={"index_dir": str(index_dir), "method": method,
-                               "lexicon_ref": lexicon_ref},
+                               "lexicon_ref": lexicon_ref,
+                               "docset_ref": docset_ref},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=pool,

@@ -308,7 +308,27 @@ def test_filter_docset_distributed_matches_local(built, ray_session):
     local = SearchEngine(out).filter_docset(flt)
     eng = SearchEngine(out)
     eng.DIST_FILTER_MIN_BYTES = 0  # force the Ray Data path
-    assert eng._use_distributed_filter()
     dist = eng.filter_docset(flt)
     assert np.array_equal(local, dist)
     assert local.size > 0
+
+
+def test_batch_search_pool_filter(built, ray_session):
+    """Pool-level fq: batch_search(doc_filter=...) equals per-query
+    filtered_topk (docset built once on the driver, broadcast)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gxdindexer_ray.pipelines import SearchEngine
+    from gxdindexer_ray.pipelines.search import DocFilter, batch_search
+
+    out, _ = built
+    flt = DocFilter("dl>=40", ["dl"], lambda t: pc.greater_equal(t["dl"], 40))
+    q = generate_queries(20, seed=43)
+    res = batch_search(rd.from_arrow(q), out, doc_filter=flt).to_pandas()
+    eng = SearchEngine(out, warm_top_terms=0)
+    for qrow in q.to_pylist():
+        want = eng.filtered_topk(qrow["query"], qrow["k"], doc_filter=flt)
+        sub = res[res.query_id == qrow["query_id"]].sort_values("rank")
+        assert sub["doc_id"].tolist() == [d for d, _ in want]
+        assert sub["score"].tolist() == [s for _, s in want]
