@@ -53,6 +53,10 @@ PARTIAL_SCHEMA = pa.schema(
 # payloads across slots.
 _REV6 = np.array([int(f"{i:06b}"[::-1], 2) for i in range(64)], dtype=np.int32)
 
+# partial-file row-group floor (rows). Execution knob only — artifact bytes
+# are row-group-invariant (tested); env override for A/B timing on a box.
+_RG_FLOOR = int(__import__("os").environ.get("GXDRAY_PARTIAL_RG_FLOOR", "4096"))
+
 
 def bucket_of(term: str, shard: int, n_buckets: int) -> int:
     h = hashlib.blake2b(f"{term}\x00{shard}".encode(), digest_size=4).digest()
@@ -132,7 +136,7 @@ def make_spimi_writer_fn(hot_terms_ref, cfg: IndexConfig, partials_dir: str):
             # whose bucket can exceed merge_max_postings — carry the <=64
             # groups slot pruning reads selectively via rslot min/max stats
             pq.write_table(tbl.slice(s, e - s), f, compression="lz4",
-                           row_group_size=max(4096, -(-(e - s) // 64)))
+                           row_group_size=max(_RG_FLOOR, -(-(e - s) // 64)))
             out_b.append(bk)
             out_path.append(str(f))
             out_rows.append(e - s)
