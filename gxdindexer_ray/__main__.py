@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", default="auto", choices=["auto", "bmw", "brute"])
     q.add_argument("--phrase", action="store_true", help="exact phrase match instead of ranked OR")
+    q.add_argument("--fq", default=None, metavar="COL OP VAL",
+                   help="filter query (Solr fq): restrict results by a "
+                        "docstore column, e.g. 'dl>=50' or 'lang==en'; "
+                        "scores stay global")
     q.add_argument("--num-cpus", type=int, default=None)
 
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
@@ -129,8 +133,15 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines import SearchEngine
 
             eng = SearchEngine(args.index)
-            hits = (eng.phrase_topk(args.q, args.k) if args.phrase
-                    else eng.topk(args.q, args.k, args.method))
+            if args.fq:
+                from .pipelines.search import parse_doc_filter
+
+                hits = eng.filtered_topk(args.q, args.k,
+                                         doc_filter=parse_doc_filter(args.fq))
+            elif args.phrase:
+                hits = eng.phrase_topk(args.q, args.k)
+            else:
+                hits = eng.topk(args.q, args.k, args.method)
             for rank, (doc, score) in enumerate(hits, 1):
                 print(f"{rank}\t{doc}\t{score:.6f}")
             return 0

@@ -59,8 +59,13 @@ class IndexConfig:
                                    # per batch, so this also sets docstore file
                                    # granularity (html can be wide — bytes
                                    # bound it: ~8k x 10 KB ≈ 80 MB per task)
-    spimi_batch_size: int = 4096   # docs per SPIMI batch (text only; larger batches
-                                   # -> fewer, bigger partials -> cheaper shuffle+merge)
+    spimi_batch_size: int = 16384  # docs per SPIMI batch (text only; larger batches
+                                   # -> fewer, bigger partials -> cheaper shuffle+merge.
+                                   # Interleaved A/B at 2M docs/32 CPUs: 16384 beat 4096
+                                   # by 20-40% on the segments phase — 3.5x fewer partial
+                                   # files and ~15% less map CPU — with LOWER per-worker
+                                   # peak heap, 436 vs 668 MB max, since the builder's
+                                   # temporaries amortize over more docs)
     extract_concurrency: int | None = None   # None -> stateless tasks sized by Ray
     min_rows_per_file: int = 100_000
 

@@ -233,6 +233,30 @@ class DocFilter:
         self.mask_fn = mask_fn
 
 
+def parse_doc_filter(expr: str) -> DocFilter:
+    """Tiny fq minilang for the CLI: ``COL OP VALUE`` with OP one of
+    >=, <=, ==, !=, >, < — numeric VALUE compares numerically, anything
+    else compares as a string (e.g. ``dl>=50``, ``lang==en``)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    m = re.fullmatch(r"\s*(\w+)\s*(>=|<=|==|!=|>|<)\s*(.+?)\s*", expr)
+    if not m:
+        raise ValueError(f"cannot parse filter {expr!r} (want COL OP VALUE)")
+    col, op, raw = m.groups()
+    try:
+        val: object = int(raw)
+    except ValueError:
+        try:
+            val = float(raw)
+        except ValueError:
+            val = raw
+    fn = {">=": pc.greater_equal, "<=": pc.less_equal, "==": pc.equal,
+          "!=": pc.not_equal, ">": pc.greater, "<": pc.less}[op]
+    return DocFilter(expr.strip(), [col], lambda t: fn(t[col], val))
+
+
 def _index_docstore_files_by_gen(index_dir) -> list[tuple[int, list[str]]]:
     """[(generation index, its docstore parquet paths)], base = 0."""
     from ..index.reader import generation_dirs

@@ -128,6 +128,16 @@ def test_cli_build_and_query(ray_session, tmp_path, capsys):
     rank, doc, score = lines[0].split("\t")
     assert rank == "1" and float(score) > 0
 
+    # --fq (Solr filter query): same scores, restricted set; an impossible
+    # filter returns nothing
+    assert main(["query", "--index", str(out), "--q", "zerg", "--k", "3",
+                 "--fq", "dl>=1"]) == 0
+    fq_lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert fq_lines == lines
+    assert main(["query", "--index", str(out), "--q", "zerg", "--k", "3",
+                 "--fq", "dl<0"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
 
 def test_cli_run_concurrent_longest_first(ray_session, capsys, tmp_path, monkeypatch):
     """--concurrent N runs pipelines through a worker pool, longest-first
