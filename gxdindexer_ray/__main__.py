@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="filter query (Solr fq): restrict results by a "
                         "docstore column, e.g. 'dl>=50' or 'lang==en'; "
                         "scores stay global")
+    q.add_argument("--facet", default=None, metavar="COL",
+                   help="print (value, n_docs) facet counts of a docstore "
+                        "column over the query's OR match set instead of hits")
+    q.add_argument("--collapse", default=None, metavar="COL",
+                   help="field collapsing: print the best hit per value of "
+                        "a docstore column, top-k groups")
     q.add_argument("--num-cpus", type=int, default=None)
 
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
@@ -133,6 +139,15 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines import SearchEngine
 
             eng = SearchEngine(args.index)
+            if args.facet:
+                ft = eng.facet_counts(args.q, args.facet, top=args.k)
+                for v, n in zip(ft["value"].to_pylist(), ft["n_docs"].to_pylist()):
+                    print(f"{v}\t{n}")
+                return 0
+            if args.collapse:
+                for v, doc, _tie, score in eng.collapse_topk(args.q, args.k, args.collapse):
+                    print(f"{v}\t{doc}\t{score:.6f}")
+                return 0
             if args.fq:
                 from .pipelines.search import parse_doc_filter
 

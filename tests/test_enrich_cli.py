@@ -138,6 +138,30 @@ def test_cli_build_and_query(ray_session, tmp_path, capsys):
                  "--fq", "dl<0"]) == 0
     assert capsys.readouterr().out.strip() == ""
 
+    # --facet / --collapse print (value, ...) rows over the match set
+    assert main(["query", "--index", str(out), "--q", "zerg", "--k", "2",
+                 "--facet", "lang"]) == 0
+    facet_rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(facet_rows) <= 2 and all(int(n) > 0 for _, n in facet_rows)
+    assert main(["query", "--index", str(out), "--q", "zerg", "--k", "2",
+                 "--collapse", "lang"]) == 0
+    col_rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(col_rows) <= 2 and all(float(s) > 0 for _, _, s in col_rows)
+
+
+def test_parse_doc_filter():
+    import pytest as _pt
+
+    from gxdindexer_ray.pipelines.search import parse_doc_filter
+
+    f = parse_doc_filter("dl >= 50")
+    assert f.key == "dl >= 50" and f.columns == ["dl"]
+    assert parse_doc_filter("lang==en").columns == ["lang"]
+    with _pt.raises(ValueError):
+        parse_doc_filter("dl ~= 50")
+    with _pt.raises(ValueError):
+        parse_doc_filter("no_operator")
+
 
 def test_cli_run_concurrent_longest_first(ray_session, capsys, tmp_path, monkeypatch):
     """--concurrent N runs pipelines through a worker pool, longest-first
