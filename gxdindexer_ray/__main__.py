@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
                         "a docstore column, top-k groups")
     q.add_argument("--num-cpus", type=int, default=None)
 
+    sg = sub.add_parser("suggest", help="term completion: top-k indexed terms with a prefix")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("--k", type=int, default=10)
+    sg.add_argument("--num-cpus", type=int, default=None)
+
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
     r.add_argument("--pipeline", nargs="+", required=True,
                    help="pipeline names from `list`, or 'all'")
@@ -159,6 +165,13 @@ def main(argv: list[str] | None = None) -> int:
                 hits = eng.topk(args.q, args.k, args.method)
             for rank, (doc, score) in enumerate(hits, 1):
                 print(f"{rank}\t{doc}\t{score:.6f}")
+            return 0
+        if args.cmd == "suggest":
+            from .pipelines import SearchEngine
+
+            for term, df, cf in SearchEngine(args.index, warm_top_terms=0) \
+                    .suggest(args.prefix, args.k):
+                print(f"{term}\t{df}\t{cf}")
             return 0
         if args.cmd == "run":
             names = list(CATALOG) if args.pipeline == ["all"] else args.pipeline

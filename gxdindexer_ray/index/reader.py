@@ -266,3 +266,16 @@ class IndexReader:
             if rows:
                 out[t] = (sum(r[3] for r in rows), sum(r[4] for r in rows))
         return out
+
+    def terms_with_prefix(self, prefix: str) -> list[str]:
+        """Lexicon terms starting with ``prefix`` — bisect over a sorted
+        key list built lazily once per reader (no full-lexicon scan per
+        lookup)."""
+        import bisect
+
+        keys = getattr(self, "_sorted_terms", None)
+        if keys is None:
+            keys = self._sorted_terms = sorted(self._lex.keys())
+        lo = bisect.bisect_left(keys, prefix)
+        hi = bisect.bisect_left(keys, prefix + "￿")
+        return keys[lo:hi]

@@ -1233,6 +1233,31 @@ ORDER BY score_r DESC, doc_id LIMIT 10
 """
 
 
+def q52_suggest(sf: str):
+    """Term completion over the lexicon (the Solr Suggester surface): the
+    top-10 indexed terms with prefix 's', ranked by collection frequency
+    desc then term asc, with global df/cf. Exercises the reader's sorted-
+    term bisect (no lexicon scan per lookup) and cross-shard /
+    cross-generation df/cf summation."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix, warm_top_terms=0)
+    rows = eng.suggest("s", k=10)
+    return pd.DataFrame(rows, columns=["term", "df", "cf"]).astype(
+        {"term": str, "df": np.int64, "cf": np.int64})
+
+
+SQL_Q52 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+st AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+       FROM toks2 WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df, cf FROM st ORDER BY cf DESC, term LIMIT 10
+"""
+
+
 def q34_json_extract(sf: str):
     """M13 JSON-serialized struct fields (the reference Jackson-serializes
     pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
@@ -1475,6 +1500,7 @@ CATALOG: dict[str, tuple] = {
     "q49_filtered_topk": (q49_filtered_topk, SQL_Q49),
     "q50_facet_counts": (q50_facet_counts, SQL_Q50),
     "q51_collapse_topk": (q51_collapse_topk, SQL_Q51),
+    "q52_suggest": (q52_suggest, SQL_Q52),
 }
 
 

@@ -444,6 +444,18 @@ class ServingFeaturesMixin:
         out = out.take(order)
         return out.slice(0, top) if top is not None else out
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int, int]]:
+        """Term completion (the Solr Suggester re-expressed over the
+        lexicon): top-k indexed terms with the prefix, ranked by collection
+        frequency desc then term asc. Returns (term, df, cf) tuples. The
+        prefix range is a bisect over the reader's sorted term list — no
+        lexicon scan per call; df/cf sum across shards and generations."""
+        terms = self.reader.terms_with_prefix(prefix)
+        stats = self.reader.term_stats(terms)
+        rows = sorted(((t, df, cf) for t, (df, cf) in stats.items()),
+                      key=lambda r: (-r[2], r[0]))
+        return rows[:k]
+
     def collapse_topk(self, query: str, k: int, field: str, value_fn=None,
                       tie_fn=None, score_round: int | None = None,
                       ) -> list[tuple[object, int, object, float]]:

@@ -332,3 +332,18 @@ def test_batch_search_pool_filter(built, ray_session):
         sub = res[res.query_id == qrow["query_id"]].sort_values("rank")
         assert sub["doc_id"].tolist() == [d for d, _ in want]
         assert sub["score"].tolist() == [s for _, s in want]
+
+
+def test_suggest_matches_oracle_stats(built, oracle_1k):
+    """Term completion: prefix range + (cf desc, term asc) ranking, with
+    df/cf equal to the oracle's term stats."""
+    from gxdindexer_ray.pipelines import SearchEngine
+
+    out, _ = built
+    eng = SearchEngine(out, warm_top_terms=0)
+    got = eng.suggest("b", k=8)
+    assert got, "prefix 'b' should match fixture vocabulary"
+    want = sorted(((t, df, cf) for t, (df, cf) in oracle_1k.term_stats().items()
+                   if t.startswith("b")), key=lambda r: (-r[2], r[0]))[:8]
+    assert got == want
+    assert eng.suggest("zzzznope", k=5) == []
