@@ -1258,6 +1258,48 @@ SELECT term, df, cf FROM st ORDER BY cf DESC, term LIMIT 10
 """
 
 
+def q53_more_like_this(sf: str):
+    """Solr MoreLikeThis: the top-3 tf-idf terms of source doc 7 (selection
+    metric fixed-point rounded, term-asc ties — so the SQL window picks the
+    identical query) drive a BM25 top-10 with the source excluded."""
+    from .search import SearchEngine
+    from ..index.docid import doc_id_of
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix, warm_top_terms=0)
+    src = doc_id_of(f"https://site{7 % _N_WRAP_SITES}.example.com/doc/7")
+    hits = eng.more_like_this(src, k=1_000_000, max_terms=3)
+    return _hits_to_orig_topk(ix, hits)
+
+
+SQL_Q53 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM toks2) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+src AS (SELECT term, count(*) AS tf FROM toks2 WHERE doc_id = 7 GROUP BY term),
+dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+sel AS (SELECT s.term
+        FROM src s JOIN dfall d ON d.term = s.term CROSS JOIN stats
+        ORDER BY floor(s.tf * ln(1 + (stats.n_docs - d.df + 0.5)/(d.df + 0.5))
+                       * 1000000 + 0.5) / 1000000 DESC, s.term
+        LIMIT 3),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * 1.9) / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * (dl.dl / stats.avgdl))) ) AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r
+FROM scores WHERE doc_id <> 7 ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
 def q34_json_extract(sf: str):
     """M13 JSON-serialized struct fields (the reference Jackson-serializes
     pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
@@ -1501,6 +1543,7 @@ CATALOG: dict[str, tuple] = {
     "q50_facet_counts": (q50_facet_counts, SQL_Q50),
     "q51_collapse_topk": (q51_collapse_topk, SQL_Q51),
     "q52_suggest": (q52_suggest, SQL_Q52),
+    "q53_more_like_this": (q53_more_like_this, SQL_Q53),
 }
 
 

@@ -456,6 +456,35 @@ class ServingFeaturesMixin:
                       key=lambda r: (-r[2], r[0]))
         return rows[:k]
 
+    def more_like_this(self, doc_id: int, k: int = 10, max_terms: int = 3,
+                       ) -> list[tuple[int, float]]:
+        """Solr MoreLikeThis re-expressed: rank the source doc's terms by
+        tf x idf (the engine's own always-positive BM25 idf), fixed-point
+        rounded to 6 dp with term-asc ties (so an SQL oracle picks the
+        identical query terms), take the top ``max_terms`` as an OR query,
+        BM25 top-k with the source doc excluded. One docstore row read +
+        one lexicon stats lookup per call."""
+        import math
+        from collections import Counter
+
+        text = self._texts_for([int(doc_id)]).get(int(doc_id))
+        if not text:
+            return []
+        tf = Counter(tokenize(text))
+        stats = self.reader.term_stats(sorted(tf))
+        n_docs = self.reader.N
+        scored = []
+        for t, (df, _cf) in stats.items():
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            m = math.floor(tf[t] * idf * 1_000_000 + 0.5) / 1_000_000
+            scored.append((-m, t))
+        scored.sort()
+        terms = [t for _m, t in scored[:max_terms]]
+        if not terms:
+            return []
+        hits = self.topk(" ".join(terms), k + 1, method="brute")
+        return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
     def collapse_topk(self, query: str, k: int, field: str, value_fn=None,
                       tie_fn=None, score_round: int | None = None,
                       ) -> list[tuple[object, int, object, float]]:

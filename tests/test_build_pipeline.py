@@ -347,3 +347,33 @@ def test_suggest_matches_oracle_stats(built, oracle_1k):
                    if t.startswith("b")), key=lambda r: (-r[2], r[0]))[:8]
     assert got == want
     assert eng.suggest("zzzznope", k=5) == []
+
+
+def test_more_like_this_matches_oracle(built, oracle_1k):
+    """MLT: deterministic tf-idf term selection + BM25 with source excluded,
+    vs a reimplementation over the single-process oracle."""
+    import math
+    from collections import Counter
+
+    from gxdindexer_ray.index.docid import doc_id_of
+    from gxdindexer_ray.pipelines import SearchEngine
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    out, _ = built
+    eng = SearchEngine(out, warm_top_terms=0)
+    url, text = next((u, t) for u, t in oracle_1k.text_by_url.items()
+                     if len(tokenize(t)) >= 10)
+    src = doc_id_of(url)
+    got = eng.more_like_this(src, k=8, max_terms=3)
+    assert got, "source doc has terms; MLT must return neighbours"
+
+    tf = Counter(tokenize(text))
+    stats = oracle_1k.term_stats()
+    sel = sorted(
+        ((-(math.floor(tf[t] * math.log(1 + (oracle_1k.N - stats[t][0] + 0.5)
+                                        / (stats[t][0] + 0.5)) * 1e6 + 0.5) / 1e6), t)
+         for t in tf))
+    terms = [t for _m, t in sel[:3]]
+    want = [(d, s) for d, s in oracle_1k.topk(" ".join(terms), 9) if d != src][:8]
+    assert got == want
+    assert src not in {d for d, _ in got}
