@@ -1300,6 +1300,80 @@ FROM scores WHERE doc_id <> 7 ORDER BY score_r DESC, doc_id LIMIT 10
 """
 
 
+def q54_snippets(sf: str):
+    """Best-window highlighting over the top-5 BM25 hits (the Solr
+    highlighter surface): per hit, the 12-token window anchored at a
+    query-term occurrence with the most query-term occurrences (tie:
+    earliest anchor), as the tokenizer's view of the text. Snippet
+    assembly, window counting and ordering all mirrored in SQL."""
+    import math
+
+    import pyarrow.dataset as pads
+
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix, warm_top_terms=0)
+    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+    ids = [h for h, _ in hits]
+    docs = pads.dataset(str(ix / "docs"), format="parquet").to_table(
+        columns=["doc_id", "url"], filter=pc.field("doc_id").isin(ids))
+    url_of = dict(zip(docs["doc_id"].to_pylist(), docs["url"].to_pylist()))
+    rows = [(int(url_of[d].rsplit("/", 1)[1]), d,
+             math.floor(s * 1_000_000 + 0.5) / 1_000_000) for d, s in hits]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    top = rows[:5]
+    snips = eng.snippets_for([d for _o, d, _s in top],
+                             _BM25_TERMS.split(), width=12)
+    df = pd.DataFrame([(o, s, snips[d]) for o, d, s in top],
+                      columns=["doc_id", "score_r", "snippet"])
+    return df.astype({"doc_id": np.int64, "score_r": np.float64,
+                      "snippet": str})
+
+
+SQL_Q54 = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         unnest(range(len(regexp_split_to_array(lower(text), '[^a-z0-9]+')))) AS rawpos
+  FROM documents),
+toks2 AS (SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1 AS pos
+          FROM raw WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM toks2) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       WHERE term IN ('hash','merge','scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf * 1.9) / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * (dl.dl / stats.avgdl))) ) AS score
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id),
+top5 AS (SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score_r
+         FROM scores ORDER BY score_r DESC, doc_id LIMIT 5),
+occ AS (SELECT t.doc_id, t.pos FROM toks2 t JOIN top5 USING (doc_id)
+        WHERE t.term IN ('hash','merge','scan')),
+wins AS (SELECT a.doc_id, a.pos AS anchor, count(*) AS nhits
+         FROM occ a JOIN occ b ON b.doc_id = a.doc_id
+                               AND b.pos >= a.pos AND b.pos < a.pos + 12
+         GROUP BY a.doc_id, a.pos),
+best AS (SELECT doc_id, anchor FROM (
+           SELECT doc_id, anchor,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY nhits DESC, anchor) AS rn
+           FROM wins) WHERE rn = 1),
+snip AS (SELECT t.doc_id, string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+         FROM toks2 t JOIN best b ON b.doc_id = t.doc_id
+                                 AND t.pos >= b.anchor AND t.pos < b.anchor + 12
+         GROUP BY t.doc_id)
+SELECT top5.doc_id, top5.score_r, snip.snippet
+FROM top5 JOIN snip USING (doc_id) ORDER BY score_r DESC, doc_id
+"""
+
+
 def q34_json_extract(sf: str):
     """M13 JSON-serialized struct fields (the reference Jackson-serializes
     pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
@@ -1544,6 +1618,7 @@ CATALOG: dict[str, tuple] = {
     "q51_collapse_topk": (q51_collapse_topk, SQL_Q51),
     "q52_suggest": (q52_suggest, SQL_Q52),
     "q53_more_like_this": (q53_more_like_this, SQL_Q53),
+    "q54_snippets": (q54_snippets, SQL_Q54),
 }
 
 

@@ -456,6 +456,33 @@ class ServingFeaturesMixin:
                       key=lambda r: (-r[2], r[0]))
         return rows[:k]
 
+    def snippets_for(self, doc_ids, terms: list[str], width: int = 12,
+                     ) -> dict[int, str]:
+        """Best-window highlighting (the Solr highlighter's surface): for
+        each doc, the ``width``-token window anchored at a query-term
+        occurrence that contains the most query-term occurrences (tie:
+        earliest anchor), returned as the tokenizer's view of the text
+        (lowercased tokens space-joined — exact parity with the SQL
+        oracle). One batched docstore read for all docs; occurrence math
+        is numpy (searchsorted over sorted occurrence positions)."""
+        import numpy as np
+
+        tset = set(terms)
+        texts = self._texts_for([int(d) for d in doc_ids])
+        out: dict[int, str] = {}
+        for d, text in texts.items():
+            toks = tokenize(text or "")
+            occ = np.flatnonzero(np.isin(np.asarray(toks, dtype=object),
+                                         list(tset)))
+            if occ.size == 0:
+                out[int(d)] = ""
+                continue
+            hits_in_window = np.searchsorted(occ, occ + width) \
+                - np.arange(occ.size)
+            best = int(occ[int(np.argmax(hits_in_window))])  # first max = earliest
+            out[int(d)] = " ".join(toks[best:best + width])
+        return out
+
     def more_like_this(self, doc_id: int, k: int = 10, max_terms: int = 3,
                        ) -> list[tuple[int, float]]:
         """Solr MoreLikeThis re-expressed: rank the source doc's terms by

@@ -377,3 +377,30 @@ def test_more_like_this_matches_oracle(built, oracle_1k):
     want = [(d, s) for d, s in oracle_1k.topk(" ".join(terms), 9) if d != src][:8]
     assert got == want
     assert src not in {d for d, _ in got}
+
+
+def test_snippets_best_window(built):
+    """Highlighting picks the width-window anchored at a query-term
+    occurrence with the most occurrences, tie -> earliest anchor."""
+    from gxdindexer_ray.pipelines import SearchEngine
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    out, _ = built
+    eng = SearchEngine(out, warm_top_terms=0)
+    # pick a doc containing the hot term; verify against a brute scan
+    hits = eng.topk(HOT_TERM, k=3, method="brute")
+    assert hits
+    ids = [d for d, _ in hits]
+    snips = eng.snippets_for(ids, [HOT_TERM], width=6)
+    texts = eng._texts_for(ids)
+    for d in ids:
+        toks = tokenize(texts[int(d)])
+        occ = [i for i, t in enumerate(toks) if t == HOT_TERM]
+        best, best_n = None, -1
+        for o in occ:
+            n = sum(1 for x in occ if o <= x < o + 6)
+            if n > best_n:
+                best, best_n = o, n
+        assert snips[int(d)] == " ".join(toks[best:best + 6])
+    # no query terms in doc -> empty snippet
+    assert eng.snippets_for(ids[:1], ["doesnotexistxyz"], width=6)[int(ids[0])] == ""
