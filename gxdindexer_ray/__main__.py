@@ -5,7 +5,10 @@
   python -m gxdindexer_ray build  --pages D --out D     # flagship index build
   python -m gxdindexer_ray append --pages D --index D   # delta generation
   python -m gxdindexer_ray compact --index D            # fold generations\n  python -m gxdindexer_ray delete --index D --urls U[,U]  # tombstone docs
-  python -m gxdindexer_ray query  --index D --q "..." [--k 10]
+  python -m gxdindexer_ray query  --index D --q "..." [--k 10] [--fq "dl>=50"]
+                                  [--facet COL | --collapse COL] [--snippets]
+  python -m gxdindexer_ray suggest --index D --prefix P [--k 10]
+  python -m gxdindexer_ray mlt    --index D (--url U | --id N) [--k 10]
   python -m gxdindexer_ray run    --pipeline NAME [NAME...|all] --sf DIR
 
 Owns its Ray session (the driver/tests import the library instead)."""
@@ -67,7 +70,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--collapse", default=None, metavar="COL",
                    help="field collapsing: print the best hit per value of "
                         "a docstore column, top-k groups")
+    q.add_argument("--snippets", action="store_true",
+                   help="append a best-window highlight snippet to each hit")
     q.add_argument("--num-cpus", type=int, default=None)
+
+    ml = sub.add_parser("mlt", help="MoreLikeThis: docs similar to a source doc")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--url", default=None, help="source doc url (hashed to its doc id)")
+    ml.add_argument("--id", type=int, default=None, help="source doc id")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=3)
+    ml.add_argument("--num-cpus", type=int, default=None)
 
     sg = sub.add_parser("suggest", help="term completion: top-k indexed terms with a prefix")
     sg.add_argument("--index", required=True)
@@ -163,7 +176,26 @@ def main(argv: list[str] | None = None) -> int:
                 hits = eng.phrase_topk(args.q, args.k)
             else:
                 hits = eng.topk(args.q, args.k, args.method)
+            snips = {}
+            if args.snippets and hits:
+                from .text.tokenize import tokenize
+
+                snips = eng.snippets_for([d for d, _ in hits], tokenize(args.q))
             for rank, (doc, score) in enumerate(hits, 1):
+                tail = f"\t{snips[doc]}" if args.snippets else ""
+                print(f"{rank}\t{doc}\t{score:.6f}{tail}")
+            return 0
+        if args.cmd == "mlt":
+            from .index.docid import doc_id_of
+            from .pipelines import SearchEngine
+
+            if (args.url is None) == (args.id is None):
+                print("mlt: need exactly one of --url / --id", file=sys.stderr)
+                return 2
+            src = args.id if args.id is not None else doc_id_of(args.url)
+            eng = SearchEngine(args.index, warm_top_terms=0)
+            for rank, (doc, score) in enumerate(
+                    eng.more_like_this(src, args.k, args.max_terms), 1):
                 print(f"{rank}\t{doc}\t{score:.6f}")
             return 0
         if args.cmd == "suggest":

@@ -148,6 +148,22 @@ def test_cli_build_and_query(ray_session, tmp_path, capsys):
     col_rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
     assert len(col_rows) <= 2 and all(float(s) > 0 for _, _, s in col_rows)
 
+    # --snippets appends a highlight containing a query term
+    assert main(["query", "--index", str(out), "--q", "zerg", "--k", "2",
+                 "--snippets"]) == 0
+    sn_rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(len(r) == 4 and "zerg" in r[3] for r in sn_rows)
+
+    # suggest / mlt subcommands
+    assert main(["suggest", "--index", str(out), "--prefix", "z", "--k", "3"]) == 0
+    sug = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert any(t == "zerg" for t, _df, _cf in sug)
+    src = sn_rows[0][1]
+    assert main(["mlt", "--index", str(out), "--id", src, "--k", "3"]) == 0
+    mlt_rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert mlt_rows and all(d != src for _r, d, _s in mlt_rows)
+    assert main(["mlt", "--index", str(out), "--k", "3"]) == 2  # need --url/--id
+
 
 def test_parse_doc_filter():
     import pytest as _pt
