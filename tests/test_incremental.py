@@ -518,6 +518,16 @@ def test_serving_features_across_generations(ray_session, tmp_path):
     assert sum(counts.values()) == 30   # 29 base survivors + the re-add
     assert {d for d, _ in got_f} == {x}  # only the re-add passes dl>=10
 
+    # the DISTRIBUTED docset path applies the same per-generation
+    # tombstone rule (ships dead arrays to the tasks)
+    import numpy as np
+
+    from gxdindexer_ray.pipelines.search import build_filter_docset
+
+    local = build_filter_docset(idx, flt, dist_min_bytes=1 << 60)
+    dist = build_filter_docset(idx, flt, dist_min_bytes=0)
+    assert np.array_equal(local, dist)
+
     compact_index(idx, CFG)
     engc = SearchEngine(idx, warm_top_terms=0)
     assert engc.facet_counts("papaya", "dl").to_pylist() == live.to_pylist()
