@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codecs.postings import encode_postings_bulk
+from ..codecs.postings import encode_postings_bulk_arrow
 from ..codecs.varint import varint_decode, varint_encode_segments
 from ..config import IndexConfig
 
@@ -215,7 +215,7 @@ class BucketMerger:
         change[1:] = (np.diff(codes_s) != 0) | (np.diff(shards_s) != 0)
         seg_starts = np.flatnonzero(change)
 
-        cols = encode_postings_bulk(
+        cols = encode_postings_bulk_arrow(
             docs_s, tfs_s, dls_s, seg_starts,
             block_size=cfg.block_size, avgdl=self.avgdl, k1=cfg.k1, b=cfg.b,
         )
@@ -245,8 +245,10 @@ class BucketMerger:
             gaps_n[pair_starts_n] = pos_s[pair_starts_n]
             pos_seg_starts = out_off[seg_starts]
             p_buf, p_off = varint_encode_segments(gaps_n, pos_seg_starts)
-            nseg = seg_starts.size
-            pos_slices = [p_buf[p_off[i]:p_off[i + 1]] for i in range(nseg)]
+            pos_slices = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), seg_starts.size,
+                [None, pa.py_buffer(np.ascontiguousarray(p_off, dtype=np.int64)),
+                 pa.py_buffer(p_buf)])
         seg_terms = uniq_terms[codes_s[seg_starts]].tolist()
         seg_shards = shards_s[seg_starts].astype(np.int32)
         total_postings = total
@@ -255,23 +257,22 @@ class BucketMerger:
             {
                 "term": pa.array(seg_terms, pa.string()),
                 "shard": pa.array(seg_shards, pa.int32()),
-                "df": pa.array(cols["df"], pa.int64()),
-                "cf": pa.array(cols["cf"], pa.int64()),
-                "n_postings": pa.array(cols["n_postings"], pa.int64()),
-                "min_doc": pa.array(cols["min_doc"], pa.int64()),
-                "max_doc": pa.array(cols["max_doc"], pa.int64()),
-                "docs_payload": pa.array(cols["docs_payload"], pa.large_binary()),
-                "tfs_payload": pa.array(cols["tfs_payload"], pa.large_binary()),
-                "dls_payload": pa.array(cols["dls_payload"], pa.large_binary()),
-                "skip_last_doc": pa.array(cols["skip_last_doc"], pa.list_(pa.int64())),
-                "skip_doc_off": pa.array(cols["skip_doc_off"], pa.list_(pa.int64())),
-                "skip_tf_off": pa.array(cols["skip_tf_off"], pa.list_(pa.int64())),
-                "skip_dl_off": pa.array(cols["skip_dl_off"], pa.list_(pa.int64())),
-                "block_max": pa.array(cols["block_max"], pa.list_(pa.float32())),
-                "pos_payload": pa.array(
-                    pos_slices if pos_slices is not None else [None] * seg_starts.size,
-                    pa.large_binary(),
-                ),
+                "df": cols["df"],
+                "cf": cols["cf"],
+                "n_postings": cols["n_postings"],
+                "min_doc": cols["min_doc"],
+                "max_doc": cols["max_doc"],
+                "docs_payload": cols["docs_payload"],
+                "tfs_payload": cols["tfs_payload"],
+                "dls_payload": cols["dls_payload"],
+                "skip_last_doc": cols["skip_last_doc"],
+                "skip_doc_off": cols["skip_doc_off"],
+                "skip_tf_off": cols["skip_tf_off"],
+                "skip_dl_off": cols["skip_dl_off"],
+                "block_max": cols["block_max"],
+                "pos_payload": (pos_slices if pos_slices is not None
+                                else pa.array([None] * seg_starts.size,
+                                              pa.large_binary())),
             },
             schema=SEGMENT_SCHEMA,
         )
