@@ -88,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--k", type=int, default=10)
     sg.add_argument("--num-cpus", type=int, default=None)
 
+    sp = sub.add_parser("spellcheck", help="indexed terms within edit distance of a term")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--term", required=True)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--max-dist", type=int, default=1)
+    sp.add_argument("--num-cpus", type=int, default=None)
+
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
     r.add_argument("--pipeline", nargs="+", required=True,
                    help="pipeline names from `list`, or 'all'")
@@ -204,6 +211,13 @@ def main(argv: list[str] | None = None) -> int:
             for term, df, cf in SearchEngine(args.index, warm_top_terms=0) \
                     .suggest(args.prefix, args.k):
                 print(f"{term}\t{df}\t{cf}")
+            return 0
+        if args.cmd == "spellcheck":
+            from .pipelines import SearchEngine
+
+            for term, dist, df, cf in SearchEngine(args.index, warm_top_terms=0) \
+                    .spellcheck(args.term, args.k, args.max_dist):
+                print(f"{term}\t{dist}\t{df}\t{cf}")
             return 0
         if args.cmd == "run":
             names = list(CATALOG) if args.pipeline == ["all"] else args.pipeline

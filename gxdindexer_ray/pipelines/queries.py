@@ -1374,6 +1374,32 @@ FROM top5 JOIN snip USING (doc_id) ORDER BY score_r DESC, doc_id
 """
 
 
+def q55_spellcheck(sf: str):
+    """Solr spellcheck surface: indexed terms within Levenshtein distance 2
+    of the misspelling 'abz', ranked (distance asc, cf desc, term asc)
+    with global df/cf — candidate-vectorized DP over the lexicon's length
+    window, vs DuckDB's levenshtein()."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix, warm_top_terms=0)
+    rows = eng.spellcheck("abz", k=5, max_dist=2)
+    return pd.DataFrame(rows, columns=["term", "dist", "df", "cf"]).astype(
+        {"term": str, "dist": np.int64, "df": np.int64, "cf": np.int64})
+
+
+SQL_Q55 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+st AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+       FROM toks2 GROUP BY term)
+SELECT term, CAST(levenshtein(term, 'abz') AS BIGINT) AS dist, df, cf
+FROM st WHERE levenshtein(term, 'abz') <= 2
+ORDER BY dist, cf DESC, term LIMIT 5
+"""
+
+
 def q34_json_extract(sf: str):
     """M13 JSON-serialized struct fields (the reference Jackson-serializes
     pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
@@ -1619,6 +1645,7 @@ CATALOG: dict[str, tuple] = {
     "q52_suggest": (q52_suggest, SQL_Q52),
     "q53_more_like_this": (q53_more_like_this, SQL_Q53),
     "q54_snippets": (q54_snippets, SQL_Q54),
+    "q55_spellcheck": (q55_spellcheck, SQL_Q55),
 }
 
 

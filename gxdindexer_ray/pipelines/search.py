@@ -483,6 +483,58 @@ class ServingFeaturesMixin:
             out[int(d)] = " ".join(toks[best:best + width])
         return out
 
+    def spellcheck(self, term: str, k: int = 5, max_dist: int = 1,
+                   ) -> list[tuple[str, int, int, int]]:
+        """Solr spellcheck component re-expressed over the lexicon: the
+        top-k indexed terms within plain Levenshtein distance ``max_dist``
+        of ``term``, ranked (distance asc, cf desc, term asc). Returns
+        (term, dist, df, cf). Candidates are the +-max_dist length window
+        of the lexicon; the edit-distance DP runs VECTORIZED across all
+        candidates at once (numpy char matrix, two-row DP). Scale note:
+        this scans the length window per query — a deletion-neighborhood
+        index (SymSpell) is the scale path and drops in behind this API."""
+        import numpy as np
+
+        cache = getattr(self, "_spell_cache", None)
+        if cache is None:
+            keys = self.reader.terms_with_prefix("")
+            arr = np.asarray(keys, dtype=object)
+            lens = np.fromiter((len(t) for t in keys), dtype=np.int64,
+                               count=len(keys))
+            cache = self._spell_cache = (arr, lens)
+        arr, lens = cache
+        qlen = len(term)
+        window = (lens >= qlen - max_dist) & (lens <= qlen + max_dist)
+        cand = arr[window]
+        if cand.size == 0:
+            return []
+        clens = lens[window]
+        width = int(clens.max())
+        # fixed-width unicode view -> (n, width) char-code matrix, padded 0
+        M = np.asarray(cand, dtype=f"U{width}").view(np.uint32) \
+            .reshape(cand.size, width)
+        qcs = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+        prev = np.tile(np.arange(width + 1, dtype=np.int32), (cand.size, 1))
+        cur = np.empty_like(prev)
+        for i, qc in enumerate(qcs):
+            cur[:, 0] = i + 1
+            sub = (M != qc).astype(np.int32)
+            for j in range(1, width + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + sub[:, j - 1])
+            prev, cur = cur, prev
+        dist = prev[np.arange(cand.size), clens]
+        hit = dist <= max_dist
+        if not hit.any():
+            return []
+        stats = self.reader.term_stats([str(t) for t in cand[hit]])
+        rows = sorted(
+            ((str(t), int(d), *stats[str(t)]) for t, d in
+             zip(cand[hit], dist[hit])),
+            key=lambda r: (r[1], -r[3], r[0]))
+        return rows[:k]
+
     def more_like_this(self, doc_id: int, k: int = 10, max_terms: int = 3,
                        ) -> list[tuple[int, float]]:
         """Solr MoreLikeThis re-expressed: rank the source doc's terms by

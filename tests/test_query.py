@@ -119,3 +119,46 @@ def test_boosted_scoring_matches_oracle(encoded):
     # boost actually changes the ranking vs unboosted
     unboosted = ix.topk(query, 25)
     assert unboosted != expected
+
+
+def test_spellcheck_vectorized_dp_matches_reference():
+    """The candidate-vectorized Levenshtein DP equals a scalar reference on
+    random strings (plain Levenshtein, no transposition — DuckDB parity)."""
+    import random
+
+    import numpy as np
+
+    def ref_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    class FakeReader:
+        def __init__(self, terms):
+            self._terms = sorted(terms)
+            self.N = 10
+
+        def terms_with_prefix(self, prefix):
+            return [t for t in self._terms if t.startswith(prefix)]
+
+        def term_stats(self, terms):
+            return {t: (1, len(t)) for t in terms}
+
+    from gxdindexer_ray.pipelines.search import SearchEngine
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    terms = sorted({"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+                    for _ in range(300)})
+    eng = SearchEngine.__new__(SearchEngine)
+    eng.reader = FakeReader(terms)
+    for q in ("abc", "e", "ddddd", "cabba", "zzz"):
+        got = {(t, d) for t, d, _df, _cf in eng.spellcheck(q, k=10**9, max_dist=2)}
+        want = {(t, ref_lev(q, t)) for t in terms
+                if abs(len(t) - len(q)) <= 2 and ref_lev(q, t) <= 2}
+        assert got == want, q
