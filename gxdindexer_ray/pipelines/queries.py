@@ -1400,6 +1400,32 @@ ORDER BY dist, cf DESC, term LIMIT 5
 """
 
 
+def q56_field_stats(sf: str):
+    """Solr stats component: count/min/max/sum/mean of dl over the docs
+    matching ANY standard query term."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix, warm_top_terms=0)
+    st = eng.field_stats(_BM25_TERMS, "dl")
+    df = pd.DataFrame([st])[["n_docs", "min", "max", "sum", "mean"]]
+    df["mean"] = df["mean"].round(6)
+    return df.astype({"n_docs": np.int64, "min": np.int64, "max": np.int64,
+                      "sum": np.int64, "mean": np.float64})
+
+
+SQL_Q56 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+matched AS (SELECT DISTINCT doc_id FROM toks2 WHERE term IN ('hash','merge','scan'))
+SELECT count(*) AS n_docs, min(dl.dl) AS "min", max(dl.dl) AS "max",
+       sum(dl.dl) AS "sum", round(avg(dl.dl), 6) AS mean
+FROM matched JOIN dl USING (doc_id)
+"""
+
+
 def q34_json_extract(sf: str):
     """M13 JSON-serialized struct fields (the reference Jackson-serializes
     pane metadata into a string field, GxdImagePaneIndexer.java:228-230):
@@ -1646,6 +1672,7 @@ CATALOG: dict[str, tuple] = {
     "q53_more_like_this": (q53_more_like_this, SQL_Q53),
     "q54_snippets": (q54_snippets, SQL_Q54),
     "q55_spellcheck": (q55_spellcheck, SQL_Q55),
+    "q56_field_stats": (q56_field_stats, SQL_Q56),
 }
 
 

@@ -483,6 +483,28 @@ class ServingFeaturesMixin:
             out[int(d)] = " ".join(toks[best:best + width])
         return out
 
+    def field_stats(self, query: str, field: str, value_fn=None) -> dict:
+        """Solr stats component over the OR match set: count / min / max /
+        sum / mean of a numeric docstore field (vectorized Arrow
+        aggregates over the row-group-pruned metadata read)."""
+        import pyarrow.compute as pc
+
+        terms = sorted(set(tokenize(query)))
+        cand = self._union_docs(terms)
+        if cand.size == 0:
+            return {"n_docs": 0, "min": None, "max": None,
+                    "sum": None, "mean": None}
+        vals = self._meta_for(cand, [field])[field]
+        if value_fn is not None:
+            vals = value_fn(vals)
+        return {
+            "n_docs": len(vals),
+            "min": pc.min(vals).as_py(),
+            "max": pc.max(vals).as_py(),
+            "sum": pc.sum(vals).as_py(),
+            "mean": pc.mean(vals).as_py(),
+        }
+
     def spellcheck(self, term: str, k: int = 5, max_dist: int = 1,
                    ) -> list[tuple[str, int, int, int]]:
         """Solr spellcheck component re-expressed over the lexicon: the
