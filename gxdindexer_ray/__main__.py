@@ -4,7 +4,8 @@
   python -m gxdindexer_ray list                         # named pipelines
   python -m gxdindexer_ray build  --pages D --out D     # flagship index build
   python -m gxdindexer_ray append --pages D --index D   # delta generation
-  python -m gxdindexer_ray compact --index D            # fold generations\n  python -m gxdindexer_ray delete --index D --urls U[,U]  # tombstone docs
+  python -m gxdindexer_ray compact --index D            # fold generations
+  python -m gxdindexer_ray delete --index D --urls U[,U]  # tombstone docs
   python -m gxdindexer_ray query  --index D --q "..." [--k 10] [--fq "dl>=50"]
                                   [--facet COL | --collapse COL] [--snippets]
   python -m gxdindexer_ray suggest --index D --prefix P [--k 10]
@@ -97,7 +98,9 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
     r.add_argument("--pipeline", nargs="+", required=True,
-                   help="pipeline names from `list`, or 'all'")
+                   help="pipeline names from `list`, a group alias "
+                        "(relational/windows/text/dedup/similarity/serving), "
+                        "or 'all'")
     r.add_argument("--sf", required=True)
     r.add_argument("--num-cpus", type=int, default=None)
     r.add_argument("--concurrent", type=int, default=1,
@@ -110,8 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.queries import CATALOG
 
     if args.cmd == "list":
+        from .pipelines.queries import GROUPS
+
         for name in CATALOG:
             print(name)
+        for g, members in GROUPS.items():
+            print(f"{g}\t(group: {len(members)} pipelines)")
         print("build_index  (flagship: `build` subcommand)")
         return 0
 
@@ -220,7 +227,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{term}\t{dist}\t{df}\t{cf}")
             return 0
         if args.cmd == "run":
-            names = list(CATALOG) if args.pipeline == ["all"] else args.pipeline
+            from .pipelines.queries import expand_pipeline_names
+
+            names = expand_pipeline_names(args.pipeline)
             failed = []
             unknown = [n for n in names if n not in CATALOG]
             for name in unknown:

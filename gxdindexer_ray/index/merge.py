@@ -96,6 +96,10 @@ def merge_bucket_files(bucket_files: list[str], segments_dir: str, avgdl: float,
         return merger(tbl).to_pylist()[0]
 
     pfs = [pq.ParquetFile(f) for f in files]
+    # Invariant: one bucket's partials are always written by a single code
+    # version in one build phase (_segments_phase rmtree's .partials.tmp
+    # before rewriting), so a bucket never MIXES rslot and pre-rslot files —
+    # the two branches below need not handle a hybrid schema.
     have_rslot = all("rslot" in pf.schema_arrow.names for pf in pfs)
     rows = []
     if have_rslot:

@@ -567,10 +567,11 @@ def _exchange_sides(sides, bucket_col: str, fn, *, batch_format: str = "pandas",
         groups.append((cur_vals, cur_idxs))
     out_refs = []
     for vals, idx_lists in groups:
-        seen: dict = {}  # ordered set of task indices
-        for idxs in idx_lists:
-            for i in idxs:
-                seen.setdefault(i, None)
+        # ASCENDING task-index union: _reduce_group walks this list per
+        # value, so sorted order preserves the documented 'slices in block
+        # order' contract even when values share a grouped reducer (a
+        # first-occurrence union could interleave two values' task orders)
+        seen = sorted({i for idxs in idx_lists for i in idxs})
         out_refs.append(red.remote(fn, batch_format, drop, vals,
                                    [dict_refs[i] for i in seen]))
     if not out_refs:

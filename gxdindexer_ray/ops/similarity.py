@@ -285,7 +285,7 @@ def build_ivf_index(ds, index_dir, *, n_clusters: int = 16, sample_limit: int = 
     scale path the query-time-only variant lacked. Atomic tmp+rename.
 
     HOT cells split into sub-shards of at most ``max_cell_rows`` rows
-    (``cell-CCCCC-SSS.parquet``, shard = splitmix64(vec_id) mod
+    (``cell-CCCCC-SSSSSS.parquet``, shard = splitmix64(vec_id) mod
     n_shards), so no single writer/reader task ever has to hold an entire
     skewed cell — the same slot-split idea as index/merge's term-hash
     slots. Queries read every shard file of a probed cell, one task per
@@ -330,16 +330,21 @@ def build_ivf_index(ds, index_dir, *, n_clusters: int = 16, sample_limit: int = 
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sh = (_splitmix64(ids.view(np.uint64))
               % lut[cells].astype(np.uint64)).astype(np.int64)
-        key = cells * 1000 + sh
+        # pack as cell << 32 | shard: a cell can hold up to 2^32 sub-shards
+        # before aliasing (a fixed *1000 multiplier aliased into the next
+        # cell's keyspace past 1000 shards, i.e. 100M rows/cell at defaults)
+        assert (sh < (1 << 32)).all()
+        key = (cells << 32) | sh
         return batch.append_column("cellshard", pa.array(key, pa.int64()))
 
     def write_cell(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return pa.table({"cell": pa.array([], pa.int32()),
                              "rows": pa.array([], pa.int64())})
-        c, s = divmod(int(tbl["cellshard"][0].as_py()), 1000)
+        key = int(tbl["cellshard"][0].as_py())
+        c, s = key >> 32, key & 0xFFFFFFFF
         pq.write_table(tbl.drop_columns(["cell", "cellshard"]),
-                       tmp / f"cell-{c:05d}-{s:03d}.parquet", compression="lz4")
+                       tmp / f"cell-{c:05d}-{s:06d}.parquet", compression="lz4")
         return pa.table({"cell": pa.array([c], pa.int32()),
                          "rows": pa.array([tbl.num_rows], pa.int64())})
 

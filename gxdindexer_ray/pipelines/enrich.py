@@ -64,10 +64,13 @@ class EnrichDocsStage:
 
     def __init__(self, side_ref, top_k: int = 5):
         side = ray.get(side_ref) if isinstance(side_ref, ray.ObjectRef) else side_ref
-        self.site_attrs: dict[str, tuple[str, str]] = side["site_attrs"]
-        self.synonyms: dict[str, list[str]] = side["synonyms"]
-        self.ancestors: dict[str, list[str]] = side["ancestors"]
-        self.labels: dict[str, list[str]] = side["labels"]
+        # missing side tables degrade to empty (the reference's
+        # degrade-on-failure cache loads, GxdResultIndexer.java:770-798:
+        # a failed optional load logs and indexes without that field)
+        self.site_attrs: dict[str, tuple[str, str]] = side.get("site_attrs", {})
+        self.synonyms: dict[str, list[str]] = side.get("synonyms", {})
+        self.ancestors: dict[str, list[str]] = side.get("ancestors", {})
+        self.labels: dict[str, list[str]] = side.get("labels", {})
         self.top_k = top_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -133,28 +136,49 @@ class EnrichDocsStage:
         )
 
 
-def build_side_state(vocab: list[str], urls: list[str], seed: int = 42) -> dict:
+def build_side_state(vocab: list[str], urls: list[str], seed: int = 42,
+                     loaders: dict | None = None) -> dict:
     """Materialize the side tables into broadcast-ready dicts (the driver's
-    Phase A, reference GxdResultIndexer.java:764-827)."""
+    Phase A, reference GxdResultIndexer.java:764-827).
+
+    Each side table is OPTIONAL: a loader that raises degrades that table
+    to empty with a logged error instead of failing the build — the
+    reference's per-cache try/catch ('no GO terms will be indexed',
+    GxdResultIndexer.java:770-798). ``loaders`` overrides individual
+    zero-arg loaders per side key (used by tests / alternate sources)."""
+    import logging
+
     from ..fixtures.sidetables import doc_labels, site_attrs, term_ancestors, term_synonyms
 
-    sa = site_attrs(seed)
-    sy = term_synonyms(vocab, seed)
-    an = term_ancestors(vocab, seed)
-    la = doc_labels(urls, seed)
+    log = logging.getLogger(__name__)
 
-    side = {
-        "site_attrs": {s: (c, r) for s, c, r in zip(sa["site"].to_pylist(), sa["category"].to_pylist(), sa["region"].to_pylist())},
-        "synonyms": {},
-        "ancestors": {},
-        "labels": {},
+    def _site():
+        sa = site_attrs(seed)
+        return {s: (c, r) for s, c, r in zip(
+            sa["site"].to_pylist(), sa["category"].to_pylist(), sa["region"].to_pylist())}
+
+    def _pairs(tbl, kcol, vcol):
+        out: dict[str, list[str]] = {}
+        for k, v in zip(tbl[kcol].to_pylist(), tbl[vcol].to_pylist()):
+            out.setdefault(k, []).append(v)
+        return out
+
+    default_loaders = {
+        "site_attrs": _site,
+        "synonyms": lambda: _pairs(term_synonyms(vocab, seed), "term", "synonym"),
+        "ancestors": lambda: _pairs(term_ancestors(vocab, seed), "term", "ancestor"),
+        "labels": lambda: _pairs(doc_labels(urls, seed), "url", "label"),
     }
-    for t, s in zip(sy["term"].to_pylist(), sy["synonym"].to_pylist()):
-        side["synonyms"].setdefault(t, []).append(s)
-    for t, a in zip(an["term"].to_pylist(), an["ancestor"].to_pylist()):
-        side["ancestors"].setdefault(t, []).append(a)
-    for u, l in zip(la["url"].to_pylist(), la["label"].to_pylist()):
-        side["labels"].setdefault(u, []).append(l)
+    if loaders:
+        default_loaders.update(loaders)
+    side: dict = {}
+    for key, loader in default_loaders.items():
+        try:
+            side[key] = loader()
+        except Exception as exc:  # degrade, never fail the doc build
+            log.error("side table %r failed to load (%s); no %s will be "
+                      "indexed", key, exc, key)
+            side[key] = {}
     return side
 
 

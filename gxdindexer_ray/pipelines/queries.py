@@ -1676,6 +1676,34 @@ CATALOG: dict[str, tuple] = {
 }
 
 
+# Named pipeline GROUPS — the reference CLI's index-group aliases
+# (Main.java:48-86: 'all', 'gxd', 'gxdht' expand to indexer lists). A group
+# name anywhere a pipeline name is accepted expands to its members.
+GROUPS: dict[str, list[str]] = {
+    "relational": [n for n in CATALOG if n[:3] in
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 45)}],
+    "windows": ["q20_tumbling_window", "q21_sessionize"],
+    "text": ["q22_token_count", "q23_term_stats", "q25_quality",
+             "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],
+    "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
+              "q41_dedup_corpus", "q43_simhash_neardup"],
+    "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
+                   "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn"],
+    "serving": [n for n in CATALOG if n[:3] in
+                {"q33", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
+}
+
+
+def expand_pipeline_names(names: list[str]) -> list[str]:
+    """Expand group aliases ('all' + GROUPS) into catalog names, order
+    preserved, duplicates dropped (first occurrence wins)."""
+    out: list[str] = []
+    for n in names:
+        members = list(CATALOG) if n == "all" else GROUPS.get(n, [n])
+        out.extend(m for m in members if m not in out)
+    return out
+
+
 def queries():
     return {name: fn for name, (fn, _) in CATALOG.items()}
 

@@ -94,6 +94,49 @@ def test_enrich_docs_semantics(ray_session, pages_1k, tmp_path):
     assert checked_anc > 0 and checked_lab > 0
 
 
+def test_enrich_degrades_on_side_table_failure(ray_session, caplog):
+    """A failing optional side-table load degrades to empty with a logged
+    error instead of failing the build (reference per-cache try/catch,
+    GxdResultIndexer.java:770-798: 'no GO terms will be indexed')."""
+    import logging
+
+    import ray.data as rd
+
+    from gxdindexer_ray.fixtures.pages import vocabulary
+    from gxdindexer_ray.pipelines.enrich import build_side_state, enrich_docs
+
+    def boom():
+        raise RuntimeError("synonyms source unavailable")
+
+    urls = [f"https://site{i}.example.com/p" for i in range(4)]
+    with caplog.at_level(logging.ERROR, logger="gxdindexer_ray.pipelines.enrich"):
+        side = build_side_state(vocabulary(42), urls, loaders={"synonyms": boom})
+    assert side["synonyms"] == {}
+    assert any("synonyms" in r.message for r in caplog.records)
+    assert side["ancestors"]  # the other tables still loaded
+
+    docs = rd.from_items([
+        {"doc_id": i, "url": urls[i], "text": "hash merge scan hash"}
+        for i in range(4)])
+    enriched = enrich_docs(docs, side).to_pandas()
+    assert len(enriched) == 4
+    assert all(len(s) == 0 for s in enriched["synonyms"])  # degraded field
+    assert all(len(t) > 0 for t in enriched["top_terms"])  # rest intact
+
+
+def test_pipeline_group_aliases():
+    from gxdindexer_ray.pipelines.queries import CATALOG, GROUPS, expand_pipeline_names
+
+    for g, members in GROUPS.items():
+        assert members, g
+        assert all(m in CATALOG for m in members), g
+    assert expand_pipeline_names(["all"]) == list(CATALOG)
+    assert expand_pipeline_names(["dedup"]) == GROUPS["dedup"]
+    # order preserved, dups dropped, unknown names passed through
+    got = expand_pipeline_names(["q30_knn", "similarity", "nope"])
+    assert got[0] == "q30_knn" and got.count("q30_knn") == 1 and "nope" in got
+
+
 def test_cli_list_and_run(ray_session, capsys):
     # `list` needs no ray; `run` reuses the active session via is_initialized
     from gxdindexer_ray.__main__ import main
