@@ -338,6 +338,44 @@ def build_filter_docset(index_dir, doc_filter: DocFilter, *,
             if parts else np.empty(0, dtype=np.uint64))
 
 
+def _deletes(term: str, max_dist: int) -> set[str]:
+    """All strings reachable from ``term`` by up to ``max_dist`` character
+    deletions, including ``term`` itself (the SymSpell neighborhood)."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_dist):
+        nxt = {s[:i] + s[i + 1:] for s in frontier for i in range(len(s))}
+        nxt -= out
+        if not nxt:
+            break
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _levenshtein_vec(term: str, cand, clens):
+    """Plain Levenshtein distance of ``term`` against every candidate at
+    once: fixed-width unicode char-code matrix + two-row DP, vectorized
+    across candidates (no Python loop over candidates)."""
+    import numpy as np
+
+    width = int(clens.max())
+    M = np.asarray(cand, dtype=f"U{width}").view(np.uint32) \
+        .reshape(cand.size, width)
+    qcs = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.tile(np.arange(width + 1, dtype=np.int32), (cand.size, 1))
+    cur = np.empty_like(prev)
+    for i, qc in enumerate(qcs):
+        cur[:, 0] = i + 1
+        sub = (M != qc).astype(np.int32)
+        for j in range(1, width + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1])
+        prev, cur = cur, prev
+    return prev[np.arange(cand.size), clens]
+
+
 class ServingFeaturesMixin:
     """Query-time serving features the reference's Solr deployment layers on
     the raw index — filter queries, facets, field collapsing — re-expressed
@@ -505,48 +543,74 @@ class ServingFeaturesMixin:
             "mean": pc.mean(vals).as_py(),
         }
 
-    def spellcheck(self, term: str, k: int = 5, max_dist: int = 1,
-                   ) -> list[tuple[str, int, int, int]]:
-        """Solr spellcheck component re-expressed over the lexicon: the
-        top-k indexed terms within plain Levenshtein distance ``max_dist``
-        of ``term``, ranked (distance asc, cf desc, term asc). Returns
-        (term, dist, df, cf). Candidates are the +-max_dist length window
-        of the lexicon; the edit-distance DP runs VECTORIZED across all
-        candidates at once (numpy char matrix, two-row DP). Scale note:
-        this scans the length window per query — a deletion-neighborhood
-        index (SymSpell) is the scale path and drops in behind this API."""
-        import numpy as np
-
+    def _spell_lexicon(self):
         cache = getattr(self, "_spell_cache", None)
         if cache is None:
+            import numpy as np
+
             keys = self.reader.terms_with_prefix("")
             arr = np.asarray(keys, dtype=object)
             lens = np.fromiter((len(t) for t in keys), dtype=np.int64,
                                count=len(keys))
             cache = self._spell_cache = (arr, lens)
-        arr, lens = cache
+        return cache
+
+    def _symspell_index(self, max_dist: int) -> dict[str, list]:
+        """Deletion-neighborhood index (SymSpell): delete-variant string ->
+        lexicon term indices. Built ONCE per (engine, max_dist) from the
+        lexicon and cached — per-query candidate lookup is then
+        O(deletes(q)) dict probes instead of an O(lexicon) length-window
+        scan. Size is ~lexicon x avg_len^max_dist entries; at very large
+        lexicons persist it next to the segments (same build pass as the
+        lexicon) rather than rebuilding per process."""
+        cache = getattr(self, "_symspell_cache", None)
+        if cache is not None and cache[0] == max_dist:
+            return cache[1]
+        arr, _ = self._spell_lexicon()
+        index: dict[str, list] = {}
+        for ti, t in enumerate(arr):
+            for v in _deletes(str(t), max_dist):
+                index.setdefault(v, []).append(ti)
+        self._symspell_cache = (max_dist, index)
+        return index
+
+    def spellcheck(self, term: str, k: int = 5, max_dist: int = 1,
+                   method: str = "symspell") -> list[tuple[str, int, int, int]]:
+        """Solr spellcheck component re-expressed over the lexicon: the
+        top-k indexed terms within plain Levenshtein distance ``max_dist``
+        of ``term``, ranked (distance asc, cf desc, term asc). Returns
+        (term, dist, df, cf).
+
+        ``method='symspell'`` (default, the serving scale path): candidates
+        come from the precomputed deletion-neighborhood index — if
+        lev(q, t) <= d then some <=d-deletion variant of q equals one of t,
+        so the probe is EXHAUSTIVE (identical output to the scan) at
+        O(deletes(q)) lookups per query. ``method='scan'`` keeps the
+        +-max_dist length-window scan (the equivalence oracle in tests).
+        Either way the final edit-distance DP runs VECTORIZED across all
+        candidates at once (numpy char matrix, two-row DP)."""
+        import numpy as np
+
+        arr, lens = self._spell_lexicon()
         qlen = len(term)
-        window = (lens >= qlen - max_dist) & (lens <= qlen + max_dist)
-        cand = arr[window]
+        if method == "symspell":
+            index = self._symspell_index(max_dist)
+            ids: set[int] = set()
+            for v in _deletes(term, max_dist):
+                ids.update(index.get(v, ()))
+            if not ids:
+                return []
+            sel = np.fromiter(ids, dtype=np.int64, count=len(ids))
+            # the deletion probe already implies the length window, but a
+            # cheap re-check shrinks the DP matrix for long terms
+            sel = sel[np.abs(lens[sel] - qlen) <= max_dist]
+            cand, clens = arr[sel], lens[sel]
+        else:
+            window = (lens >= qlen - max_dist) & (lens <= qlen + max_dist)
+            cand, clens = arr[window], lens[window]
         if cand.size == 0:
             return []
-        clens = lens[window]
-        width = int(clens.max())
-        # fixed-width unicode view -> (n, width) char-code matrix, padded 0
-        M = np.asarray(cand, dtype=f"U{width}").view(np.uint32) \
-            .reshape(cand.size, width)
-        qcs = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
-        prev = np.tile(np.arange(width + 1, dtype=np.int32), (cand.size, 1))
-        cur = np.empty_like(prev)
-        for i, qc in enumerate(qcs):
-            cur[:, 0] = i + 1
-            sub = (M != qc).astype(np.int32)
-            for j in range(1, width + 1):
-                cur[:, j] = np.minimum(
-                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
-                    prev[:, j - 1] + sub[:, j - 1])
-            prev, cur = cur, prev
-        dist = prev[np.arange(cand.size), clens]
+        dist = _levenshtein_vec(term, cand, clens)
         hit = dist <= max_dist
         if not hit.any():
             return []

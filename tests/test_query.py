@@ -162,3 +162,44 @@ def test_spellcheck_vectorized_dp_matches_reference():
         want = {(t, ref_lev(q, t)) for t in terms
                 if abs(len(t) - len(q)) <= 2 and ref_lev(q, t) <= 2}
         assert got == want, q
+        # SymSpell (default) and length-window scan agree exactly — the
+        # deletion-neighborhood probe is exhaustive for lev <= max_dist
+        assert eng.spellcheck(q, k=10**9, max_dist=2, method="scan") \
+            == eng.spellcheck(q, k=10**9, max_dist=2)
+
+
+def test_symspell_prunes_candidates():
+    """The deletion-neighborhood index probes FAR fewer candidates than the
+    length-window scan (the serving-latency mechanism), while returning
+    identical suggestions; index build happens once and is cached."""
+    import random
+
+    class FakeReader:
+        def __init__(self, terms):
+            self._terms = sorted(terms)
+
+        def terms_with_prefix(self, prefix):
+            return [t for t in self._terms if t.startswith(prefix)]
+
+        def term_stats(self, terms):
+            return {t: (1, len(t)) for t in terms}
+
+    from gxdindexer_ray.pipelines.search import SearchEngine, _deletes
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnop"
+    terms = sorted({"".join(rng.choice(alphabet) for _ in range(6))
+                    for _ in range(5000)})
+    eng = SearchEngine.__new__(SearchEngine)
+    eng.reader = FakeReader(terms)
+    q = terms[100][:5] + "q"
+    assert eng.spellcheck(q, k=10, max_dist=1) \
+        == eng.spellcheck(q, k=10, max_dist=1, method="scan")
+    index = eng._symspell_index(1)
+    probed = set()
+    for v in _deletes(q, 1):
+        probed.update(index.get(v, ()))
+    arr, lens = eng._spell_lexicon()
+    window = ((lens >= len(q) - 1) & (lens <= len(q) + 1)).sum()
+    assert len(probed) * 20 < int(window), (len(probed), int(window))
+    assert eng._symspell_cache[0] == 1  # cached, not rebuilt per call
