@@ -1612,6 +1612,76 @@ SELECT src, dst FROM closure
 """
 
 
+def q57_smart_alpha_rank(sf: str):
+    """Smart-alpha (numeric-aware) per-group collation — the reference's
+    SmartAlphaComparator image-meta sort (GxdImagePaneIndexer.java:37,
+    151-161, 280-300): labels with embedded numbers of varying width
+    ('Brand#5' before 'Brand#13') ranked within each p_type group; alpha
+    runs compare case-insensitively, the original label is the tie-break."""
+    from ..ops.collation import smart_alpha_rank_in_group
+
+    ds = read_table(sf, "part", columns=["p_partkey", "p_name", "p_brand",
+                                         "p_type", "p_size"])
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        name = np.where(batch["p_partkey"].to_numpy() % 3 == 0,
+                        batch["p_name"].str.upper(), batch["p_name"])
+        lab = (pd.Series(name, index=batch.index) + " " + batch["p_brand"]
+               + "-" + batch["p_size"].astype(str))
+        return pd.DataFrame({"p_type": batch["p_type"], "label": lab})
+
+    return smart_alpha_rank_in_group(ds.map_batches(label, batch_format="pandas"),
+                                     "p_type", "label")
+
+
+_Q57_PAT = "'^([^0-9]*)([0-9]*)([^0-9]*)([0-9]*)$'"
+SQL_Q57 = f"""
+WITH lab AS (
+  SELECT p_type,
+         (CASE WHEN p_partkey % 3 = 0 THEN upper(p_name) ELSE p_name END)
+         || ' ' || p_brand || '-' || CAST(p_size AS VARCHAR) AS label
+  FROM part),
+k AS (
+  SELECT p_type, label,
+         lower(regexp_extract(label, {_Q57_PAT}, 1))
+         || lpad(regexp_extract(label, {_Q57_PAT}, 2), 24, '0')
+         || lower(regexp_extract(label, {_Q57_PAT}, 3))
+         || lpad(regexp_extract(label, {_Q57_PAT}, 4), 24, '0') AS key
+  FROM lab)
+SELECT p_type, row_number() OVER (PARTITION BY p_type ORDER BY key, label) AS rnk,
+       label
+FROM k
+"""
+
+
+def q58_dag_closure_distributed(sf: str):
+    """The fully distributed transitive closure (ops/graph.py:55): same
+    edge relation and recursive-CTE oracle as q39, but the closure,
+    frontier, distinct and seen-set anti-join all stay as Datasets — the
+    web-graph-scale variant, now oracle-gated (nothing graph-sized reaches
+    the driver; per-round the driver sees only a count)."""
+    from ..ops.graph import transitive_closure_distributed
+
+    def edge(tbl, a, b, pa_, pb_):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": pa_ + df[a].astype(str),
+                "dst": pb_ + df[b].astype(str),
+            })
+
+        return read_table(sf, tbl, columns=[a, b]).map_batches(f, batch_format="pandas")
+
+    edges = (
+        edge("customer", "c_custkey", "c_nationkey", "c", "n")
+        .union(edge("nation", "n_nationkey", "n_regionkey", "n", "r"))
+        .union(edge("supplier", "s_suppkey", "s_nationkey", "s", "n"))
+    )
+    return transitive_closure_distributed(edges)
+
+
+SQL_Q58 = SQL_Q39
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1673,6 +1743,8 @@ CATALOG: dict[str, tuple] = {
     "q54_snippets": (q54_snippets, SQL_Q54),
     "q55_spellcheck": (q55_spellcheck, SQL_Q55),
     "q56_field_stats": (q56_field_stats, SQL_Q56),
+    "q57_smart_alpha_rank": (q57_smart_alpha_rank, SQL_Q57),
+    "q58_dag_closure_distributed": (q58_dag_closure_distributed, SQL_Q58),
 }
 
 
@@ -1681,7 +1753,7 @@ CATALOG: dict[str, tuple] = {
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 45)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58)}],
     "windows": ["q20_tumbling_window", "q21_sessionize"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],

@@ -666,3 +666,53 @@ def test_transitive_closure_distributed_matches_driver_variant(ray_session):
     got = transitive_closure_distributed(rd.from_pandas(edges)).to_pandas()
     got = got.sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.sort_values(["src", "dst"]).reset_index(drop=True))
+
+
+def test_smart_alpha_key_matches_chunk_comparator():
+    """The padded-key order equals a scalar chunk-by-chunk smart-alpha
+    comparator (digit runs numeric, alpha runs case-insensitive, original
+    string tie-break) on random mixed strings."""
+    import functools
+    import random
+    import re
+
+    import pyarrow as pa
+
+    from gxdindexer_ray.ops.collation import smart_alpha_key_one, smart_alpha_keys
+
+    split = re.compile(r"(\d+)")
+
+    def chunks(s: str):
+        return [c for c in split.split(s) if c != ""]
+
+    def cmp_chunks(a: str, b: str) -> int:
+        for ca, cb in zip(chunks(a), chunks(b)):
+            da, db = ca.isdigit(), cb.isdigit()
+            if da and db:
+                if int(ca) != int(cb):
+                    return -1 if int(ca) < int(cb) else 1
+            else:
+                la, lb = ca.lower(), cb.lower()
+                if la != lb:
+                    return -1 if la < lb else 1
+        if len(chunks(a)) != len(chunks(b)):
+            return -1 if len(chunks(a)) < len(chunks(b)) else 1
+        return -1 if a < b else (1 if a > b else 0)
+
+    rng = random.Random(3)
+    pool = "abXY 059"
+    vals = list({"".join(rng.choice(pool) for _ in range(rng.randint(1, 9)))
+                 for _ in range(400)})
+    # chunk-type boundaries in this pool are digit/alpha only (no mixed-type
+    # chunk comparisons where key order and comparator order can differ on
+    # pathological prefixes); plus realistic label shapes
+    vals += ["Brand#5-1", "Brand#13-1", "brand#5-2", "fig2", "fig10", "FIG2x"]
+    by_cmp = sorted(vals, key=functools.cmp_to_key(cmp_chunks))
+    by_key = sorted(vals, key=lambda s: (smart_alpha_key_one(s), s))
+    assert by_key == by_cmp
+    # vectorized == scalar
+    got = smart_alpha_keys(pa.array(vals, pa.string())).to_pylist()
+    assert got == [smart_alpha_key_one(s) for s in vals]
+    # the headline semantic: numeric-aware, case-insensitive
+    assert sorted(["Brand#13", "Brand#5"],
+                  key=lambda s: (smart_alpha_key_one(s), s)) == ["Brand#5", "Brand#13"]
