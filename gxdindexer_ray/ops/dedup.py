@@ -332,18 +332,27 @@ def _empty_verified() -> pd.DataFrame:
         {"a": np.int64, "b": np.int64, "jaccard": np.float64})
 
 
-def _shingle_hash_rows(ds, ids: list[int], id_col: str, text_col: str, k: int,
+def _empty_verified_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                   "b": pa.array([], pa.int64()),
+                                   "jaccard": pa.array([], pa.float64())}))
+
+
+def _shingle_hash_rows(ds, cand_ids, id_col: str, text_col: str, k: int,
                        out_id: str, out_sh: str):
     """(doc_id, sorted unique shingle hashes) for the candidate id set —
     hashes (blake2b-64) travel instead of shingle strings; a 64-bit
-    collision would need ~2^32 distinct shingles per pair to matter."""
-    import pyarrow.compute as pc
+    collision would need ~2^32 distinct shingles per pair to matter.
+    ``cand_ids`` is a Dataset of candidate ids (column 'cid'): the docs
+    side is pre-filtered through the range-sliced id filter — no
+    candidate-id broadcast, O(chunk) per-task memory at any dup rate."""
+    from .relational import ranged_id_filter
 
-    id_arr = pa.array(sorted(ids), pa.int64())
+    sub_ds = ranged_id_filter(ds, cand_ids, id_col, ids_col="cid", keep=True)
 
-    def grab(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch[id_col], value_set=id_arr)
-        sub = batch.filter(m)
+    def grab(sub: pa.Table) -> pa.Table:
         flat, doc_idx = tokenize_column(sub[text_col])
         tok_hash = _token_hashes_flat(flat)
         sh_doc, sh_hash = _shingle_hashes_per_doc(tok_hash, doc_idx,
@@ -358,38 +367,42 @@ def _shingle_hash_rows(ds, ids: list[int], id_col: str, text_col: str, k: int,
             out_sh: pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values),
         })
 
-    return ds.map_batches(grab, batch_format="pyarrow")
+    return sub_ds.map_batches(grab, batch_format="pyarrow")
 
 
 def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 3,
-                         threshold: float = 0.5) -> pd.DataFrame:
+                         threshold: float = 0.5, as_dataset: bool = False):
     """Exact n-gram Jaccard on candidate pairs, DISTRIBUTED: shingle-hash
     sets for the candidate docs are partitioned-joined onto the pair set
     (two key-hash shuffles of candidate-sized data); the per-bucket reducer
     intersects sorted hash arrays and only (a, b, jaccard) rows survive.
-    Nothing document-sized ever reaches the driver; only the candidate ID
-    SET is broadcast for the docs-side filter (8 bytes per candidate —
-    beyond ~1e8 candidates, swap the filter for a hash semi-join)."""
+    Nothing document-sized OR candidate-sized ever reaches the driver: the
+    docs side is pre-filtered to candidate ids with the range-sliced id
+    filter (sorted/chunked id set in the object store; O(chunk) task
+    memory — no candidate-id broadcast). ``as_dataset=True`` returns the
+    verified pairs as a Dataset (the crawl-scale path feeding connected
+    components); default collects the pandas frame for driver-sized uses."""
     import ray.data as rd
     from .relational import partitioned_join
 
     if isinstance(pairs, pd.DataFrame):
         if pairs.empty:
-            return _empty_verified()
+            return _empty_verified_ds() if as_dataset else _empty_verified()
         pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
-        ids = set(pairs["a"]) | set(pairs["b"])
     else:
-        pairs = pairs.materialize()  # consumed twice: id set + join input
-        pair_ids = pairs.select_columns(["a", "b"]).take_all()
-        if not pair_ids:  # candidate ids only — not documents
-            return _empty_verified()
-        ids = {int(r["a"]) for r in pair_ids} | {int(r["b"]) for r in pair_ids}
-        pairs_ds = pairs
+        pairs_ds = pairs.materialize()  # consumed twice: id set + join input
+
+    cand_ids = pairs_ds.map_batches(
+        lambda t: pa.table({"cid": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()),
+             t["b"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
 
     # shingle-hash rows computed ONCE (tokenize+hash is the expensive
     # part); the b-side is a zero-copy column rename of the same rows
-    sh_a = _shingle_hash_rows(ds, ids, id_col, text_col, k, "a_key", "sh_a").materialize()
+    sh_a = _shingle_hash_rows(ds, cand_ids, id_col, text_col, k,
+                              "a_key", "sh_a").materialize()
     j1 = partitioned_join(pairs_ds, sh_a, "a", "a_key", how="inner")
     sh_b = sh_a.map_batches(lambda t: t.rename_columns(["b_key", "sh_b"]),
                             batch_format="pyarrow")
@@ -410,6 +423,8 @@ def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
         return out[out["jaccard"] >= threshold]
 
     j2 = partitioned_join(j1, sh_b, "b", "b_key", how="inner", bucket_post=jac_post)
+    if as_dataset:
+        return j2
     out = j2.to_pandas()
     if out.empty:
         return _empty_verified()
@@ -417,86 +432,198 @@ def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
         {"a": np.int64, "b": np.int64, "jaccard": np.float64})
 
 
-def connected_components(edges, *, max_iters: int = 50):
-    """Distributed min-label connected components over an (a, b) pair
-    Dataset/DataFrame: iterative label propagation — each round joins
-    current labels onto the edge list (one key-hash shuffle) and takes the
-    per-node min (one groupby). Rounds needed = component diameter, which
-    for near-dup clusters is tiny. Convergence is detected by the strictly
-    decreasing global label sum (no extra join). Returns a pandas
-    (node, comp) frame; comp is the component's min node id.
+def _cc_init(edges_tbl: pa.Table) -> pa.Table:
+    """Per-bucket initial labels: comp(u) = min(u, min neighbor)."""
+    u = edges_tbl["u"].to_numpy(zero_copy_only=False)
+    v = edges_tbl["v"].to_numpy(zero_copy_only=False)
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    nodes = us[starts]
+    comp = np.minimum(nodes, np.minimum.reduceat(vs, starts))
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "comp": pa.array(comp, pa.int64())})
 
-    Partitioning assumption: labels/edges shuffle by node hash each round —
-    at web scale, pin both to one persistent bucketing (the relational
-    partitioned_join pattern) to avoid re-exchange per round."""
+
+def _cc_propose(edges_tbl: pa.Table, labels_tbl: pa.Table, n_buckets: int):
+    """One bucket's propagation round: map each edge's u to its current
+    label (labels are node-sorted; u is guaranteed present — labels and
+    edges share the hash(u) bucketing), emit pre-minned (node=v, comp)
+    proposals partitioned by hash(v) % n_buckets. Returns
+    (bucket keys, {bucket: table ref}) like _partition_chunk."""
+    from .relational import _splitmix64
+
+    u = edges_tbl["u"].to_numpy(zero_copy_only=False)
+    v = edges_tbl["v"].to_numpy(zero_copy_only=False)
+    nodes = labels_tbl["node"].to_numpy(zero_copy_only=False)
+    comp = labels_tbl["comp"].to_numpy(zero_copy_only=False)
+    lab_u = comp[np.searchsorted(nodes, u)]
+    # local pre-min per v (combiner): one proposal row per (bucket, v)
+    order = np.lexsort((lab_u, v))
+    vs, ls = v[order], lab_u[order]
+    starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+    pv = vs[starts]
+    pl = ls[starts]  # lexsort put min label first per v
+    # a proposal with comp >= v can never lower v's label (labels start at
+    # min(v, ...) <= v and only decrease) — drop it before it travels
+    keep = pl < pv
+    pv, pl = pv[keep], pl[keep]
+    if pv.size == 0:
+        return [], {}
+    import ray as _ray
+
+    buckets = (_splitmix64(pv.astype(np.int64).view(np.uint64))
+               % np.uint64(n_buckets)).astype(np.int32)
+    border = np.argsort(buckets, kind="stable")
+    pv, pl, buckets = pv[border], pl[border], buckets[border]
+    bounds = np.concatenate([[0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1,
+                             [buckets.size]])
+    keys, out = [], {}
+    for i in range(bounds.size - 1):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        b = int(buckets[s])
+        tbl = pa.table({"node": pa.array(pv[s:e], pa.int64()),
+                        "comp": pa.array(pl[s:e], pa.int64())})
+        out[b] = _ray.put(tbl)
+        keys.append((b, tbl.nbytes))
+    return keys, out
+
+
+def _cc_merge(tb: int, labels_tbl: pa.Table, *prop_dict_refs):
+    """Min-merge one bucket's labels with all proposals targeted at it
+    (each propose task's dict maps target bucket -> table; only THIS
+    bucket's entry is fetched). Returns (changed?, new labels table)."""
+    import ray as _ray
+
+    # the dicts arrive resolved (top-level task args are auto-ray.get);
+    # their VALUES are still refs to per-bucket proposal tables
+    props = [d[tb] for d in prop_dict_refs if tb in d]
+    nodes = labels_tbl["node"].to_numpy(zero_copy_only=False)
+    old = labels_tbl["comp"].to_numpy(zero_copy_only=False)
+    comp = old.copy()
+    for tbl in _ray.get(props):
+        pn = tbl["node"].to_numpy(zero_copy_only=False)
+        pl = tbl["comp"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nodes, pn)
+        np.minimum.at(comp, idx, pl)
+    changed = bool((comp != old).any())
+    return changed, pa.table({"node": pa.array(nodes, pa.int64()),
+                              "comp": pa.array(comp, pa.int64())})
+
+
+_CC_INIT = _CC_PROPOSE = _CC_MERGE = None
+
+
+def connected_components_ds(edges, *, n_buckets: int = 64, max_iters: int = 50):
+    """Distributed min-label connected components over an (a, b) pair
+    Dataset, with ONE PERSISTENT BUCKETING: edges are hash-partitioned by
+    u ONCE into pinned object-store tables (labels for node n live in the
+    same bucket hash(n), so the label->edge join is always local); each
+    round ships only pre-minned label PROPOSALS between buckets. Rounds =
+    component diameter (tiny for near-dup clusters). The driver holds
+    O(buckets) refs and per-round changed flags — labels never land on it.
+    Returns a Dataset of (node, comp); comp is the component's min node id."""
+    import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
-    from .relational import partitioned_join
+
+    from .relational import _splitmix64
+
+    global _CC_INIT, _CC_PROPOSE, _CC_MERGE
+    if _CC_INIT is None:
+        _CC_INIT = ray.remote(_cc_init)
+        _CC_PROPOSE = ray.remote(num_returns=2)(_cc_propose)
+        _CC_MERGE = ray.remote(num_returns=2)(_cc_merge)
+
+    def undirected(tbl: pa.Table) -> pa.Table:
+        a = tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        bk = (_splitmix64(u.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "__b": pa.array(bk)})
+
+    from .relational import pinned_bucket_tables
+
+    ebuckets = pinned_bucket_tables(edges, "__b", pre=undirected)
+    if not ebuckets:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "comp": pa.array([], pa.int64())}))
+    # init labels are node-SORTED per bucket (searchsorted joins rely on it)
+    labels = {b: _CC_INIT.remote(t) for b, t in ebuckets.items()}
+    for _ in range(max_iters):
+        keys_refs, dict_refs, order = [], [], []
+        for b in ebuckets:
+            kr, dr = _CC_PROPOSE.remote(ebuckets[b], labels[b], n_buckets)
+            keys_refs.append(kr)
+            dict_refs.append(dr)
+            order.append(b)
+        hit: dict = {}
+        for ti, keys in enumerate(ray.get(keys_refs)):
+            for tb, _nb in keys:
+                hit.setdefault(tb, []).append(ti)
+        if not hit:
+            break
+        changed_refs, new_labels = [], dict(labels)
+        for tb, tis in hit.items():
+            if tb not in labels:  # a proposal for a node we never saw as u
+                continue  # cannot happen: undirected doubling puts every
+                # node in its own bucket's u column
+            ch, nl = _CC_MERGE.remote(tb, labels[tb], *[dict_refs[i] for i in sorted(set(tis))])
+            changed_refs.append(ch)
+            new_labels[tb] = nl
+        labels = new_labels
+        if not any(ray.get(changed_refs)):
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    return rd.from_arrow_refs(list(labels.values()))
+
+
+def connected_components(edges, *, max_iters: int = 50):
+    """pandas-facade over ``connected_components_ds`` for callers whose
+    label set is driver-sized (tests, ontology-scale graphs). Returns a
+    (node, comp) frame sorted by node."""
+    import ray.data as rd
 
     if isinstance(edges, pd.DataFrame):
         if edges.empty:
             return pd.DataFrame(columns=["node", "comp"]).astype(np.int64)
         edges = rd.from_pandas(edges[["a", "b"]].astype(np.int64))
-
-    def undirected(batch: pd.DataFrame) -> pa.Table:
-        a = batch["a"].to_numpy(np.int64)
-        b = batch["b"].to_numpy(np.int64)
-        return pa.table({"u": pa.array(np.concatenate([a, b]), pa.int64()),
-                         "v": pa.array(np.concatenate([b, a]), pa.int64())})
-
-    # arrow blocks end-to-end: a dataset mixing pandas and arrow blocks
-    # trips Ray Data's block-type inference in the groupby sort
-    e = edges.map_batches(undirected, batch_format="pandas")
-    # init + first propagation in one groupby: comp(u) = min(u, min nbr)
-    labels = e.map_batches(
-        lambda t: pa.table({"node": t["u"],
-                            "comp": pc.min_element_wise(t["u"], t["v"])}),
-        batch_format="pyarrow",
-    ).groupby("node").aggregate(Min("comp", alias_name="comp"))
-    prev_sum = None
-    for _ in range(max_iters):
-        cur_sum = labels.sum("comp")
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-
-        def relabel(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["v"], "comp": df["comp"]})
-
-        cand = partitioned_join(e, labels, "u", "node", how="inner",
-                                bucket_post=relabel)
-        labels = labels.union(cand).groupby("node").aggregate(Min("comp", alias_name="comp"))
-    out = labels.to_pandas()
-    return out.astype({"node": np.int64, "comp": np.int64}).sort_values("node").reset_index(drop=True)
+    out = connected_components_ds(edges).to_pandas()
+    return out.astype({"node": np.int64, "comp": np.int64}).sort_values(
+        "node").reset_index(drop=True)
 
 
 def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
                  shingle_k: int = 3):
     """Near-dup dedup end-to-end: MinHash-LSH candidates -> distributed
-    exact-Jaccard verification -> connected components -> keep the MIN
-    doc_id per cluster (first-wins parity with the reference's
+    exact-Jaccard verification -> pinned-bucket connected components ->
+    keep the MIN doc_id per cluster (first-wins parity with the reference's
     first-write-wins dedup, GxdResultIndexer.java:718-756). Returns the
-    kept-id Dataset (id column only). Only the LOSER id set (dup docs
-    minus one per cluster) is broadcast for the final filter."""
-    import pyarrow.compute as pc
-    import ray
+    kept-id Dataset (id column only).
+
+    Nothing corpus-scale is broadcast or lands on the driver: component
+    labels stay a Dataset; the LOSER ids (node != comp — at crawl dup
+    rates 30-50% of the corpus) are excluded via the range-sliced id
+    filter (sorted/chunked in the object store, each map task fetches only
+    the chunks overlapping its batch's id range; O(chunk) task memory)."""
+    from .relational import ranged_id_filter
 
     cand = minhash_lsh_candidates(ds, id_col=id_col, text_col=text_col,
                                   n_perm=n_perm, bands=bands, shingle_k=shingle_k)
     verified = verify_pairs_jaccard(ds, cand, id_col=id_col, text_col=text_col,
-                                    k=shingle_k, threshold=threshold)
-    comp = connected_components(verified)
-    losers = comp.loc[comp["node"] != comp["comp"], "node"].to_numpy(np.int64)
-    loser_ref = ray.put(pa.array(np.sort(losers), pa.int64()))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        drop = ray.get(loser_ref)
-        m = pc.invert(pc.is_in(batch[id_col], value_set=drop)) if len(drop) \
-            else pa.array([True] * batch.num_rows)
-        return batch.filter(m).select([id_col])
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+                                    k=shingle_k, threshold=threshold,
+                                    as_dataset=True)
+    comp = connected_components_ds(verified)
+    losers = comp.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["comp"])).select(["node"]),
+        batch_format="pyarrow")
+    return ranged_id_filter(ds.map_batches(lambda t: t.select([id_col]),
+                                           batch_format="pyarrow"),
+                            losers, id_col, ids_col="node", keep=False)
 
 
 # ---------------------------------------------------------------------------

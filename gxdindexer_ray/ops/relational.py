@@ -582,6 +582,45 @@ def _exchange_sides(sides, bucket_col: str, fn, *, batch_format: str = "pandas",
     return rd.from_arrow_refs(out_refs)
 
 
+def _consolidate_bucket(v, dict_refs):
+    """Concat one bucket value's slices (ascending task order) into a
+    single pinned Arrow table."""
+    dicts = ray.get(list(dict_refs))
+    tables = ray.get([d[v] for d in dicts if v in d])
+    return pa.concat_tables(tables).combine_chunks()
+
+
+_CONS_REMOTE = None
+
+
+def pinned_bucket_tables(ds, bucket_col: str, *, pre=None) -> dict:
+    """Partition ``ds`` ONCE by ``bucket_col`` and return {bucket value:
+    ObjectRef(Arrow table)} — per-bucket tables pinned in the object store
+    for ITERATIVE algorithms (label propagation, semi-naive closure) that
+    would otherwise re-exchange static data every round. The driver holds
+    O(buckets) refs; rows never visit it. ``pre`` runs fused in the
+    partition tasks (derive the bucket column there)."""
+    global _CONS_REMOTE
+    refs = ds.to_arrow_refs()
+    part, _ = _remote_fns(1)
+    if _CONS_REMOTE is None:
+        _CONS_REMOTE = ray.remote(_consolidate_bucket)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    chunk = max(1, min(16, -(-len(refs) // cpus))) if refs else 1
+    pre_ref = ray.put(pre) if pre is not None else None
+    key_refs, dict_refs = [], []
+    for i in range(0, len(refs), chunk):
+        kr, dr = part.remote(bucket_col, pre_ref, *refs[i:i + chunk])
+        key_refs.append(kr)
+        dict_refs.append(dr)
+    by_bucket: dict = {}
+    for ti, keys in enumerate(ray.get(key_refs)):
+        for v, _nb in keys:
+            by_bucket.setdefault(v, []).append(ti)
+    return {v: _CONS_REMOTE.remote(v, [dict_refs[i] for i in sorted(set(idxs))])
+            for v, idxs in by_bucket.items()}
+
+
 def hash_exchange_apply(ds, bucket_col: str, fn, *, batch_format: str = "pandas",
                         drop_bucket_col: bool = True, num_cpus: float = 1,
                         pre=None):
@@ -730,6 +769,89 @@ def dedup_first(ds, key_cols: list[str], order_cols: list[str], n_buckets: int =
         return batch.sort_values(order_cols, kind="mergesort").drop_duplicates(key_cols, keep="first")
 
     return keyed_exchange_apply(ds, key_cols, local, n_buckets, local=local)
+
+
+# ---------------------------------------------------------------------------
+# range-sliced id semi-join filter (broadcast-free isin)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_minmax(tbl, col: str):
+    tbl = _to_arrow(tbl)
+    if tbl.num_rows == 0:
+        return None
+    a = tbl[col].to_numpy(zero_copy_only=False)
+    return int(a[0]), int(a[-1])  # globally sorted -> first/last are min/max
+
+
+class _RangedIdFilter:
+    """map_batches callable: membership filter against a SORTED, CHUNKED id
+    set living in the object store. Per batch, only the chunks overlapping
+    the batch's [min, max] id range are fetched, ONE AT A TIME — per-task
+    memory is O(one chunk), never O(id set), unlike a broadcast filter.
+    When storage is id-clustered (sorted-ish files — the docstore and every
+    at-rest layout here), a task touches only the ids of its own range."""
+
+    def __init__(self, chunk_refs, lows, highs, id_col, keep):
+        self.refs = chunk_refs
+        self.lows = np.asarray(lows, np.int64)
+        self.highs = np.asarray(highs, np.int64)
+        self.id_col = id_col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = int(ids.min()), int(ids.max())
+        # chunks whose [low, high] intersects [lo, hi]
+        first = int(np.searchsorted(self.highs, lo, side="left"))
+        last = int(np.searchsorted(self.lows, hi, side="right"))
+        hit = np.zeros(ids.size, dtype=bool)
+        for ci in range(first, last):
+            chunk = ray.get(self.refs[ci])[self.id_col] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(chunk, ids)
+            pos_c = np.minimum(pos, chunk.size - 1)
+            hit |= (pos < chunk.size) & (chunk[pos_c] == ids)
+        mask = hit if self.keep else ~hit
+        return batch.filter(pa.array(mask))
+
+
+def ranged_id_filter(ds, ids_ds, id_col: str, *, ids_col: str | None = None,
+                     keep: bool = True, chunk_rows: int = 1 << 20,
+                     concurrency=(1, 8)):
+    """``ds`` rows whose ``id_col`` is (``keep=True``) / is not
+    (``keep=False``) present in ``ids_ds`` — a broadcast-free hash/range
+    semi-join filter. The id set is globally SORTED (one candidate-sized
+    shuffle), re-chunked to ``chunk_rows``, and pinned in the object store;
+    the big side streams map-side and fetches only overlapping chunks (see
+    _RangedIdFilter). Replaces ``ray.put(all_ids)`` broadcasts, whose
+    per-worker heap cost is O(ids) — this is O(chunk)."""
+    ids_col = ids_col or id_col
+    ids_sorted = ids_ds.sort(ids_col)
+    chunked = ids_sorted.map_batches(
+        lambda t: t.select([ids_col]).rename_columns([id_col]),
+        batch_format="pyarrow", batch_size=chunk_rows)
+    refs = chunked.to_arrow_refs()
+    mm = ray.remote(_chunk_minmax)
+    got = [x for x in ray.get([mm.remote(r, id_col) for r in refs])]
+    pairs = [(refs[i], lo, hi) for i, x in enumerate(got) if x for lo, hi in [x]]
+    if not pairs:
+        if keep:
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        return ds
+    # chunks are globally sorted and non-overlapping except possibly at
+    # boundaries (equal ids split across blocks are fine: membership is
+    # per-chunk OR). Sort by low for the searchsorted window math.
+    pairs.sort(key=lambda p: (p[1], p[2]))
+    kwargs = {"fn_constructor_kwargs": {
+        "chunk_refs": [p[0] for p in pairs],
+        "lows": [p[1] for p in pairs],
+        "highs": [p[2] for p in pairs],
+        "id_col": id_col, "keep": keep,
+    }, "batch_format": "pyarrow", "concurrency": concurrency}
+    return ds.map_batches(_RangedIdFilter, **kwargs)
 
 
 # ---------------------------------------------------------------------------

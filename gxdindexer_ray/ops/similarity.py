@@ -133,18 +133,16 @@ def embedding_near_dup(ds, *, threshold: float, id_col: str = "vec_id",
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _embedding_rows(ds, ids, id_col: str, emb_col: str, out_id: str, out_emb: str):
-    """(id, embedding) rows for the candidate id set (broadcast id filter —
-    8 B/candidate, same bound as the Jaccard verify's doc filter)."""
-    import pyarrow.compute as pc
+def _embedding_rows(ds, cand_ids, id_col: str, emb_col: str, out_id: str, out_emb: str):
+    """(id, embedding) rows for the candidate id set — pre-filtered with
+    the range-sliced id filter (sorted/chunked candidate ids in the object
+    store; O(chunk) per-task memory — no candidate-id broadcast)."""
+    from .relational import ranged_id_filter
 
-    id_arr = pa.array(sorted(ids), pa.int64())
-
-    def grab(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_in(batch[id_col], value_set=id_arr))
-        return pa.table({out_id: sub[id_col], out_emb: sub[emb_col]})
-
-    return ds.map_batches(grab, batch_format="pyarrow")
+    sub_ds = ranged_id_filter(ds, cand_ids, id_col, ids_col="cid", keep=True)
+    return sub_ds.map_batches(
+        lambda sub: pa.table({out_id: sub[id_col], out_emb: sub[emb_col]}),
+        batch_format="pyarrow")
 
 
 def verify_pairs_cosine(ds, pairs, *, threshold: float, id_col: str = "vec_id",
@@ -153,8 +151,9 @@ def verify_pairs_cosine(ds, pairs, *, threshold: float, id_col: str = "vec_id",
     vectors are partitioned-joined onto the pair set (two key-hash
     shuffles of candidate-sized data); the per-bucket reducer does one
     vectorized row-wise dot and only pairs with sim > threshold survive.
-    Mirrors dedup.verify_pairs_jaccard — nothing embedding-sized reaches
-    the driver."""
+    Mirrors dedup.verify_pairs_jaccard — nothing embedding-sized OR
+    candidate-sized reaches the driver (range-sliced id filter, no
+    broadcast)."""
     import ray.data as rd
 
     from .relational import partitioned_join
@@ -165,16 +164,15 @@ def verify_pairs_cosine(ds, pairs, *, threshold: float, id_col: str = "vec_id",
         if pairs.empty:
             return empty
         pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
-        ids = set(pairs["a"]) | set(pairs["b"])
     else:
-        pairs = pairs.materialize()
-        pair_rows = pairs.select_columns(["a", "b"]).take_all()
-        if not pair_rows:
-            return empty
-        ids = {int(r["a"]) for r in pair_rows} | {int(r["b"]) for r in pair_rows}
-        pairs_ds = pairs
+        pairs_ds = pairs.materialize()  # consumed twice: id set + join input
 
-    e_a = _embedding_rows(ds, ids, id_col, emb_col, "a_key", "emb_a").materialize()
+    cand_ids = pairs_ds.map_batches(
+        lambda t: pa.table({"cid": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()),
+             t["b"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
+    e_a = _embedding_rows(ds, cand_ids, id_col, emb_col, "a_key", "emb_a").materialize()
     j1 = partitioned_join(pairs_ds, e_a, "a", "a_key", how="inner")
     e_b = e_a.map_batches(lambda t: t.rename_columns(["b_key", "emb_b"]),
                           batch_format="pyarrow")

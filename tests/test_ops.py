@@ -716,3 +716,125 @@ def test_smart_alpha_key_matches_chunk_comparator():
     # the headline semantic: numeric-aware, case-insensitive
     assert sorted(["Brand#13", "Brand#5"],
                   key=lambda s: (smart_alpha_key_one(s), s)) == ["Brand#5", "Brand#13"]
+
+
+class TestBroadcastFreePrimitives:
+    """Contracts for the crawl-scale dedup path: the range-sliced id
+    semi-join filter, the pinned-bucket connected components, and the
+    no-corpus-scale-driver-broadcast guarantee of dedup_corpus."""
+
+    def test_ranged_id_filter_keep_exclude_and_dupes(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.relational import ranged_id_filter
+
+        n = 5000
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array(np.arange(n) * 2, pa.int64()),
+        })).repartition(8)
+        wanted = np.arange(0, n, 7, dtype=np.int64)
+        # duplicated + unordered id set (the verify path concats a||b):
+        # membership semantics — dupes must not duplicate output rows
+        ids = rd.from_arrow(pa.table({
+            "cid": pa.array(np.concatenate([wanted[::-1], wanted[:100]]), pa.int64()),
+        })).repartition(3)
+        kept = ranged_id_filter(ds, ids, "doc_id", ids_col="cid",
+                                keep=True, chunk_rows=100)
+        got = np.sort(np.fromiter((r["doc_id"] for r in kept.take_all()), np.int64))
+        assert np.array_equal(got, wanted)
+        dropped = ranged_id_filter(ds, ids, "doc_id", ids_col="cid",
+                                   keep=False, chunk_rows=100)
+        gd = np.sort(np.fromiter((r["doc_id"] for r in dropped.take_all()), np.int64))
+        assert np.array_equal(gd, np.setdiff1d(np.arange(n), wanted))
+
+    def test_ranged_id_filter_empty_id_set(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.relational import ranged_id_filter
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(np.arange(50), pa.int64())}))
+        empty = rd.from_arrow(pa.table({"cid": pa.array([], pa.int64())}))
+        assert ranged_id_filter(ds, empty, "doc_id", ids_col="cid",
+                                keep=True).count() == 0
+        assert ranged_id_filter(ds, empty, "doc_id", ids_col="cid",
+                                keep=False).count() == 50
+
+    def test_connected_components_ds_chain_single_edge_exchange(
+            self, ray_session, monkeypatch):
+        """A diameter-20 chain needs ~20 propagation rounds; the edge set
+        must be hash-partitioned exactly ONCE (pinned buckets) — rounds
+        ship only label proposals, never the edges."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from gxdindexer_ray.ops import relational
+        from gxdindexer_ray.ops.dedup import connected_components_ds
+
+        calls = {"n": 0}
+        real = relational.pinned_bucket_tables
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(relational, "pinned_bucket_tables", counting)
+        chain = pd.DataFrame({"a": np.arange(20), "b": np.arange(1, 21)})
+        extra = pd.DataFrame({"a": [100, 200], "b": [101, 201]})
+        edges = rd.from_pandas(pd.concat([chain, extra], ignore_index=True))
+        out = connected_components_ds(edges, n_buckets=8).to_pandas()
+        got = dict(zip(out["node"], out["comp"]))
+        assert all(got[i] == 0 for i in range(21))
+        assert got[100] == got[101] == 100 and got[200] == got[201] == 200
+        assert calls["n"] == 1
+
+    def test_dedup_corpus_no_corpus_scale_driver_broadcast(
+            self, ray_session, monkeypatch):
+        """40%-dup-rate fixture: at crawl dup rates the loser id set is
+        corpus-scale, so the driver must never ray.put an Arrow container
+        (the old loser-broadcast) — only tiny param tuples / functions."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.dedup import dedup_corpus
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                 "golf", "hotel", "india", "juliet", "kilo", "lima"]
+        n_base, texts, ids = 120, [], []
+        for i in range(n_base):
+            base = " ".join(rng.choice(words, size=40).tolist())
+            texts.append(base)
+            ids.append(i)
+            if i % 5 < 2:  # 40% of rows are near-dups of a base doc
+                texts.append(base + " zulu")
+                ids.append(1000 + i)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(4).materialize()
+
+        puts = []
+        real_put = ray.put
+
+        def spying_put(obj, **kw):
+            puts.append(obj)
+            return real_put(obj, **kw)
+
+        monkeypatch.setattr(ray, "put", spying_put)
+        kept = sorted(r["doc_id"] for r in dedup_corpus(ds, threshold=0.5).take_all())
+        # first-wins: every base id survives, every 1000+ dup loses
+        assert [k for k in kept if k < 1000] == list(range(n_base))
+        assert not [k for k in kept if k >= 1000]
+        offenders = [o for o in puts
+                     if isinstance(o, (pa.Table, pa.Array, pa.ChunkedArray))]
+        assert not offenders, f"driver broadcast Arrow payloads: {offenders[:3]}"
+        big = [o for o in puts if isinstance(o, np.ndarray) and o.nbytes > 8192]
+        assert not big, "driver broadcast a corpus-scale numpy array"
