@@ -661,15 +661,29 @@ def keyed_exchange_apply(ds, key_cols: list[str], fn, n_buckets: int = 64, *,
     partition tasks: the whole exchange costs zero extra whole-data passes
     beyond the partition/reduce pair itself."""
 
-    def pre(tbl: pa.Table) -> pa.Table:
+    def pre_pandas(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
         if local is not None:
             df = local(df)
         df["__bucket"] = stable_bucket_ids(df, key_cols, n_buckets)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def pre_arrow(tbl: pa.Table) -> pa.Table:
+        # zero-copy fast path: no local pre-reduce, all-integer keys —
+        # hash straight off the Arrow buffers (A/B at sf0.1: pandas round
+        # trip was the entire pre cost for sessionize-shaped exchanges)
+        if not all(pa.types.is_integer(tbl.schema.field(c).type) for c in key_cols):
+            return pre_pandas(tbl)
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            col = tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _splitmix64(h ^ _splitmix64(col.view(np.uint64)))
+        bucket = (h % np.uint64(n_buckets)).astype(np.int32)
+        return tbl.append_column("__bucket", pa.array(bucket))
+
     return hash_exchange_apply(ds, "__bucket", fn, batch_format=batch_format,
-                               num_cpus=num_cpus, pre=pre)
+                               num_cpus=num_cpus,
+                               pre=pre_pandas if local is not None else pre_arrow)
 
 
 def mod_exchange_apply(ds, col: str, fn, n_buckets: int = 64, *,
@@ -678,11 +692,13 @@ def mod_exchange_apply(ds, col: str, fn, n_buckets: int = 64, *,
     n_buckets`` inside the partition tasks."""
 
     def pre(tbl: pa.Table) -> pa.Table:
-        df = tbl.to_pandas()
         if local is not None:
-            df = local(df)
-        df["__bucket"] = (df[col].astype(np.int64) % n_buckets).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+            df = local(tbl.to_pandas())
+            df["__bucket"] = (df[col].astype(np.int64) % n_buckets).astype(np.int32)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        v = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column(
+            "__bucket", pa.array((v % n_buckets).astype(np.int32)))
 
     return hash_exchange_apply(ds, "__bucket", fn, batch_format=batch_format, pre=pre)
 

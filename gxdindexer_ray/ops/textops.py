@@ -170,37 +170,78 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 4,
 # exact content dedup (D3 on text)
 # ---------------------------------------------------------------------------
 
+def _md5_pairs(col) -> np.ndarray:
+    """md5 of each string row as an (n, 2) uint64 array, hashed straight
+    off the Arrow utf-8 buffers (no per-row str/encode round trip). Nulls
+    get the (0, 0) sentinel — its own group, distinct from md5(b'') like
+    SQL GROUP BY md5(text) (2^-128 collision odds, same class as md5
+    collisions the scheme already accepts)."""
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = np.empty((len(col), 2), dtype=np.uint64)
+    pos = 0
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        off_dt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+        offs = np.frombuffer(ch.buffers()[1], off_dt)[ch.offset:ch.offset + n + 1]
+        mv = memoryview(ch.buffers()[2]) if ch.buffers()[2] is not None else memoryview(b"")
+        digests = bytearray(16 * n)
+        dv = memoryview(digests)
+        for i in range(n):
+            dv[16 * i:16 * (i + 1)] = hashlib.md5(mv[offs[i]:offs[i + 1]]).digest()
+        pairs = np.frombuffer(digests, np.uint64).reshape(n, 2)
+        if ch.null_count:
+            pairs[np.asarray(ch.is_null()), :] = 0
+        out[pos:pos + n] = pairs
+        pos += n
+    return out
+
+
 def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64):
     """Group by content hash; keep min id per distinct text. Returns
-    (keep_id, n_copies). The hash+partial pass runs fused inside the
-    exchange's partition tasks."""
+    (keep_id, n_copies). Arrow/numpy end-to-end: md5 runs on zero-copy
+    buffer slices, the local min/count partial is a lexsort+reduceat, and
+    only (h1, h2, keep_id, n_copies) rows — 32 B/distinct-text — cross the
+    exchange. The hash+partial pass runs fused inside the exchange's
+    partition tasks."""
     import pyarrow as pa
 
     from .relational import hash_exchange_apply
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[id_col, text_col]].copy()
-        batch["__h"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else ""
-            for t in batch[text_col]
-        ]
-        # local partial: min id + count per hash
-        g = batch.groupby("__h", sort=False)
-        out = pd.DataFrame({"keep_id": g[id_col].min(), "n_copies": g.size()}).reset_index()
-        # bucket straight from the md5 hex prefix — value-deterministic
-        # (pandas' hasher is not; see relational.stable_bucket_ids)
-        out["__bucket"] = np.array(
-            [int(h[:8], 16) % n_buckets for h in out["__h"]], dtype=np.int32
-        )
-        return out
-
     def pre(tbl: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(add_hash(tbl.to_pandas()), preserve_index=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_pairs(tbl[text_col])
+        order = np.lexsort((ids, h[:, 1], h[:, 0]))
+        h1, h2, si = h[order, 0], h[order, 1], ids[order]
+        starts = np.flatnonzero(
+            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        return pa.table({
+            "__h1": pa.array(h1[starts].view(np.int64), pa.int64()),
+            "__h2": pa.array(h2[starts].view(np.int64), pa.int64()),
+            "keep_id": pa.array(si[starts], pa.int64()),  # ids sorted in-group
+            "n_copies": pa.array(np.diff(np.r_[starts, h1.size]), pa.int64()),
+            "__bucket": pa.array((h1[starts] % np.uint64(n_buckets)).astype(np.int32)),
+        })
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("__h", sort=False)
-        return pd.DataFrame(
-            {"keep_id": g["keep_id"].min(), "n_copies": g["n_copies"].sum()}
-        ).reset_index(drop=True)
+    def combine(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:  # _apply_empty probes fn with a 0-row table
+            return pa.table({"keep_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        h1 = tbl["__h1"].to_numpy(zero_copy_only=False)
+        h2 = tbl["__h2"].to_numpy(zero_copy_only=False)
+        keep = tbl["keep_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n_copies"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keep, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        starts = np.flatnonzero(
+            np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
+        return pa.table({
+            "keep_id": pa.array(keep[order][starts], pa.int64()),
+            "n_copies": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+        })
 
-    return hash_exchange_apply(ds, "__bucket", combine, pre=pre)
+    return hash_exchange_apply(ds, "__bucket", combine, pre=pre,
+                               batch_format="pyarrow")

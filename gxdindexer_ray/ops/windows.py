@@ -18,12 +18,16 @@ def tumbling_window(ds, *, key: str = "event_type", ts_col: str = "ts",
     """count + sum(value) per (key, window-start). Partial/final — one row
     per (key, hour) per batch crosses the shuffle."""
 
-    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[key, ts_col, value_col]].copy()
-        batch["window_start"] = batch[ts_col].dt.floor(freq)
-        return batch
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    ds = ds.map_batches(add_window, batch_format="pandas")
+    unit = {"h": "hour", "min": "minute", "d": "day"}.get(freq, freq)
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch[key], value_col: batch[value_col],
+                         "window_start": pc.floor_temporal(batch[ts_col], unit=unit)})
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
     return pre_aggregate(
         ds, [key, "window_start"], sums={"total_value": value_col}, counts="n"
     )

@@ -838,3 +838,19 @@ class TestBroadcastFreePrimitives:
         assert not offenders, f"driver broadcast Arrow payloads: {offenders[:3]}"
         big = [o for o in puts if isinstance(o, np.ndarray) and o.nbytes > 8192]
         assert not big, "driver broadcast a corpus-scale numpy array"
+
+    def test_exact_text_dedup_null_and_empty_groups(self, ray_session):
+        """SQL GROUP BY md5(text) parity: all-null texts form ONE group,
+        distinct from the empty-string group (md5(NULL) IS NULL)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.textops import exact_text_dedup
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([5, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([None, None, "", "", "x"], pa.string()),
+        }))
+        out = exact_text_dedup(ds).to_pandas().sort_values("keep_id")
+        got = dict(zip(out["keep_id"], out["n_copies"]))
+        assert got == {1: 2, 2: 2, 4: 1}
