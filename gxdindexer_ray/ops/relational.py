@@ -317,6 +317,142 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
 
 
 # ---------------------------------------------------------------------------
+# as-of join / range-band join (temporal joins Ray Data lacks natively)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
+              allow_exact: bool = False, how: str = "inner",
+              suffix: str = "_r", n_buckets: int = 32):
+    """Distributed as-of join: for each LEFT row, the single RIGHT row with
+    the same ``by`` key and the greatest ``on`` < (``backward``) / least
+    ``on`` > (``forward``) the left row's ``on`` (``allow_exact`` admits
+    equality). Ray Data has no as-of join; this is the exchange
+    composition: both sides hash-partition by ``by`` (ONE shuffle — the
+    only all-to-all), each bucket sorts by ``on`` and runs one vectorized
+    ``pandas.merge_asof``. Partitioning assumption: a ``by`` key's rows fit
+    one reducer (same contract as partitioned_join's bucket); salt hot
+    keys upstream if a single key is corpus-scale.
+
+    Ties on (``by``, ``on``) in the right side resolve DETERMINISTICALLY:
+    backward takes the greatest remaining right column tuple, forward the
+    least — matching a SQL row_number() window ordered by (``on`` DESC,
+    rest DESC) resp. (``on`` ASC, rest ASC).
+    ``how='left'`` keeps unmatched left rows with nulls; right columns that
+    collide with left names are renamed with ``suffix``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    l_refs = left.to_arrow_refs()
+    r_refs = right.to_arrow_refs()
+    sch = ray.remote(_block_schema)
+    l_schema = ray.get(sch.remote(*l_refs[:4])) if l_refs else left.schema()
+    r_schema = ray.get(sch.remote(*r_refs[:4])) if r_refs else right.schema()
+    l_names = list(l_schema.names)
+    r_rename = {n: (n + suffix if n in l_names else n) for n in r_schema.names}
+    out_fields = list(zip(l_names, l_schema.types)) + [
+        (r_rename[n], t) for n, t in zip(r_schema.names, r_schema.types)
+        if r_rename[n] not in l_names]
+
+    def unify(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch[by].to_numpy(zero_copy_only=False)
+            if np.issubdtype(keys.dtype, np.integer):
+                jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
+            else:
+                jb = stable_bucket_ids(pd.DataFrame({by: keys}), [by], n_buckets)
+            if side == 1:
+                batch = batch.rename_columns([r_rename[n] for n in batch.column_names])
+            n = batch.num_rows
+            cols = {}
+            for name, typ in out_fields:
+                cols[name] = (batch[name].combine_chunks().cast(typ)
+                              if name in batch.column_names else pa.nulls(n, typ))
+            cols["__jb"] = pa.array(jb)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+        return f
+
+    by_r = r_rename[by]
+    on_r = r_rename[on]
+    r_out = [r_rename[n] for n in r_schema.names]
+    r_tiebreak = [c for c in r_out if c not in (by_r, on_r)]
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        l_df = group.filter(pc2.equal(group["__side"], 0)).select(l_names).to_pandas()
+        r_df = group.filter(pc2.equal(group["__side"], 1)).select(r_out).to_pandas()
+        # merge_asof picks the LAST in-order candidate going backward and
+        # the FIRST going forward, so one ascending stable sort on the
+        # tie-break columns yields max-tuple ties backward / min-tuple
+        # ties forward — i.e. the row a SQL row_number window ordered by
+        # (on DESC, rest DESC) resp. (on ASC, rest ASC) selects
+        r_df = r_df.sort_values([on_r] + r_tiebreak, kind="mergesort")
+        l_order = np.argsort(l_df[on].to_numpy(), kind="stable")
+        merged = pd.merge_asof(
+            l_df.iloc[l_order], r_df, left_on=on, right_on=on_r,
+            left_by=by, right_by=by_r, direction=direction,
+            allow_exact_matches=allow_exact)
+        if how == "inner":
+            merged = merged[merged[on_r].notna()]
+        cols = {}
+        for name, typ in out_fields:
+            try:
+                cols[name] = pa.Array.from_pandas(merged[name], type=typ)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                cols[name] = pa.Array.from_pandas(merged[name])
+        return pa.table(cols)
+
+    empty = pa.schema([pa.field(n, t) for n, t in out_fields]
+                      + [pa.field("__jb", pa.int32()), pa.field("__side", pa.int8())]).empty_table()
+    return _exchange_sides([(l_refs, unify(0)), (r_refs, unify(1))],
+                           "__jb", asof_bucket, batch_format="pyarrow",
+                           drop_bucket_col=False, empty_table=empty)
+
+
+def range_band_join(ds, bands: pd.DataFrame, *, value_col: str,
+                    lo_col: str = "lo", hi_col: str = "hi",
+                    how: str = "inner"):
+    """Range join against a SMALL banded side: every row of ``ds`` gets the
+    band whose [lo, hi) interval contains ``value_col``. Bands must be
+    non-overlapping; they are sorted and broadcast ONCE (``ray.put``), and
+    each batch resolves every row with one ``searchsorted`` — the big side
+    never shuffles (the canonical broadcast range-join shape; a shuffle
+    range join at this shape would be pure overhead). ``how='left'`` keeps
+    bandless rows with nulls; default drops them."""
+    bands = bands.sort_values(lo_col).reset_index(drop=True)
+    los = bands[lo_col].to_numpy()
+    his = bands[hi_col].to_numpy()
+    if (his[:-1] > los[1:]).any() if len(bands) > 1 else False:
+        raise ValueError("bands overlap")
+    attach = [c for c in bands.columns if c not in (lo_col, hi_col)]
+    band_tbl = pa.Table.from_pandas(bands, preserve_index=False)
+    ref = ray.put((los, his, band_tbl))
+
+    def f(batch: pa.Table) -> pa.Table:
+        lo_a, hi_a, btbl = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo_a, v, side="right") - 1
+        idx_c = np.maximum(idx, 0)
+        ok = (idx >= 0) & (v < hi_a[idx_c]) & ~pd.isna(v)
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+            take = idx[ok]
+            for c in attach + [lo_col, hi_col]:
+                batch = batch.append_column(c, btbl[c].take(pa.array(take, pa.int64())))
+            return batch
+        take = pa.array(idx_c, pa.int64())
+        mask = pa.array(~ok)
+        for c in attach + [lo_col, hi_col]:
+            col = btbl[c].take(take).combine_chunks()
+            col = pa.compute.if_else(mask, pa.nulls(len(ok), col.type), col)
+            batch = batch.append_column(c, col)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # partial/final aggregation (A1, A6)
 # ---------------------------------------------------------------------------
 

@@ -1682,6 +1682,71 @@ def q58_dag_closure_distributed(sf: str):
 SQL_Q58 = SQL_Q39
 
 
+def q59_asof_prior_view(sf: str):
+    """As-of join (temporal operator Ray Data lacks natively): each
+    purchase event matched to the same user's LATEST STRICTLY-PRIOR view
+    event — one key-hash exchange, per-bucket vectorized merge_asof
+    (ops/relational.py::asof_join). Ties on (user, ts) resolve to the max
+    view event_id, mirroring the oracle's row_number window."""
+    from ..ops.relational import asof_join
+
+    cols = ["event_id", "ts", "user_id"]
+    purchases = read_table(sf, "events", columns=cols,
+                           filter=(pc.field("event_type") == "purchase"))
+    views = read_table(sf, "events", columns=cols,
+                       filter=(pc.field("event_type") == "view"))
+    out = asof_join(purchases, views, on="ts", by="user_id", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "ts", "event_id_r", "ts_r"]) \
+            .rename_columns(["event_id", "user_id", "ts",
+                             "prior_event_id", "prior_ts"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q59 = """
+WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+     j AS (SELECT c.event_id, c.user_id, c.ts,
+                  v.event_id AS prior_event_id, v.ts AS prior_ts,
+                  row_number() OVER (PARTITION BY c.event_id
+                                     ORDER BY v.ts DESC, v.event_id DESC) AS rn
+           FROM c JOIN v ON v.user_id = c.user_id AND v.ts < c.ts)
+SELECT event_id, user_id, ts, prior_event_id, prior_ts FROM j WHERE rn = 1
+"""
+
+_Q60_BANDS = [(0, 20_000, "p00_20k"), (20_000, 40_000, "p20_40k"),
+              (40_000, 60_000, "p40_60k"), (60_000, 80_000, "p60_80k"),
+              (80_000, 10**9, "p80k_plus")]
+
+
+def q60_price_band_rollup(sf: str):
+    """Range join against a small banded side (broadcast, searchsorted per
+    batch — the big side never shuffles; ops/relational.py::
+    range_band_join), then a partial/final rollup per band."""
+    from ..ops.relational import pre_aggregate, range_band_join
+
+    bands = pd.DataFrame(_Q60_BANDS, columns=["lo", "hi", "band"])
+    ds = read_table(sf, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    joined = range_band_join(ds, bands, value_col="l_extendedprice")
+    out = pre_aggregate(joined, ["band"], counts="n",
+                        sums={"sum_qty": "l_quantity",
+                              "sum_price": "l_extendedprice"}).to_pandas()
+    for c in ("sum_qty", "sum_price"):
+        out[c] = out[c].round(2)
+    return out
+
+
+SQL_Q60 = """
+WITH bands(lo, hi, band) AS (VALUES {vals})
+SELECT band, count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+       round(sum(l_extendedprice),2) AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+""".format(vals=", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _Q60_BANDS))
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1745,6 +1810,8 @@ CATALOG: dict[str, tuple] = {
     "q56_field_stats": (q56_field_stats, SQL_Q56),
     "q57_smart_alpha_rank": (q57_smart_alpha_rank, SQL_Q57),
     "q58_dag_closure_distributed": (q58_dag_closure_distributed, SQL_Q58),
+    "q59_asof_prior_view": (q59_asof_prior_view, SQL_Q59),
+    "q60_price_band_rollup": (q60_price_band_rollup, SQL_Q60),
 }
 
 
@@ -1753,7 +1820,7 @@ CATALOG: dict[str, tuple] = {
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60)}],
     "windows": ["q20_tumbling_window", "q21_sessionize"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],

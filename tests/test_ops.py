@@ -854,3 +854,123 @@ class TestBroadcastFreePrimitives:
         out = exact_text_dedup(ds).to_pandas().sort_values("keep_id")
         got = dict(zip(out["keep_id"], out["n_copies"]))
         assert got == {1: 2, 2: 2, 4: 1}
+
+
+class TestTemporalJoins:
+    def _sides(self, rd, pd_mod):
+        import pandas as pd
+        left = pd.DataFrame({
+            "k": [1, 1, 1, 2, 2, 3],
+            "t": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                                 "2024-01-01 09:00", "2024-01-01 10:30",
+                                 "2024-01-01 08:00", "2024-01-01 12:00"]),
+            "lid": [10, 11, 12, 20, 21, 30],
+        })
+        right = pd.DataFrame({
+            "k": [1, 1, 1, 2, 9],
+            "t": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 09:30",
+                                 "2024-01-01 10:30", "2024-01-01 10:00",
+                                 "2024-01-01 00:00"]),
+            "rid": [100, 101, 102, 200, 900],
+        })
+        return rd.from_pandas(left), rd.from_pandas(right)
+
+    def test_asof_backward_ties_and_inner(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import asof_join
+
+        l, r = self._sides(rd, pd)
+        out = asof_join(l, r, on="t", by="k", how="inner").to_pandas()
+        got = dict(zip(out["lid"], out["rid"]))
+        # lid 10 (10:00): latest prior is 09:30 — TIE between rid 100/101,
+        # deterministic winner = max remaining tuple (101)
+        assert got == {10: 101, 11: 102, 20: 200}
+        assert len(out) == 3  # 12, 21, 30 unmatched and dropped
+
+    def test_asof_left_and_exact(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import asof_join
+
+        l, r = self._sides(rd, pd)
+        out = asof_join(l, r, on="t", by="k", how="left",
+                        allow_exact=True).to_pandas()
+        assert len(out) == 6
+        got = dict(zip(out["lid"], out["rid"]))
+        assert got[20] == 200  # 10:30 >= 10:00; exact match not needed
+        assert got[11] == 102
+        assert pd.isna(got[30]) and pd.isna(got[12]) and pd.isna(got[21])
+
+    def test_asof_forward(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import asof_join
+
+        l, r = self._sides(rd, pd)
+        out = asof_join(l, r, on="t", by="k", direction="forward",
+                        how="inner").to_pandas()
+        got = dict(zip(out["lid"], out["rid"]))
+        # forward: earliest strictly-later; lid 12 (09:00) -> 09:30 tie ->
+        # min remaining tuple (100); lid 10 (10:00) -> 10:30 (102)
+        assert got == {12: 100, 10: 102, 21: 200}
+
+    def test_asof_matches_duckdb_window_on_random(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import duckdb
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import asof_join
+
+        rng = np.random.default_rng(5)
+        n_l, n_r = 400, 300
+        left = pd.DataFrame({
+            "k": rng.integers(0, 20, n_l), "lid": np.arange(n_l),
+            "t": rng.integers(0, 1000, n_l).astype(np.int64)})
+        right = pd.DataFrame({
+            "k": rng.integers(0, 20, n_r), "rid": np.arange(n_r),
+            "t": rng.integers(0, 1000, n_r).astype(np.int64)})
+        out = asof_join(rd.from_pandas(left).repartition(5),
+                        rd.from_pandas(right).repartition(4),
+                        on="t", by="k", how="inner").to_pandas()
+        con = duckdb.connect()
+        con.register("l", left); con.register("r", right)
+        orc = con.execute("""
+            WITH j AS (SELECT l.lid, r.rid,
+                              row_number() OVER (PARTITION BY l.lid
+                                  ORDER BY r.t DESC, r.rid DESC) rn
+                       FROM l JOIN r ON r.k = l.k AND r.t < l.t)
+            SELECT lid, rid FROM j WHERE rn = 1
+        """).fetchdf()
+        a = out[["lid", "rid"]].sort_values("lid").reset_index(drop=True)
+        b = orc.sort_values("lid").reset_index(drop=True).astype({"rid": a["rid"].dtype})
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_range_band_join_left_and_inner(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import range_band_join
+
+        bands = pd.DataFrame({"lo": [0, 10, 20], "hi": [10, 20, 30],
+                              "band": ["a", "b", "c"]})
+        ds = rd.from_arrow(pa.table({
+            "v": pa.array([-5.0, 0.0, 9.99, 10.0, 25.0, 30.0, 99.0], pa.float64()),
+            "row": pa.array(list(range(7)), pa.int64())}))
+        inner = range_band_join(ds, bands, value_col="v").to_pandas()
+        assert dict(zip(inner["row"], inner["band"])) == {1: "a", 2: "a", 3: "b", 4: "c"}
+        left = range_band_join(ds, bands, value_col="v", how="left").to_pandas()
+        assert len(left) == 7
+        assert pd.isna(left.loc[left["row"] == 0, "band"]).all()
+        assert pd.isna(left.loc[left["row"] == 6, "band"]).all()
+
+    def test_range_band_join_rejects_overlap(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import range_band_join
+
+        bands = pd.DataFrame({"lo": [0, 5], "hi": [10, 15], "band": ["a", "b"]})
+        with pytest.raises(ValueError):
+            range_band_join(rd.from_items([{"v": 1.0}]), bands, value_col="v")
