@@ -1,0 +1,70 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Randomness at 100 TB must be REPRODUCIBLE: re-running a failed shard, or
+running the same job at a different cluster size / block split, must pick
+the same rows. Both operators therefore rank by ``splitmix64(id)`` — a
+fixed 64-bit bijection (no hash ties possible) — instead of an RNG, so the
+sample is a pure function of the data. The same mixing chain is
+expressible in ANSI SQL (HUGEINT multiply mod 2^64 via 32-bit limbs),
+which is what the q62/q63 DuckDB oracles run; see
+``pipelines/queries.py::_sql_splitmix``.
+
+- ``hash_sample``: Bernoulli(rate) over the whole dataset — a pure
+  map-side filter, no shuffle, no state.
+- ``hash_sample_per_key``: exactly-k-per-key (k smallest hashes) —
+  per-batch partial top-k (k rows per key per batch cross the wire),
+  one key-hash exchange, per-bucket final top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .relational import _splitmix64, keyed_exchange_apply
+
+
+def _id_hashes(ids: np.ndarray, seed: int) -> np.ndarray:
+    h = ids.astype(np.int64).view(np.uint64)
+    if seed:
+        h = h ^ np.uint64(seed)
+    return _splitmix64(h)
+
+
+def hash_sample(ds, *, id_col: str, rate: float, seed: int = 0):
+    """Deterministic Bernoulli sample: keep rows with
+    ``splitmix64(id ^ seed) < rate * 2^64``. Map-side only — the selection
+    is identical for any batching/partitioning of the input."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    threshold = np.uint64(min(int(rate * 2.0 ** 64), 2 ** 64 - 1))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = _id_hashes(ids, seed) < threshold
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_sample_per_key(ds, *, key_col: str, id_col: str, k: int,
+                        seed: int = 0, n_buckets: int = 32):
+    """Exactly min(k, group size) rows per key: the k SMALLEST
+    ``splitmix64(id ^ seed)`` values win. Output is (key_col, id_col).
+    The per-batch partial keeps k rows per key per batch, so the exchange
+    carries O(keys x k x batches), never the dataset."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "__h"], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key_col, id_col]].copy()
+        out["__h"] = _id_hashes(df[id_col].to_numpy(), seed)
+        return topk(out)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df)[[key_col, id_col]]
+
+    return keyed_exchange_apply(ds, [key_col], final, n_buckets, local=partial)

@@ -33,6 +33,44 @@ def tumbling_window(ds, *, key: str = "event_type", ts_col: str = "ts",
     )
 
 
+def hopping_window(ds, *, key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value", window_s: int = 3600,
+                   hop_s: int = 1800):
+    """Hopping (sliding) window: count + sum(value) per (key, window-start)
+    where windows are ``window_s`` long and start every ``hop_s`` seconds,
+    so each event lands in ``window_s / hop_s`` windows. Expansion is a
+    vectorized in-batch tile (no flat_map, no per-row Python), then the
+    same partial/final rollup as tumbling_window — the shuffle still
+    carries one row per (key, window) per batch, NOT the duplicated
+    events. ``window_start`` is emitted as epoch seconds (int64)."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    reps = window_s // hop_s
+
+    import pyarrow as pa
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        # µs → floor to epoch seconds → hop-aligned base window
+        e = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = e // hop_s
+        # every j in [0, reps) yields a window containing ts: start =
+        # (base - j) * hop_s satisfies start <= ts < start + window_s
+        starts = ((base[None, :] - np.arange(reps, dtype=np.int64)[:, None])
+                  * hop_s).ravel()
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), reps))
+        return pa.table({
+            key: batch[key].take(idx),
+            "window_start": pa.array(starts, pa.int64()),
+            value_col: batch[value_col].take(idx),
+        })
+
+    ds = ds.map_batches(expand, batch_format="pyarrow")
+    return pre_aggregate(
+        ds, [key, "window_start"], sums={"total_value": value_col}, counts="n"
+    )
+
+
 def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                tiebreak_col: str = "event_id", gap_minutes: int = 30,
                n_buckets: int = 64):

@@ -1747,6 +1747,92 @@ GROUP BY band
 """.format(vals=", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _Q60_BANDS))
 
 
+def q61_hopping_window(sf: str):
+    """Hopping/sliding windowed aggregate (1 h windows every 30 min — each
+    event lands in 2 windows): vectorized in-batch tile, partial/final
+    rollup (ops/windows.py::hopping_window)."""
+    ds = read_table(sf, "events", columns=["event_type", "ts", "value"])
+    out = win_ops.hopping_window(ds, window_s=3600, hop_s=1800).to_pandas()
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+SQL_Q61 = """
+WITH g AS (SELECT unnest(range(2)) AS j)
+SELECT event_type,
+       ((floor(epoch(ts))::BIGINT // 1800) - j) * 1800 AS window_start,
+       count(*) AS n, round(sum(value),2) AS total_value
+FROM events CROSS JOIN g
+GROUP BY 1, 2
+"""
+
+
+def _sql_splitmix(src_select: str, keep_cols: str, v: str) -> str:
+    """CTE chain computing ``hv = splitmix64(v)`` (same public-domain
+    mixing constants as ops/relational.py::_splitmix64) in ANSI SQL —
+    UBIGINT xors/shifts, HUGEINT multiply mod 2^64. Ends with a ``hashed``
+    CTE exposing (keep_cols, hv)."""
+    def mulmod(x: str, c: int) -> str:
+        # (x * c) mod 2^64 in INT128 without overflow: 32-bit limb split —
+        # al*c < 2^96 and ((ah*c) mod 2^32) << 32 < 2^64 both fit HUGEINT
+        return (f"((({x}::HUGEINT % 4294967296) * {c}::HUGEINT"
+                f" + (({x}::HUGEINT // 4294967296) * {c}::HUGEINT % 4294967296)"
+                f" * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT")
+
+    return f"""
+WITH src AS ({src_select}),
+s1 AS (SELECT {keep_cols}, xor({v}::UBIGINT, {v}::UBIGINT >> 30) AS a FROM src),
+s2 AS (SELECT {keep_cols}, {mulmod('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT {keep_cols}, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT {keep_cols}, {mulmod('c', 0x94D049BB133111EB)} AS d FROM s3),
+hashed AS (SELECT {keep_cols}, xor(d, d >> 31) AS hv FROM s4)
+"""
+
+
+_Q62_RATE_THRESHOLD = int(0.1 * 2.0 ** 64)  # one shared literal, both sides
+
+
+def q62_hash_sample(sf: str):
+    """Deterministic Bernoulli(0.1) sample of the events log: keep rows
+    with splitmix64(event_id) below the rate threshold — reproducible
+    across runs, cluster sizes and block splits; pure map-side filter
+    (ops/sampling.py::hash_sample)."""
+    from ..ops.sampling import hash_sample
+
+    ds = read_table(sf, "events", columns=["event_id", "event_type"])
+    return hash_sample(ds, id_col="event_id", rate=0.1)
+
+
+SQL_Q62 = _sql_splitmix(
+    "SELECT event_id, event_type FROM events", "event_id, event_type",
+    "event_id",
+) + f"""
+SELECT event_id, event_type FROM hashed WHERE hv < {_Q62_RATE_THRESHOLD}::UBIGINT
+"""
+
+
+def q63_sample_per_key(sf: str):
+    """Exactly-5-per-event-type deterministic sample: the 5 smallest
+    splitmix64(event_id) per type win (no hash ties — splitmix64 is a
+    bijection). Partial top-k per batch, one key-hash exchange
+    (ops/sampling.py::hash_sample_per_key)."""
+    from ..ops.sampling import hash_sample_per_key
+
+    ds = read_table(sf, "events", columns=["event_id", "event_type"])
+    return hash_sample_per_key(ds, key_col="event_type", id_col="event_id", k=5)
+
+
+SQL_Q63 = _sql_splitmix(
+    "SELECT event_id, event_type FROM events", "event_id, event_type",
+    "event_id",
+) + """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM hashed) WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1812,6 +1898,9 @@ CATALOG: dict[str, tuple] = {
     "q58_dag_closure_distributed": (q58_dag_closure_distributed, SQL_Q58),
     "q59_asof_prior_view": (q59_asof_prior_view, SQL_Q59),
     "q60_price_band_rollup": (q60_price_band_rollup, SQL_Q60),
+    "q61_hopping_window": (q61_hopping_window, SQL_Q61),
+    "q62_hash_sample": (q62_hash_sample, SQL_Q62),
+    "q63_sample_per_key": (q63_sample_per_key, SQL_Q63),
 }
 
 
@@ -1821,7 +1910,8 @@ CATALOG: dict[str, tuple] = {
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
                    {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60)}],
-    "windows": ["q20_tumbling_window", "q21_sessionize"],
+    "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
+    "sampling": ["q62_hash_sample", "q63_sample_per_key"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",

@@ -974,3 +974,48 @@ class TestTemporalJoins:
         bands = pd.DataFrame({"lo": [0, 5], "hi": [10, 15], "band": ["a", "b"]})
         with pytest.raises(ValueError):
             range_band_join(rd.from_items([{"v": 1.0}]), bands, value_col="v")
+
+
+class TestDeterministicSampling:
+    def test_hash_sample_partition_invariant_and_rate(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.sampling import hash_sample
+
+        n = 20000
+        tbl = pa.table({"event_id": pa.array(np.arange(n), pa.int64())})
+        a = hash_sample(rd.from_arrow(tbl), id_col="event_id", rate=0.2)
+        b = hash_sample(rd.from_arrow(tbl).repartition(13), id_col="event_id", rate=0.2)
+        ida = sorted(r["event_id"] for r in a.take_all())
+        idb = sorted(r["event_id"] for r in b.take_all())
+        assert ida == idb  # block split cannot change the sample
+        assert abs(len(ida) / n - 0.2) < 0.02  # Bernoulli rate honored
+        # seed changes the sample
+        c = hash_sample(rd.from_arrow(tbl), id_col="event_id", rate=0.2, seed=7)
+        assert sorted(r["event_id"] for r in c.take_all()) != ida
+
+    def test_hash_sample_per_key_exact_k_and_stability(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.sampling import hash_sample_per_key
+        from gxdindexer_ray.ops.relational import _splitmix64
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"k": rng.choice(list("abcd"), 5000),
+                           "i": np.arange(5000, dtype=np.int64)})
+        df.loc[df["k"] == "d", "k"] = "tiny"
+        df = pd.concat([df[df["k"] != "tiny"].iloc[:4000],
+                        df[df["k"] == "tiny"].iloc[:2]], ignore_index=True)
+        out = hash_sample_per_key(rd.from_pandas(df).repartition(7),
+                                  key_col="k", id_col="i", k=5).to_pandas()
+        sizes = out.groupby("k").size().to_dict()
+        assert sizes.pop("tiny") == 2  # min(k, group size)
+        assert all(v == 5 for v in sizes.values())
+        # winners = the k smallest splitmix64(i) per key, exactly
+        h = _splitmix64(df["i"].to_numpy().view(np.uint64))
+        expect = (pd.DataFrame({"k": df["k"], "i": df["i"], "h": h})
+                  .sort_values(["k", "h"]).groupby("k").head(5))
+        got = set(map(tuple, out[["k", "i"]].to_numpy()))
+        assert got == set(map(tuple, expect[["k", "i"]].to_numpy()))
