@@ -109,3 +109,151 @@ def approx_distinct_by_key(ds, key: str, col: str, p: int = 10) -> pd.DataFrame:
             acc = acc.merge(HLL.from_bytes(b, p))
         out.append((k, acc.estimate()))
     return pd.DataFrame(out, columns=[key, "approx_distinct"])
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (order statistics without a sort)
+# ---------------------------------------------------------------------------
+
+
+def _bracket_counts(ds, col: str, brackets: list[tuple[float, float, bool]],
+                    n_bins: int):
+    """One streaming pass: per active bracket, the histogram of ``col``
+    over ``n_bins`` equal bins (numpy right-exclusive semantics; the last
+    bracket bin is right-inclusive when the bracket is terminal-right).
+    Returns the summed (n_brackets, n_bins) count matrix — the ONLY thing
+    that reaches the driver each pass."""
+    import ray
+
+    bref = ray.put(brackets)
+
+    def f(batch: pa.Table) -> pa.Table:
+        brs = ray.get(bref)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        rows = np.zeros((len(brs), n_bins), dtype=np.int64)
+        for i, (lo, hi, incl) in enumerate(brs):
+            edges = np.linspace(lo, hi, n_bins + 1)
+            sub = v[(v >= lo) & ((v <= hi) if incl else (v < hi))]
+            if sub.size:
+                rows[i], _ = np.histogram(sub, bins=edges)
+        return pa.table({"counts": pa.array([rows.ravel()],
+                                            pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(f, batch_format="pyarrow").take_all()
+    total = np.zeros(len(brackets) * n_bins, dtype=np.int64)
+    for r in parts:
+        total += np.asarray(r["counts"], dtype=np.int64)
+    return total.reshape(len(brackets), n_bins)
+
+
+def exact_quantiles(ds, col: str, qs: list[float], *, n_bins: int = 512,
+                    exact_cap: int = 65536, max_passes: int = 64) -> pd.DataFrame:
+    """EXACT quantiles (SQL ``quantile_disc``: the value at 1-indexed rank
+    ``max(1, ceil(q*n))`` among non-null values) WITHOUT a distributed
+    sort: iterative histogram bracketing. Each pass is one map-side scan
+    that returns only an (active-brackets x n_bins) count matrix; the
+    bracket containing each target rank narrows by n_bins per pass, so
+    passes = O(log_bins(value range / final width)) — typically 2-4. When
+    a bracket holds <= exact_cap rows its values are collected and the
+    order statistic read off exactly. Duplicate-heavy brackets terminate
+    via the zero-width check (all-equal values ARE the answer).
+
+    The all-to-all a ``ds.sort(col)`` would cost is replaced by log-passes
+    of histogram partials; the driver never holds more than counts and one
+    <= exact_cap value slice. Re-scans execute the input plan per pass —
+    materialize upstream transforms first if they are expensive."""
+    import ray
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
+                         "n": [int(v.size)]})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").take_all()
+    if not parts:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+    glo = min(p["lo"] for p in parts)
+    ghi = max(p["hi"] for p in parts)
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+
+    # state per q: (lo, hi, right-inclusive, rank-within-bracket) — global
+    # bracket starts right-inclusive (max value included)
+    state = {q: (glo, ghi, True, max(1, math.ceil(q * n))) for q in qs}
+    resolved: dict[float, float] = {}
+
+    for _ in range(max_passes):
+        active = {q: s for q, s in state.items() if q not in resolved}
+        if not active:
+            break
+        for q, (lo, hi, incl, rank) in list(active.items()):
+            if hi <= np.nextafter(lo, np.inf):  # zero-width: all equal
+                resolved[q] = lo
+                del active[q]
+        if not active:
+            break
+        # dedupe identical brackets across qs into one histogram each
+        uniq: list[tuple[float, float, bool]] = []
+        slot: dict[float, int] = {}
+        for q, (lo, hi, incl, _r) in active.items():
+            key = (lo, hi, incl)
+            if key not in uniq:
+                uniq.append(key)
+            slot[q] = uniq.index(key)
+        counts = _bracket_counts(ds, col, uniq, n_bins)
+        terminal: dict[float, tuple[float, float, bool, int]] = {}
+        for q, (lo, hi, incl, rank) in active.items():
+            c = counts[slot[q]]
+            edges = np.linspace(lo, hi, n_bins + 1)
+            cum = np.cumsum(c)
+            i = int(np.searchsorted(cum, rank, side="left"))
+            below = int(cum[i - 1]) if i else 0
+            b = (float(edges[i]), float(edges[i + 1]),
+                 incl and i == n_bins - 1, rank - below)
+            if int(c[i]) <= exact_cap:
+                terminal[q] = b
+            else:
+                state[q] = b
+        if terminal:
+            # ONE combined collect pass for every bracket that became
+            # terminal this round (not one scan per q)
+            tbrs = list({(lo, hi, incl) for lo, hi, incl, _r in terminal.values()})
+            import ray
+
+            tref = ray.put(tbrs)
+
+            def grab(batch: pa.Table) -> pa.Table:
+                brs = ray.get(tref)
+                v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                outs, slots = [], []
+                for si, (lo, hi, incl) in enumerate(brs):
+                    sub = v[(v >= lo) & ((v <= hi) if incl else (v < hi))]
+                    outs.append(sub)
+                    slots.append(np.full(sub.size, si, dtype=np.int32))
+                return pa.table({
+                    "s": pa.array(np.concatenate(slots) if slots else
+                                  np.array([], np.int32)),
+                    "v": pa.array(np.concatenate(outs) if outs else
+                                  np.array([], np.float64), pa.float64()),
+                })
+
+            got_s, got_v = [], []
+            for b in ds.map_batches(grab, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pandas"):
+                got_s.append(b["s"].to_numpy())
+                got_v.append(b["v"].to_numpy())
+            s_all = np.concatenate(got_s) if got_s else np.array([], np.int32)
+            v_all = np.concatenate(got_v) if got_v else np.array([], np.float64)
+            for q, (lo, hi, incl, b_rank) in terminal.items():
+                vals = np.sort(v_all[s_all == tbrs.index((lo, hi, incl))])
+                resolved[q] = float(vals[b_rank - 1])
+    else:
+        raise RuntimeError("exact_quantiles did not converge")
+    return pd.DataFrame({"q": qs, "value": [resolved[q] for q in qs]})

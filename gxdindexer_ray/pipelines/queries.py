@@ -1832,6 +1832,24 @@ SELECT event_type, event_id FROM (
   FROM hashed) WHERE rn <= 5
 """
 
+_Q64_QS = (0.1, 0.5, 0.9)
+
+
+def q64_exact_quantiles(sf: str):
+    """EXACT global quantiles with NO distributed sort: iterative
+    histogram bracketing — each pass one map-side scan returning only a
+    count matrix (ops/sketches.py::exact_quantiles); matches SQL
+    quantile_disc bit-for-bit."""
+    from ..ops.sketches import exact_quantiles
+
+    ds = read_table(sf, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", list(_Q64_QS))
+
+
+SQL_Q64 = " UNION ALL ".join(
+    f"SELECT {q}::DOUBLE AS q, quantile_disc(l_extendedprice, {q}) AS value"
+    f" FROM lineitem" for q in _Q64_QS)
+
 
 # ---------------------------------------------------------------------------
 # catalog
@@ -1901,6 +1919,7 @@ CATALOG: dict[str, tuple] = {
     "q61_hopping_window": (q61_hopping_window, SQL_Q61),
     "q62_hash_sample": (q62_hash_sample, SQL_Q62),
     "q63_sample_per_key": (q63_sample_per_key, SQL_Q63),
+    "q64_exact_quantiles": (q64_exact_quantiles, SQL_Q64),
 }
 
 
@@ -1909,7 +1928,7 @@ CATALOG: dict[str, tuple] = {
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64)}],
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",

@@ -1019,3 +1019,41 @@ class TestDeterministicSampling:
                   .sort_values(["k", "h"]).groupby("k").head(5))
         got = set(map(tuple, out[["k", "i"]].to_numpy()))
         assert got == set(map(tuple, expect[["k", "i"]].to_numpy()))
+
+
+class TestExactQuantiles:
+    def test_matches_duckdb_with_duplicates_and_tiny_cap(self, ray_session):
+        """Duplicate-heavy spike + forced multi-pass refinement (tiny
+        exact_cap) must still equal SQL quantile_disc bit-for-bit."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.sketches import exact_quantiles
+
+        rng = np.random.default_rng(1)
+        v = np.concatenate([rng.normal(0, 1, 30000), np.full(15000, 3.25),
+                            rng.uniform(50, 60, 200)])
+        ds = rd.from_arrow(pa.table({"x": pa.array(v, pa.float64())})).repartition(7)
+        qs = [0.0, 0.05, 0.5, 0.66, 0.95, 1.0]
+        out = exact_quantiles(ds, "x", qs, n_bins=16, exact_cap=64)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"x": v}))
+        for q, val in zip(out["q"], out["value"]):
+            exp = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+            assert val == exp, (q, val, exp)
+
+    def test_nulls_ignored_and_empty(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.sketches import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({
+            "x": pa.array([None, 5.0, None, 1.0, 3.0], pa.float64())}))
+        out = exact_quantiles(ds, "x", [0.5])
+        assert out["value"].tolist() == [3.0]  # rank ceil(0.5*3)=2 -> 3.0
+        empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+        out = exact_quantiles(empty, "x", [0.5])
+        assert np.isnan(out["value"]).all()
