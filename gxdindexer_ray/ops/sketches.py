@@ -257,3 +257,33 @@ def exact_quantiles(ds, col: str, qs: list[float], *, n_bins: int = 512,
     else:
         raise RuntimeError("exact_quantiles did not converge")
     return pd.DataFrame({"q": qs, "value": [resolved[q] for q in qs]})
+
+
+def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
+                      n_buckets: int = 32) -> pd.DataFrame:
+    """Per-key EXACT quantile_disc values: one key-hash exchange delivers
+    each key's complete row set to one reducer, which reads all order
+    statistics from a single in-bucket sort (keys are assumed
+    reducer-sized — use exact_quantiles per key when one key's rows exceed
+    a worker; same contract as every keyed exchange here). Returns one row
+    per (key, q)."""
+    from .relational import keyed_exchange_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_q, out_v = [], [], []
+        for k, grp in df.groupby(key_col, sort=False):
+            v = np.sort(grp[col].to_numpy(np.float64))
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            for q in qs:
+                out_k.append(k)
+                out_q.append(q)
+                out_v.append(float(v[max(1, math.ceil(q * v.size)) - 1]))
+        return pd.DataFrame({key_col: out_k, "q": out_q, "value": out_v})
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key_col, col]]
+
+    return keyed_exchange_apply(ds, [key_col], per_bucket, n_buckets,
+                                local=local).to_pandas()

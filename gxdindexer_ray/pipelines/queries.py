@@ -1851,6 +1851,21 @@ SQL_Q64 = " UNION ALL ".join(
     f" FROM lineitem" for q in _Q64_QS)
 
 
+def q65_grouped_quantiles(sf: str):
+    """Per-key exact quantiles: one key-hash exchange, all order
+    statistics read from one in-bucket sort
+    (ops/sketches.py::grouped_quantiles)."""
+    from ..ops.sketches import grouped_quantiles
+
+    ds = read_table(sf, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value", list(_Q64_QS))
+
+
+SQL_Q65 = " UNION ALL ".join(
+    f"SELECT event_type, {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value"
+    f" FROM events GROUP BY event_type" for q in _Q64_QS)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1920,6 +1935,7 @@ CATALOG: dict[str, tuple] = {
     "q62_hash_sample": (q62_hash_sample, SQL_Q62),
     "q63_sample_per_key": (q63_sample_per_key, SQL_Q63),
     "q64_exact_quantiles": (q64_exact_quantiles, SQL_Q64),
+    "q65_grouped_quantiles": (q65_grouped_quantiles, SQL_Q65),
 }
 
 
