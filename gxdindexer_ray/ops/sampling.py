@@ -68,3 +68,33 @@ def hash_sample_per_key(ds, *, key_col: str, id_col: str, k: int,
         return topk(df)[[key_col, id_col]]
 
     return keyed_exchange_apply(ds, [key_col], final, n_buckets, local=partial)
+
+
+def hash_split(ds, *, id_col: str, splits: dict[str, float], seed: int = 0,
+               label_col: str = "split"):
+    """Deterministic train/valid/test assignment: the [0, 2^64) hash line
+    is cut at the cumulative split fractions and each row labeled by the
+    interval its ``splitmix64(id ^ seed)`` lands in. Map-side only;
+    assignment is a pure function of the id — stable across runs, block
+    splits, cluster sizes, and UNAFFECTED by upstream filtering (a row
+    keeps its split when the corpus around it changes, the property that
+    prevents train/test leakage across dataset versions). Fractions must
+    sum to 1."""
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    names = list(splits)
+    cuts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cuts.append(np.uint64(min(int(acc * 2.0 ** 64), 2 ** 64 - 1)))
+    cuts_arr = np.array(cuts, dtype=np.uint64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _id_hashes(ids, seed)
+        idx = np.searchsorted(cuts_arr, h, side="right")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), pa.array(names, pa.string()))
+        return batch.append_column(label_col, lab.cast(pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

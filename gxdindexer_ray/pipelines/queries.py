@@ -1865,6 +1865,37 @@ SQL_Q65 = " UNION ALL ".join(
     f"SELECT event_type, {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value"
     f" FROM events GROUP BY event_type" for q in _Q64_QS)
 
+_Q66_SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def q66_train_test_split(sf: str):
+    """Deterministic train/valid/test assignment by splitmix64 hash line
+    (ops/sampling.py::hash_split) — stable across runs/blocks/cluster
+    sizes and leakage-free across dataset versions."""
+    from ..ops.sampling import hash_split
+
+    ds = read_table(sf, "events", columns=["event_id"])
+    return hash_split(ds, id_col="event_id", splits=_Q66_SPLITS)
+
+
+def _q66_cuts() -> list[int]:
+    cuts, acc = [], 0.0
+    for name in list(_Q66_SPLITS)[:-1]:
+        acc += _Q66_SPLITS[name]
+        cuts.append(min(int(acc * 2.0 ** 64), 2 ** 64 - 1))
+    return cuts
+
+
+_Q66_C1, _Q66_C2 = _q66_cuts()
+SQL_Q66 = _sql_splitmix(
+    "SELECT event_id FROM events", "event_id", "event_id",
+) + f"""
+SELECT event_id, CASE WHEN hv < {_Q66_C1}::UBIGINT THEN 'train'
+                      WHEN hv < {_Q66_C2}::UBIGINT THEN 'valid'
+                      ELSE 'test' END AS split
+FROM hashed
+"""
+
 
 # ---------------------------------------------------------------------------
 # catalog
@@ -1936,6 +1967,7 @@ CATALOG: dict[str, tuple] = {
     "q63_sample_per_key": (q63_sample_per_key, SQL_Q63),
     "q64_exact_quantiles": (q64_exact_quantiles, SQL_Q64),
     "q65_grouped_quantiles": (q65_grouped_quantiles, SQL_Q65),
+    "q66_train_test_split": (q66_train_test_split, SQL_Q66),
 }
 
 
@@ -1946,7 +1978,7 @@ GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
                    {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64)}],
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
-    "sampling": ["q62_hash_sample", "q63_sample_per_key"],
+    "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",

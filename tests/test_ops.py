@@ -1057,3 +1057,32 @@ class TestExactQuantiles:
         empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
         out = exact_quantiles(empty, "x", [0.5])
         assert np.isnan(out["value"]).all()
+
+    def test_hash_split_stable_and_filter_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.sampling import hash_split
+
+        n = 10000
+        tbl = pa.table({"event_id": pa.array(np.arange(n), pa.int64())})
+        sp = {"train": 0.8, "valid": 0.1, "test": 0.1}
+        full = hash_split(rd.from_arrow(tbl), id_col="event_id", splits=sp).to_pandas()
+        fracs = full["split"].value_counts(normalize=True)
+        assert abs(fracs["train"] - 0.8) < 0.02
+        assert abs(fracs["valid"] - 0.1) < 0.01
+        # filter invariance: a row's split is unchanged when the corpus
+        # around it shrinks (the anti-leakage property)
+        sub = hash_split(rd.from_arrow(tbl.filter(pa.array(np.arange(n) % 3 == 0))),
+                         id_col="event_id", splits=sp).to_pandas()
+        merged = sub.merge(full, on="event_id", suffixes=("_sub", "_full"))
+        assert (merged["split_sub"] == merged["split_full"]).all()
+
+    def test_hash_split_rejects_bad_fractions(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from gxdindexer_ray.ops.sampling import hash_split
+
+        with pytest.raises(ValueError):
+            hash_split(rd.from_items([{"event_id": 1}]), id_col="event_id",
+                       splits={"a": 0.5, "b": 0.4})
