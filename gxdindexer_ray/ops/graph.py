@@ -104,3 +104,186 @@ def transitive_closure_distributed(edges_ds, *, src: str = "src", dst: str = "ds
         closure = distinct(closure.union(fresh)).materialize()
         frontier = fresh
     raise RuntimeError(f"transitive_closure did not converge in {max_iters} iters (cycle?)")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over pinned buckets (link-graph scoring at web scale)
+# ---------------------------------------------------------------------------
+
+
+def _pr_setup(node_tbl, edges_tbl):
+    """Per-bucket state: sorted unique node ids owned by this bucket
+    (hash(node) == bucket) with out-degree (0 = dangling) and uniform
+    initial rank placeholder (filled by the caller once N is known)."""
+    import pyarrow as pa
+
+    nodes = np.unique(node_tbl["node"].to_numpy(zero_copy_only=False))
+    outdeg = np.zeros(nodes.size, dtype=np.int64)
+    if edges_tbl is not None:
+        uu, cnt = np.unique(edges_tbl["u"].to_numpy(zero_copy_only=False),
+                            return_counts=True)
+        outdeg[np.searchsorted(nodes, uu)] = cnt
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "outdeg": pa.array(outdeg, pa.int64()),
+                     "pr": pa.array(np.zeros(nodes.size), pa.float64())})
+
+
+def _pr_contrib(edges_tbl, state_tbl, n_buckets):
+    """One bucket's round: dangling mass (rank of outdeg-0 nodes) plus
+    per-destination pre-summed contributions pr(u)/outdeg(u), partitioned
+    by hash(v). Returns (keys, {bucket: table ref}, dangling_sum)."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from .relational import _splitmix64
+
+    nodes = state_tbl["node"].to_numpy(zero_copy_only=False)
+    outdeg = state_tbl["outdeg"].to_numpy(zero_copy_only=False)
+    pr = state_tbl["pr"].to_numpy(zero_copy_only=False)
+    dang = float(pr[outdeg == 0].sum())
+    if edges_tbl is None:
+        return [], {}, dang
+    u = edges_tbl["u"].to_numpy(zero_copy_only=False)
+    v = edges_tbl["v"].to_numpy(zero_copy_only=False)
+    iu = np.searchsorted(nodes, u)
+    w = pr[iu] / outdeg[iu]  # outdeg(u) >= 1: u has this out-edge
+    order = np.argsort(v, kind="stable")
+    vs, ws = v[order], w[order]
+    starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+    pv = vs[starts]
+    pw = np.add.reduceat(ws, starts)  # combiner: one row per dst
+    buckets = (_splitmix64(pv.astype(np.int64).view(np.uint64))
+               % np.uint64(n_buckets)).astype(np.int32)
+    border = np.argsort(buckets, kind="stable")
+    pv, pw, buckets = pv[border], pw[border], buckets[border]
+    bounds = np.concatenate([[0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1,
+                             [buckets.size]])
+    keys, out = [], {}
+    for i in range(bounds.size - 1):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        tbl = pa.table({"node": pa.array(pv[s:e], pa.int64()),
+                        "c": pa.array(pw[s:e], pa.float64())})
+        out[int(buckets[s])] = _ray.put(tbl)
+        keys.append(int(buckets[s]))
+    return keys, out, dang
+
+
+def _pr_apply(tb, state_tbl, base_term, damp, *contrib_dict_refs):
+    """Merge this bucket's incoming contributions:
+    pr'(n) = base_term + damp * sum(contribs to n). Returns
+    (L1 delta, new state table)."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    nodes = state_tbl["node"].to_numpy(zero_copy_only=False)
+    old = state_tbl["pr"].to_numpy(zero_copy_only=False)
+    acc = np.zeros(nodes.size, dtype=np.float64)
+    props = [d[tb] for d in contrib_dict_refs if tb in d]
+    for tbl in _ray.get(props):
+        pn = tbl["node"].to_numpy(zero_copy_only=False)
+        pc_ = tbl["c"].to_numpy(zero_copy_only=False)
+        np.add.at(acc, np.searchsorted(nodes, pn), pc_)
+    new = base_term + damp * acc
+    delta = float(np.abs(new - old).sum())
+    return delta, pa.table({"node": state_tbl["node"],
+                            "outdeg": state_tbl["outdeg"],
+                            "pr": pa.array(new, pa.float64())})
+
+
+def _pr_seed(state_tbl, init):
+    import pyarrow as pa
+
+    n = state_tbl.num_rows
+    return pa.table({"node": state_tbl["node"], "outdeg": state_tbl["outdeg"],
+                     "pr": pa.array(np.full(n, init), pa.float64())})
+
+
+_PR_FNS: dict = {}
+
+
+def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 20, tol: float = 1e-12,
+             n_buckets: int = 32):
+    """Distributed PageRank over an int64 (src, dst) edge Dataset with ONE
+    PERSISTENT BUCKETING (the connected-components pattern generalized to
+    weighted iteration): edges are hash-partitioned by src ONCE into
+    pinned object-store tables — a node's rank, out-degree and out-edges
+    all live in bucket hash(node) — and each round ships only per-dst
+    PRE-SUMMED contribution rows between buckets. Dangling-node mass is
+    redistributed uniformly (driver sees one scalar per bucket per round,
+    plus the L1 delta for early stop). Returns a Dataset of (node, rank);
+    ranks sum to 1.
+
+    Partitioning assumption: a bucket's node+edge tables fit one worker —
+    size n_buckets to the graph, and salt super-hub dst keys upstream if
+    one destination's contribution fan-in must be split."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from .relational import _splitmix64, pinned_bucket_tables
+
+    if not _PR_FNS:
+        _PR_FNS["setup"] = ray.remote(_pr_setup)
+        _PR_FNS["seed"] = ray.remote(_pr_seed)
+        _PR_FNS["contrib"] = ray.remote(num_returns=3)(_pr_contrib)
+        _PR_FNS["apply"] = ray.remote(num_returns=2)(_pr_apply)
+
+    def edge_pre(tbl: pa.Table) -> pa.Table:
+        u = tbl[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = (_splitmix64(u.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()), "__b": pa.array(bk)})
+
+    def node_pre(tbl: pa.Table) -> pa.Table:
+        u = tbl[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.concatenate([u, v])
+        bk = (_splitmix64(nodes.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"node": pa.array(nodes, pa.int64()), "__b": pa.array(bk)})
+
+    edges_ds = edges_ds.materialize()  # consumed twice (edge + node passes)
+    ebuckets = pinned_bucket_tables(edges_ds, "__b", pre=edge_pre)
+    nbuckets_t = pinned_bucket_tables(edges_ds, "__b", pre=node_pre)
+    if not nbuckets_t:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+    states = {b: _PR_FNS["setup"].remote(nbuckets_t[b], ebuckets.get(b))
+              for b in nbuckets_t}
+    counts = ray.get([ray.remote(lambda t: t.num_rows).remote(s)
+                      for s in states.values()])
+    n_total = sum(counts)
+    states = {b: _PR_FNS["seed"].remote(s, 1.0 / n_total)
+              for b, s in states.items()}
+    for _ in range(iters):
+        keys_r, dicts_r, dang_r, order = [], [], [], []
+        for b in states:
+            kr, dr, gr = _PR_FNS["contrib"].remote(ebuckets.get(b), states[b],
+                                                   n_buckets)
+            keys_r.append(kr)
+            dicts_r.append(dr)
+            dang_r.append(gr)
+            order.append(b)
+        dang_total = sum(ray.get(dang_r))
+        base_term = (1.0 - damping) / n_total + damping * dang_total / n_total
+        hit: dict = {}
+        for ti, keys in enumerate(ray.get(keys_r)):
+            for tb in keys:
+                hit.setdefault(tb, []).append(ti)
+        delta_r, new_states = [], {}
+        for b in states:
+            drefs = [dicts_r[i] for i in sorted(set(hit.get(b, [])))]
+            dref, nref = _PR_FNS["apply"].remote(b, states[b], base_term,
+                                                 damping, *drefs)
+            delta_r.append(dref)
+            new_states[b] = nref
+        states = new_states
+        if sum(ray.get(delta_r)) < tol:
+            break
+    return rd.from_arrow_refs(list(states.values())).map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["pr"]}),
+        batch_format="pyarrow")

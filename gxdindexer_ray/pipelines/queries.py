@@ -1865,6 +1865,37 @@ SQL_Q65 = " UNION ALL ".join(
     f"SELECT event_type, {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value"
     f" FROM events GROUP BY event_type" for q in _Q64_QS)
 
+def q67_pagerank(sf: str):
+    """Distributed PageRank (pinned-bucket iteration, ops/graph.py) over
+    the customer->nation->region affiliation graph (int node namespaces
+    offset to disjoint ranges). No SQL oracle — iterative float algorithm;
+    the accuracy contract vs a dense power-iteration reference is
+    tests/test_ops.py::TestPageRank. Returns (node, rank) sorted by node;
+    rank rounded to 9 decimals for a stable rows check."""
+    from ..ops.graph import pagerank
+
+    def edge(tbl, a, b, off_a, off_b):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": pc.add(t[a].combine_chunks().cast(pa.int64()),
+                              pa.scalar(off_a, pa.int64())),
+                "dst": pc.add(t[b].combine_chunks().cast(pa.int64()),
+                              pa.scalar(off_b, pa.int64())),
+            })
+
+        return read_table(sf, tbl, columns=[a, b]).map_batches(
+            f, batch_format="pyarrow")
+
+    edges = (
+        edge("customer", "c_custkey", "c_nationkey", 1_000_000, 2_000_000)
+        .union(edge("supplier", "s_suppkey", "s_nationkey", 3_000_000, 2_000_000))
+        .union(edge("nation", "n_nationkey", "n_regionkey", 2_000_000, 4_000_000))
+    )
+    out = pagerank(edges, iters=20, n_buckets=8).to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 _Q66_SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
@@ -1968,6 +1999,7 @@ CATALOG: dict[str, tuple] = {
     "q64_exact_quantiles": (q64_exact_quantiles, SQL_Q64),
     "q65_grouped_quantiles": (q65_grouped_quantiles, SQL_Q65),
     "q66_train_test_split": (q66_train_test_split, SQL_Q66),
+    "q67_pagerank": (q67_pagerank, None),
 }
 
 

@@ -1086,3 +1086,54 @@ class TestExactQuantiles:
         with pytest.raises(ValueError):
             hash_split(rd.from_items([{"event_id": 1}]), id_col="event_id",
                        splits={"a": 0.5, "b": 0.4})
+
+
+class TestPageRank:
+    def test_matches_dense_reference(self, ray_session):
+        """Distributed pinned-bucket PageRank == single-process power
+        iteration (same damping/iteration semantics, uniform dangling
+        redistribution) to 1e-9, on a graph with hubs, dangling nodes and
+        a disconnected component; ranks sum to 1."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.graph import pagerank
+
+        rng = np.random.default_rng(8)
+        n, m = 300, 1500
+        srcs = rng.integers(0, n, m)
+        dsts = rng.integers(0, n, m)
+        hub = rng.integers(0, n, 200)  # super-hub fan-in
+        edges = pd.DataFrame({
+            "src": np.r_[srcs, hub, [777, 778]].astype(np.int64) * 13 + 5,
+            "dst": np.r_[dsts, np.full(200, 42), [778, 777]].astype(np.int64) * 13 + 5,
+        }).drop_duplicates()
+        out = pagerank(rd.from_pandas(edges).repartition(6),
+                       damping=0.85, iters=25, tol=0.0).to_pandas()
+
+        ids = np.unique(np.r_[edges["src"].to_numpy(), edges["dst"].to_numpy()])
+        idx = {v: i for i, v in enumerate(ids)}
+        N = ids.size
+        u = edges["src"].map(idx).to_numpy()
+        v = edges["dst"].map(idx).to_numpy()
+        outdeg = np.bincount(u, minlength=N)
+        pr = np.full(N, 1.0 / N)
+        d = 0.85
+        for _ in range(25):
+            dang = pr[outdeg == 0].sum()
+            new = np.full(N, (1 - d) / N + d * dang / N)
+            np.add.at(new, v, d * pr[u] / outdeg[u])
+            pr = new
+        got = out.set_index("node")["rank"]
+        assert len(got) == N
+        assert abs(got.sum() - 1.0) < 1e-9
+        for nid, i in idx.items():
+            assert abs(got[nid] - pr[i]) < 1e-9, nid
+
+    def test_pagerank_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.graph import pagerank
+
+        empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []})).materialize()
+        assert pagerank(empty).count() == 0
