@@ -1896,6 +1896,24 @@ def q67_pagerank(sf: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q68_partitioned_sink(sf: str):
+    """Resumable partitioned-Parquet sink (ops/sink.py): documents hash-
+    partitioned by doc_id into per-partition atomically-committed files.
+    Returns the (bucket, rows) manifest — deterministic; file paths/bytes
+    omitted (environment-dependent). No SQL oracle (a sink); the
+    resume/atomicity contract is tests/test_ops.py::TestPartitionedSink."""
+    import hashlib as _hl
+    import shutil
+
+    from ..ops.sink import write_partitioned
+
+    out = Path("/tmp/gxdray") / f"q68-{_hl.blake2b(str(sf).encode(), digest_size=6).hexdigest()}"
+    shutil.rmtree(out, ignore_errors=True)  # a fresh, non-resumed run
+    ds = read_table(sf, "documents", columns=["doc_id", "lang", "n_chars"])
+    man = write_partitioned(ds, out, key_cols=["doc_id"], n_buckets=16)
+    return man[["bucket", "rows"]]
+
+
 _Q66_SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
@@ -2000,6 +2018,7 @@ CATALOG: dict[str, tuple] = {
     "q65_grouped_quantiles": (q65_grouped_quantiles, SQL_Q65),
     "q66_train_test_split": (q66_train_test_split, SQL_Q66),
     "q67_pagerank": (q67_pagerank, None),
+    "q68_partitioned_sink": (q68_partitioned_sink, None),
 }
 
 

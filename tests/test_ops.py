@@ -1137,3 +1137,45 @@ class TestPageRank:
 
         empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []})).materialize()
         assert pagerank(empty).count() == 0
+
+
+class TestPartitionedSink:
+    def test_write_resume_skips_finished(self, ray_session, tmp_path):
+        import json
+        import os
+        from pathlib import Path
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from gxdindexer_ray.ops.sink import write_partitioned
+
+        df = pd.DataFrame({"k": list(range(2000)), "v": [i * 3 for i in range(2000)]})
+        ds = rd.from_pandas(df).repartition(5)
+        out = tmp_path / "sink"
+        man = write_partitioned(ds, out, key_cols=["k"], n_buckets=8)
+        assert man["rows"].sum() == 2000 and len(man) == 8
+        files = sorted(out.glob("part-*.parquet"))
+        assert len(files) == 8
+        full = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        assert sorted(full["k"]) == list(range(2000))
+
+        # simulate a crashed partition: remove one data+manifest pair
+        victim = man.iloc[3]
+        os.remove(victim["path"])
+        os.remove(victim["path"].replace(".parquet", ".json"))
+        mtimes = {f.name: f.stat().st_mtime_ns for f in out.glob("part-*.parquet")}
+        man2 = write_partitioned(ds, out, key_cols=["k"], n_buckets=8)
+        assert man2["rows"].sum() == 2000 and len(man2) == 8
+        for f in out.glob("part-*.parquet"):
+            if f.name != Path(victim["path"]).name:
+                # finished partitions untouched by the resume
+                assert f.stat().st_mtime_ns == mtimes[f.name], f.name
+        re_full = pd.concat([pq.read_table(f).to_pandas()
+                             for f in sorted(out.glob("part-*.parquet"))])
+        assert sorted(re_full["k"]) == list(range(2000))
+        # torn manifest (json without commit content) = not committed
+        bad = out / "part-00001.json"
+        bad.write_text("{not json")
+        man3 = write_partitioned(ds, out, key_cols=["k"], n_buckets=8)
+        assert json.loads((out / "part-00001.json").read_text())["bucket"] == 1
+        assert man3["rows"].sum() == 2000
