@@ -222,8 +222,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "spellcheck":
             from .pipelines import SearchEngine
 
+            # one-shot lookup: the length-window scan beats paying the
+            # full SymSpell index build for a single query (the index is
+            # the steady-state serving path, not the CLI's)
             for term, dist, df, cf in SearchEngine(args.index, warm_top_terms=0) \
-                    .spellcheck(args.term, args.k, args.max_dist):
+                    .spellcheck(args.term, args.k, args.max_dist, method="scan"):
                 print(f"{term}\t{dist}\t{df}\t{cf}")
             return 0
         if args.cmd == "run":

@@ -6,10 +6,13 @@ NUMERIC value, non-digit runs case-insensitively; the original string is
 the final tie-break so the order is total and deterministic.
 
 Re-expressed as a KEY function instead of a comparator (a comparator can't
-drive a distributed sort): each digit run is zero-padded to a fixed width
-and the rest lowercased, so plain lexicographic order of the key equals the
-smart-alpha order. Key computation runs once per UNIQUE value (dictionary
-encode) — the same vocabulary-sized-cost pattern as the token hashers."""
+drive a distributed sort): each digit run is encoded as a length-prefixed,
+leading-zero-stripped digit string (lexicographic key order == numeric
+order for digit runs of ANY length; numerically-equal runs like '007' and
+'7' key EQUAL and fall to the original-string tie-break, matching the
+comparator) and the rest lowercased. Key computation runs once per UNIQUE
+value (dictionary encode) — the same vocabulary-sized-cost pattern as the
+token hashers."""
 
 from __future__ import annotations
 
@@ -19,14 +22,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_DIGIT_RUN = re.compile(r"\d+")
-_PAD = 24  # digit runs longer than this would break key ordering — assert
-
-
 _SPLIT = re.compile(r"(\d+)")
+_MAX_RUN = 9999  # digits per run encodable in the 4-char length prefix
 
 
-def smart_alpha_key_one(s: str, pad: int = _PAD) -> str:
+def smart_alpha_key_one(s: str) -> str:
     """Scalar reference path: the collation key of one string. Chunks are
     joined with '\\x01' (below every content char), so lexicographic order
     of keys equals CHUNK-TUPLE order — a plain concatenation would diverge
@@ -39,8 +39,12 @@ def smart_alpha_key_one(s: str, pad: int = _PAD) -> str:
         if c == "":
             continue
         if c.isdigit():
-            assert len(c) <= pad, "digit run exceeds key pad width"
-            parts.append(c.zfill(pad))
+            d = c.lstrip("0") or "0"
+            if len(d) > _MAX_RUN:
+                raise ValueError(
+                    f"digit run of {len(d)} digits exceeds the smart-alpha "
+                    f"key's {_MAX_RUN}-digit bound: {c[:32]}...")
+            parts.append(f"{len(d):04d}{d}")
         else:
             parts.append(c.lower())
     return "\x01".join(parts)

@@ -392,6 +392,8 @@ def verify_pairs_jaccard(ds, pairs, *, id_col: str = "doc_id",
         pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
     else:
         pairs_ds = pairs.materialize()  # consumed twice: id set + join input
+        if pairs_ds.count() == 0:  # clean corpus: no candidates at all
+            return _empty_verified_ds() if as_dataset else _empty_verified()
 
     cand_ids = pairs_ds.map_batches(
         lambda t: pa.table({"cid": pa.concat_arrays(
@@ -553,12 +555,11 @@ def connected_components_ds(edges, *, n_buckets: int = 64, max_iters: int = 50):
     # init labels are node-SORTED per bucket (searchsorted joins rely on it)
     labels = {b: _CC_INIT.remote(t) for b, t in ebuckets.items()}
     for _ in range(max_iters):
-        keys_refs, dict_refs, order = [], [], []
+        keys_refs, dict_refs = [], []
         for b in ebuckets:
             kr, dr = _CC_PROPOSE.remote(ebuckets[b], labels[b], n_buckets)
             keys_refs.append(kr)
             dict_refs.append(dr)
-            order.append(b)
         hit: dict = {}
         for ti, keys in enumerate(ray.get(keys_refs)):
             for tb, _nb in keys:

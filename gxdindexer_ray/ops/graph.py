@@ -200,6 +200,10 @@ def _pr_seed(state_tbl, init):
                      "pr": pa.array(np.full(n, init), pa.float64())})
 
 
+def _num_rows(t):
+    return t.num_rows
+
+
 _PR_FNS: dict = {}
 
 
@@ -231,6 +235,7 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
         _PR_FNS["seed"] = ray.remote(_pr_seed)
         _PR_FNS["contrib"] = ray.remote(num_returns=3)(_pr_contrib)
         _PR_FNS["apply"] = ray.remote(num_returns=2)(_pr_apply)
+        _PR_FNS["nrows"] = ray.remote(_num_rows)
 
     def edge_pre(tbl: pa.Table) -> pa.Table:
         u = tbl[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -254,20 +259,18 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
                                        "rank": pa.array([], pa.float64())}))
     states = {b: _PR_FNS["setup"].remote(nbuckets_t[b], ebuckets.get(b))
               for b in nbuckets_t}
-    counts = ray.get([ray.remote(lambda t: t.num_rows).remote(s)
-                      for s in states.values()])
+    counts = ray.get([_PR_FNS["nrows"].remote(s) for s in states.values()])
     n_total = sum(counts)
     states = {b: _PR_FNS["seed"].remote(s, 1.0 / n_total)
               for b, s in states.items()}
     for _ in range(iters):
-        keys_r, dicts_r, dang_r, order = [], [], [], []
+        keys_r, dicts_r, dang_r = [], [], []
         for b in states:
             kr, dr, gr = _PR_FNS["contrib"].remote(ebuckets.get(b), states[b],
                                                    n_buckets)
             keys_r.append(kr)
             dicts_r.append(dr)
             dang_r.append(gr)
-            order.append(b)
         dang_total = sum(ray.get(dang_r))
         base_term = (1.0 - damping) / n_total + damping * dang_total / n_total
         hit: dict = {}

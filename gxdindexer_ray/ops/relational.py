@@ -242,11 +242,15 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
                     cols[name] = batch[name].combine_chunks().cast(typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
-            keys = batch[key_col].to_numpy(zero_copy_only=False)
-            if np.issubdtype(keys.dtype, np.integer):
+            # route on the ARROW type: an int column with nulls converts
+            # to float64 and would bucket inconsistently across batches
+            # (null keys never match downstream — their bucket is moot)
+            if pa.types.is_integer(batch.schema.field(key_col).type):
+                keys = batch[key_col].fill_null(0).to_numpy(zero_copy_only=False)
                 jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
             else:  # string/object keys: explicit deterministic hash (see
                 # stable_bucket_ids — pandas' hasher proved unstable here)
+                keys = batch[key_col].to_numpy(zero_copy_only=False)
                 jb = stable_bucket_ids(pd.DataFrame({key_col: keys}), [key_col], n_buckets)
             hot_mask = np.isin(keys, hot_arr) if hot_arr is not None else None
             side_col = pa.array(np.full(n, side, dtype=np.int8))
@@ -355,10 +359,16 @@ def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
 
     def unify(side: int):
         def f(batch: pa.Table) -> pa.Table:
-            keys = batch[by].to_numpy(zero_copy_only=False)
-            if np.issubdtype(keys.dtype, np.integer):
+            # route on the ARROW type, not the numpy dtype: an int column
+            # with nulls converts to float64, and a per-batch dtype switch
+            # would bucket the same key value inconsistently across
+            # batches/sides (silently losing matches). Null keys can never
+            # match in merge_asof, so their bucket is arbitrary.
+            if pa.types.is_integer(batch.schema.field(by).type):
+                keys = batch[by].fill_null(0).to_numpy(zero_copy_only=False)
                 jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
             else:
+                keys = batch[by].to_numpy(zero_copy_only=False)
                 jb = stable_bucket_ids(pd.DataFrame({by: keys}), [by], n_buckets)
             if side == 1:
                 batch = batch.rename_columns([r_rename[n] for n in batch.column_names])
@@ -382,6 +392,20 @@ def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
 
         l_df = group.filter(pc2.equal(group["__side"], 0)).select(l_names).to_pandas()
         r_df = group.filter(pc2.equal(group["__side"], 1)).select(r_out).to_pandas()
+        # null keys can never match: drop them from the right; set aside
+        # null-key left rows (re-appended for how='left'). Stripping nulls
+        # BEFORE dtype alignment keeps int batches int; a batch that
+        # arrived float64 (pandas null upcast) is aligned below.
+        r_df = r_df[r_df[on_r].notna() & r_df[by_r].notna()]
+        l_null = l_df[on].isna() | l_df[by].isna()
+        l_rest = l_df[l_null]
+        l_df = l_df[~l_null]
+        for lc, rc in ((by, by_r), (on, on_r)):
+            lt, rt = l_df[lc].dtype, r_df[rc].dtype
+            if lt != rt and lt.kind in "iuf" and rt.kind in "iuf":
+                common = np.result_type(lt, rt)  # merge_asof requires
+                l_df[lc] = l_df[lc].astype(common)  # matching dtypes even
+                r_df[rc] = r_df[rc].astype(common)  # on empty frames
         # merge_asof picks the LAST in-order candidate going backward and
         # the FIRST going forward, so one ascending stable sort on the
         # tie-break columns yields max-tuple ties backward / min-tuple
@@ -395,6 +419,8 @@ def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
             allow_exact_matches=allow_exact)
         if how == "inner":
             merged = merged[merged[on_r].notna()]
+        elif len(l_rest):
+            merged = pd.concat([merged, l_rest], ignore_index=True)
         cols = {}
         for name, typ in out_fields:
             try:

@@ -166,6 +166,8 @@ def verify_pairs_cosine(ds, pairs, *, threshold: float, id_col: str = "vec_id",
         pairs_ds = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
     else:
         pairs_ds = pairs.materialize()  # consumed twice: id set + join input
+        if pairs_ds.count() == 0:  # no LSH candidates at all
+            return empty
 
     cand_ids = pairs_ds.map_batches(
         lambda t: pa.table({"cid": pa.concat_arrays(

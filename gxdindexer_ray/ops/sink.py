@@ -60,6 +60,13 @@ def write_partitioned(ds, out_dir: str | Path, *, key_cols: list[str],
         return tbl
 
     def write_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "__bucket" not in tbl.column_names:
+            # _apply_empty schema probe (full resume / empty input):
+            # nothing to write, emit the typed empty manifest
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string())})
         b = int(tbl["__bucket"][0].as_py())
         tbl = tbl.drop_columns(["__bucket"])
         path = os.path.join(out_str, f"part-{b:05d}.parquet")

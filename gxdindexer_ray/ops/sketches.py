@@ -194,8 +194,21 @@ def exact_quantiles(ds, col: str, qs: list[float], *, n_bins: int = 512,
         if not active:
             break
         for q, (lo, hi, incl, rank) in list(active.items()):
-            if hi <= np.nextafter(lo, np.inf):  # zero-width: all equal
-                resolved[q] = lo
+            if hi <= np.nextafter(lo, np.inf):  # width underflowed
+                if not incl:
+                    resolved[q] = lo  # [lo, hi) one ULP wide = {lo}
+                else:
+                    # right-inclusive one-ULP bracket can hold TWO distinct
+                    # values (lo and hi): one counting pass decides which
+                    # side of the rank boundary lo's copies cover
+                    def cnt(batch: pa.Table, lo=lo) -> pa.Table:
+                        v = batch[col].to_numpy(zero_copy_only=False)
+                        return pa.table({"n": pa.array(
+                            [int((v == lo).sum())], pa.int64())})
+
+                    n_lo = sum(r["n"] for r in
+                               ds.map_batches(cnt, batch_format="pyarrow").take_all())
+                    resolved[q] = lo if rank <= n_lo else hi
                 del active[q]
         if not active:
             break

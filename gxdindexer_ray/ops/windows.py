@@ -49,10 +49,15 @@ def hopping_window(ds, *, key: str = "event_type", ts_col: str = "ts",
 
     import pyarrow as pa
 
+    _PER_SEC = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        # µs → floor to epoch seconds → hop-aligned base window
-        e = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        # floor to epoch seconds (divisor from the column's actual unit —
+        # pandas-sourced batches arrive as ns, parquet ones as us) →
+        # hop-aligned base window
+        div = _PER_SEC[batch.schema.field(ts_col).type.unit]
+        e = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // div
         base = e // hop_s
         # every j in [0, reps) yields a window containing ts: start =
         # (base - j) * hop_s satisfies start <= ts < start + window_s

@@ -564,14 +564,17 @@ class ServingFeaturesMixin:
         lexicons persist it next to the segments (same build pass as the
         lexicon) rather than rebuilding per process."""
         cache = getattr(self, "_symspell_cache", None)
-        if cache is not None and cache[0] == max_dist:
-            return cache[1]
+        if cache is None:
+            cache = self._symspell_cache = {}  # keyed by max_dist: mixed
+            # distances must not evict each other (each is a full rebuild)
+        if max_dist in cache:
+            return cache[max_dist]
         arr, _ = self._spell_lexicon()
         index: dict[str, list] = {}
         for ti, t in enumerate(arr):
             for v in _deletes(str(t), max_dist):
                 index.setdefault(v, []).append(ti)
-        self._symspell_cache = (max_dist, index)
+        cache[max_dist] = index
         return index
 
     def spellcheck(self, term: str, k: int = 5, max_dist: int = 1,

@@ -1179,3 +1179,108 @@ class TestPartitionedSink:
         man3 = write_partitioned(ds, out, key_cols=["k"], n_buckets=8)
         assert json.loads((out / "part-00001.json").read_text())["bucket"] == 1
         assert man3["rows"].sum() == 2000
+
+
+class TestReviewRegressions:
+    """Regression pins for the round-4 self-review findings."""
+
+    def test_dedup_corpus_clean_corpus_no_candidates(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.dedup import dedup_corpus
+
+        texts = [f"totally unique document number {i} " + " ".join(
+            f"w{i}{j}" for j in range(30)) for i in range(40)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        kept = sorted(r["doc_id"] for r in dedup_corpus(ds).take_all())
+        assert kept == list(range(40))
+
+    def test_embedding_lsh_no_candidates(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.similarity import embedding_lsh_near_dup
+
+        rng = np.random.default_rng(2)
+        vecs = rng.normal(size=(30, 16))
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(30), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64()))})
+        ds = rd.from_arrow(tbl)
+        out = embedding_lsh_near_dup(ds, ds, threshold=0.999)
+        assert len(out) == 0
+
+    def test_write_partitioned_idempotent_rerun(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.sink import write_partitioned
+
+        ds = rd.from_pandas(pd.DataFrame({"k": range(100), "v": range(100)}))
+        out = tmp_path / "sink2"
+        m1 = write_partitioned(ds, out, key_cols=["k"], n_buckets=4)
+        m2 = write_partitioned(ds, out, key_cols=["k"], n_buckets=4)  # full resume
+        assert m1["rows"].sum() == m2["rows"].sum() == 100
+        assert len(m2) == 4
+
+    def test_hopping_window_ns_timestamps(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.windows import hopping_window
+
+        ts = pd.to_datetime(["2024-01-01 10:15", "2024-01-01 10:45"])  # ns unit
+        df = pd.DataFrame({"event_type": ["a", "a"], "ts": ts, "value": [1.0, 2.0]})
+        out = hopping_window(rd.from_pandas(df), window_s=3600, hop_s=1800).to_pandas()
+        base = int(pd.Timestamp("2024-01-01 10:00").timestamp())
+        got = dict(zip(out["window_start"], out["n"]))
+        # 10:15 -> windows 10:00, 09:30; 10:45 -> 10:30, 10:00
+        assert got == {base: 2, base - 1800: 1, base + 1800: 1}
+
+    def test_asof_join_nullable_int_key(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import asof_join
+
+        left = pd.DataFrame({"k": pd.array([1, 2, 7], dtype="Int64"),
+                             "t": [10, 20, 30], "lid": [0, 1, 2]})
+        # right split so one batch carries a null (float64 numpy dtype)
+        # and the other does not (int64) — both must bucket k=7 identically
+        r1 = pd.DataFrame({"k": pd.array([7, None], dtype="Int64"),
+                           "t": [5, 1], "rid": [100, 999]})
+        r2 = pd.DataFrame({"k": pd.array([1, 2], dtype="Int64"),
+                           "t": [5, 15], "rid": [101, 102]})
+        right = rd.from_pandas(r1).union(rd.from_pandas(r2))
+        out = asof_join(rd.from_pandas(left), right, on="t", by="k",
+                        how="inner", n_buckets=16).to_pandas()
+        got = dict(zip(out["lid"], out["rid"]))
+        assert got == {0: 101, 1: 102, 2: 100}
+
+    def test_exact_quantiles_one_ulp_bracket(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from gxdindexer_ray.ops.sketches import exact_quantiles
+
+        x = 100.0
+        y = np.nextafter(x, np.inf)
+        v = np.r_[np.full(200, x), np.full(200, y)]
+        ds = rd.from_arrow(pa.table({"x": pa.array(v, pa.float64())}))
+        out = exact_quantiles(ds, "x", [0.25, 1.0], n_bins=8, exact_cap=50)
+        got = dict(zip(out["q"], out["value"]))
+        assert got[0.25] == x      # rank 100 <= 200 copies of x
+        assert got[1.0] == y       # rank 400 lands in the upper value
+
+    def test_smart_alpha_long_digit_runs_and_zero_ties(self):
+        from gxdindexer_ray.ops.collation import smart_alpha_key_one
+
+        big_a = "id" + "9" * 30
+        big_b = "id1" + "0" * 30  # 31 digits, numerically larger
+        assert smart_alpha_key_one(big_a) < smart_alpha_key_one(big_b)
+        # numerically equal runs key EQUAL; original string breaks the tie
+        assert smart_alpha_key_one("a007b") == smart_alpha_key_one("a7b")
+        assert sorted(["a7b", "a007b"],
+                      key=lambda s: (smart_alpha_key_one(s), s)) == ["a007b", "a7b"]

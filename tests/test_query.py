@@ -202,4 +202,7 @@ def test_symspell_prunes_candidates():
     arr, lens = eng._spell_lexicon()
     window = ((lens >= len(q) - 1) & (lens <= len(q) + 1)).sum()
     assert len(probed) * 20 < int(window), (len(probed), int(window))
-    assert eng._symspell_cache[0] == 1  # cached, not rebuilt per call
+    assert 1 in eng._symspell_cache  # cached, not rebuilt per call
+    # mixed distances coexist (dict keyed by max_dist, no eviction)
+    eng.spellcheck(q, k=10, max_dist=2)
+    assert set(eng._symspell_cache) == {1, 2}
