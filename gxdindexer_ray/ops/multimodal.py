@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment — ``decode_image``/``decode_audio`` raise NotImplementedError
-unless a deterministic fake is requested), but everything Ray-side is real
-and tested: schema handling for binary columns, actor-pool stage signatures
-(decoder state initialized once per actor), bytes-bounded batch sizing, and
-the typed metadata output layout.
+The decode step is REAL for binary netpbm payloads (P5 grayscale / P6
+RGB — pure-numpy parse, no codec library needed) and STUBBED for
+compressed formats (JPEG/PNG/audio/video need codec libraries this
+container lacks — those raise NotImplementedError unless a deterministic
+fake is requested). Everything Ray-side is real and tested either way:
+schema handling for binary columns, actor-pool stage signatures (decoder
+state initialized once per actor), bytes-bounded batch sizing, and the
+typed metadata output layout.
 """
 
 from __future__ import annotations
@@ -20,17 +22,62 @@ BLOB_META_SCHEMA = pa.schema(
         pa.field("doc_id", pa.int64()),
         pa.field("n_bytes", pa.int64()),
         pa.field("content_hash", pa.string()),
-        pa.field("fake_width", pa.int32()),
-        pa.field("fake_height", pa.int32()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
     ]
 )
 
 
-def decode_image(blob: bytes):
-    """Real image decode — requires a codec library this container lacks."""
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) -> binary PGM (P5); (h, w, 3) -> binary PPM (P6)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        magic = b"P5"
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected (h, w) or (h, w, 3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    return magic + f" {w} {h} 255\n".encode() + arr.tobytes()
+
+
+def _netpbm_header(blob: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a binary netpbm header (magic, whitespace/comment-separated
+    width height maxval, one whitespace byte, then raster). Returns
+    (magic, width, height, maxval, raster offset)."""
+    magic = blob[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    return magic, fields[0], fields[1], fields[2], pos + 1  # single ws byte
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Image decode: REAL for binary netpbm (P5 -> (h, w) uint8 grayscale,
+    P6 -> (h, w, 3) uint8 RGB; a pure header parse + zero-copy frombuffer
+    reshape). Compressed formats raise — plug a PIL/turbojpeg decoder in a
+    container that has one, or use ImageMetaStage(fake=True)."""
+    if blob[:2] in (b"P5", b"P6"):
+        magic, w, h, maxval, off = _netpbm_header(blob)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        ch = 1 if magic == b"P5" else 3
+        need = w * h * ch
+        raster = np.frombuffer(blob, np.uint8, count=need, offset=off)
+        return raster.reshape((h, w) if ch == 1 else (h, w, 3))
     raise NotImplementedError(
-        "image decode is stubbed in this environment; use ImageMetaStage(fake=True) "
-        "for deterministic fake features, or plug a PIL/turbojpeg decoder here"
+        "only binary netpbm (P5/P6) decodes in this environment; use "
+        "ImageMetaStage(fake=True) for deterministic fake features, or plug "
+        "a PIL/turbojpeg decoder here for compressed formats"
     )
 
 
@@ -72,7 +119,9 @@ class ImageMetaStage:
             if self.fake:
                 h, w, ht = fake_features(blob)
             else:
-                h, w, ht = decode_image(blob)  # raises: stub
+                img = decode_image(blob)  # real for netpbm; raises otherwise
+                h = hashlib.blake2b(blob, digest_size=16).hexdigest()
+                ht, w = img.shape[:2]
             hashes.append(h)
             widths[i] = w
             heights[i] = ht
@@ -81,8 +130,8 @@ class ImageMetaStage:
                 "doc_id": batch["doc_id"],
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "content_hash": pa.array(hashes, pa.string()),
-                "fake_width": pa.array(widths, pa.int32()),
-                "fake_height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
             },
             schema=BLOB_META_SCHEMA,
         )
@@ -100,6 +149,27 @@ def text_to_blob(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def text_to_netpbm(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   width: int = 32):
+    """Deterministic REAL image payloads from text (the fixture path for
+    the non-stubbed decode): utf-8 bytes laid out row-major into a
+    ``width``-column grayscale P5 raster, zero-padded to fill the last
+    row; empty/null text becomes one zero row."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for t in batch[text_col].to_pylist():
+            b = (t or "").encode("utf-8")
+            h = max(1, -(-len(b) // width))
+            arr = np.zeros(h * width, dtype=np.uint8)
+            arr[:len(b)] = np.frombuffer(b, np.uint8)
+            blobs.append(encode_netpbm(arr.reshape(h, width)))
+        return pa.table({"doc_id": batch[id_col],
+                         "blob": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def blob_metadata(ds, *, fake: bool = True, concurrency=(1, 4), batch_size: int = 256):
     return ds.map_batches(
         ImageMetaStage,
@@ -110,9 +180,14 @@ def blob_metadata(ds, *, fake: bool = True, concurrency=(1, 4), batch_size: int 
     )
 
 
-def resize_image(blob: bytes, width: int, height: int):
-    """Stub: real resize needs an image library this container lacks."""
-    raise NotImplementedError("image resize is stubbed in this environment")
+def resize_image(blob: bytes, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decodable (netpbm) payload — pure
+    numpy index gather; compressed formats raise via decode_image."""
+    img = decode_image(blob)
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[yi][:, xi]
 
 
 def sample_frames(blob: bytes, every_n: int = 30):

@@ -1865,6 +1865,24 @@ SQL_Q65 = " UNION ALL ".join(
     f"SELECT event_type, {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value"
     f" FROM events GROUP BY event_type" for q in _Q64_QS)
 
+def q69_image_decode_meta(sf: str):
+    """REAL (non-stubbed) image decode through the actor-pool metadata
+    stage: deterministic P5 netpbm payloads manufactured from text
+    (ops/multimodal.py::text_to_netpbm), decoded with the pure-numpy
+    netpbm parser — width/height come from the actual raster header."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    blobs = mm.text_to_netpbm(ds, width=32)
+    meta = mm.blob_metadata(blobs, fake=False)
+    return meta.select_columns(["doc_id", "width", "height"])
+
+
+SQL_Q69 = """
+SELECT doc_id, 32 AS width,
+       greatest(1, ceil(coalesce(octet_length(encode(text)), 0) / 32.0))::INT AS height
+FROM documents
+"""
+
+
 def q67_pagerank(sf: str):
     """Distributed PageRank (pinned-bucket iteration, ops/graph.py) over
     the customer->nation->region affiliation graph (int node namespaces
@@ -2019,6 +2037,7 @@ CATALOG: dict[str, tuple] = {
     "q66_train_test_split": (q66_train_test_split, SQL_Q66),
     "q67_pagerank": (q67_pagerank, None),
     "q68_partitioned_sink": (q68_partitioned_sink, None),
+    "q69_image_decode_meta": (q69_image_decode_meta, SQL_Q69),
 }
 
 

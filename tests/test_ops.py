@@ -202,7 +202,7 @@ def test_multimodal_stage(ray_session):
     df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abc", "", "日本語"]})
     out = blob_metadata(text_to_blob(rd.from_pandas(df)), fake=True).to_pandas()
     assert out["n_bytes"].tolist() == [3, 0, 9]
-    assert out["fake_width"].between(64, 64 + 1920).all()
+    assert out["width"].between(64, 64 + 1920).all()
 
     # non-fake stage raises through the actor path too
     stage = ImageMetaStage(fake=False)
@@ -1284,3 +1284,38 @@ class TestReviewRegressions:
         assert smart_alpha_key_one("a007b") == smart_alpha_key_one("a7b")
         assert sorted(["a7b", "a007b"],
                       key=lambda s: (smart_alpha_key_one(s), s)) == ["a007b", "a7b"]
+
+
+class TestNetpbmDecode:
+    def test_roundtrip_p5_p6_and_comments(self):
+        import numpy as np
+        from gxdindexer_ray.ops.multimodal import (
+            decode_image, encode_netpbm, resize_image)
+
+        rng = np.random.default_rng(4)
+        gray = rng.integers(0, 256, (17, 9), dtype=np.uint8)
+        rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_netpbm(gray)), gray)
+        assert np.array_equal(decode_image(encode_netpbm(rgb)), rgb)
+        # header with comments + extra whitespace still parses
+        blob = b"P5\n# a comment\n 9  # trailing\n17\n255\n" + gray.T.copy().tobytes()
+        assert decode_image(blob).shape == (17, 9)
+        # nearest-neighbor resize: shape + corner fidelity
+        small = resize_image(encode_netpbm(gray), 4, 5)
+        assert small.shape == (5, 4)
+        assert small[0, 0] == gray[0, 0]
+        import pytest
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n....")
+
+    def test_blob_metadata_real_decode(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.multimodal import blob_metadata, text_to_netpbm
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "text": ["x" * 70, "", None]})
+        meta = blob_metadata(text_to_netpbm(rd.from_pandas(df), width=32),
+                             fake=False).to_pandas().set_index("doc_id")
+        assert meta.loc[1, "width"] == 32 and meta.loc[1, "height"] == 3
+        assert meta.loc[2, "height"] == 1 and meta.loc[3, "height"] == 1
