@@ -1767,11 +1767,11 @@ GROUP BY 1, 2
 """
 
 
-def _sql_splitmix(src_select: str, keep_cols: str, v: str) -> str:
-    """CTE chain computing ``hv = splitmix64(v)`` (same public-domain
-    mixing constants as ops/relational.py::_splitmix64) in ANSI SQL —
-    UBIGINT xors/shifts, HUGEINT multiply mod 2^64. Ends with a ``hashed``
+def _sql_splitmix_stages(src: str, keep_cols: str, v: str) -> str:
+    """The splitmix64 stage CTEs only (no WITH keyword, source referenced
+    by name) — composable into a larger WITH chain. Ends with a ``hashed``
     CTE exposing (keep_cols, hv)."""
+
     def mulmod(x: str, c: int) -> str:
         # (x * c) mod 2^64 in INT128 without overflow: 32-bit limb split —
         # al*c < 2^96 and ((ah*c) mod 2^32) << 32 < 2^64 both fit HUGEINT
@@ -1780,12 +1780,73 @@ def _sql_splitmix(src_select: str, keep_cols: str, v: str) -> str:
                 f" * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT")
 
     return f"""
-WITH src AS ({src_select}),
-s1 AS (SELECT {keep_cols}, xor({v}::UBIGINT, {v}::UBIGINT >> 30) AS a FROM src),
+s1 AS (SELECT {keep_cols}, xor({v}::UBIGINT, {v}::UBIGINT >> 30) AS a FROM {src}),
 s2 AS (SELECT {keep_cols}, {mulmod('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
 s3 AS (SELECT {keep_cols}, xor(b, b >> 27) AS c FROM s2),
 s4 AS (SELECT {keep_cols}, {mulmod('c', 0x94D049BB133111EB)} AS d FROM s3),
 hashed AS (SELECT {keep_cols}, xor(d, d >> 31) AS hv FROM s4)
+"""
+
+
+def _sql_splitmix(src_select: str, keep_cols: str, v: str) -> str:
+    """CTE chain computing ``hv = splitmix64(v)`` (same public-domain
+    mixing constants as ops/relational.py::_splitmix64) in ANSI SQL —
+    UBIGINT xors/shifts, HUGEINT multiply mod 2^64. Ends with a ``hashed``
+    CTE exposing (keep_cols, hv)."""
+    return (f"WITH src AS ({src_select}),"
+            + _sql_splitmix_stages("src", keep_cols, v))
+
+
+def q70_corpus_curation(sf: str):
+    """END-TO-END training-corpus curation, every stage the scale path and
+    the WHOLE chain oracle-gated: language+length filter (pushed to the
+    read) -> exact content dedup (md5-from-buffers exchange) -> survivor
+    filter (broadcast-free ranged id filter) -> MinHash-LSH near-dedup ->
+    verified pairs -> pinned-bucket connected components -> first-wins ->
+    deterministic train/valid/test assignment. Output (doc_id, split)."""
+    from ..ops import textops
+    from ..ops.dedup import dedup_corpus
+    from ..ops.relational import ranged_id_filter
+    from ..ops.sampling import hash_split
+
+    ds = read_table(
+        sf, "documents", columns=["doc_id", "text", "lang", "n_chars"],
+        filter=((pc.field("lang") == "en") & (pc.field("n_chars") >= 200)))
+    docs = ds.map_batches(lambda t: t.select(["doc_id", "text"]),
+                          batch_format="pyarrow").materialize()
+    exact_keep = textops.exact_text_dedup(docs)  # (keep_id, n_copies)
+    docs_e = ranged_id_filter(docs, exact_keep, "doc_id",
+                              ids_col="keep_id", keep=True).materialize()
+    kept = dedup_corpus(docs_e, threshold=0.5)
+    out = hash_split(kept, id_col="doc_id", splits=_Q66_SPLITS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q70_sql() -> str:
+    c1, c2 = _q66_cuts()
+    shingles_over_docs_e = _SQL_SHINGLE_CTES.replace("FROM documents", "FROM docs_e")
+    return f"""
+WITH RECURSIVE
+docs_f AS (SELECT doc_id, text FROM documents
+           WHERE lang = 'en' AND n_chars >= 200),
+keepx AS (SELECT min(doc_id) AS doc_id FROM docs_f GROUP BY md5(text)),
+docs_e AS (SELECT d.doc_id, d.text FROM docs_f d
+           JOIN keepx k ON d.doc_id = k.doc_id),
+{shingles_over_docs_e},
+pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS m FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m),
+comp AS (SELECT node, least(node, min(m)) AS comp FROM reach GROUP BY node),
+survivors AS (SELECT doc_id FROM docs_e
+              WHERE doc_id NOT IN (SELECT node FROM comp WHERE comp < node)),
+{_sql_splitmix_stages("survivors", "doc_id", "doc_id")}
+SELECT doc_id, CASE WHEN hv < {c1}::UBIGINT THEN 'train'
+                    WHEN hv < {c2}::UBIGINT THEN 'valid'
+                    ELSE 'test' END AS split
+FROM hashed
 """
 
 
@@ -2038,6 +2099,7 @@ CATALOG: dict[str, tuple] = {
     "q67_pagerank": (q67_pagerank, None),
     "q68_partitioned_sink": (q68_partitioned_sink, None),
     "q69_image_decode_meta": (q69_image_decode_meta, SQL_Q69),
+    "q70_corpus_curation": (q70_corpus_curation, _q70_sql()),
 }
 
 
@@ -2052,7 +2114,7 @@ GROUPS: dict[str, list[str]] = {
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
-              "q41_dedup_corpus", "q43_simhash_neardup"],
+              "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn"],
     "serving": [n for n in CATALOG if n[:3] in
