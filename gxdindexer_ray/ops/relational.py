@@ -253,6 +253,11 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
                 keys = batch[key_col].to_numpy(zero_copy_only=False)
                 jb = stable_bucket_ids(pd.DataFrame({key_col: keys}), [key_col], n_buckets)
             hot_mask = np.isin(keys, hot_arr) if hot_arr is not None else None
+            if hot_mask is not None and batch[key_col].null_count:
+                # null keys are not hot (fill_null(0) must not make them
+                # impersonate a hot key 0 and pay pointless replication)
+                hot_mask &= batch[key_col].is_valid().to_numpy(
+                    zero_copy_only=False)
             side_col = pa.array(np.full(n, side, dtype=np.int8))
             if hot_mask is None or not hot_mask.any():
                 cols["__jb"] = pa.array(jb)
@@ -291,9 +296,23 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
         l_tbl = group.filter(pc2.equal(side, 0)).select(l_names)
         r_tbl = group.filter(pc2.equal(side, 1)).select(r_names)
         group = None  # noqa: F841 (release before the merge)
-        l_df = l_tbl.to_pandas()
-        r_df = r_tbl.to_pandas()
+        # SQL join semantics: NULL keys never match (a pandas merge WOULD
+        # match NaN = NaN). Strip them ARROW-SIDE — which also keeps
+        # null-bearing int64 key columns exact int64 in pandas — keeping
+        # unmatched-side null-key rows only where the join shape preserves
+        # them (left keeps left rows, right keeps right rows).
+        l_ok = l_tbl[left_on].is_valid()
+        r_ok = r_tbl[right_on].is_valid()
+        l_rest = l_tbl.filter(pc2.invert(l_ok)).to_pandas() \
+            if how in ("left", "outer") else None
+        r_rest = r_tbl.filter(pc2.invert(r_ok)).to_pandas() \
+            if how in ("right", "outer") else None
+        l_df = l_tbl.filter(l_ok).to_pandas()
+        r_df = r_tbl.filter(r_ok).to_pandas()
         merged = l_df.merge(r_df, left_on=left_on, right_on=right_on, how=how)
+        rests = [r for r in (l_rest, r_rest) if r is not None and len(r)]
+        if rests:
+            merged = pd.concat([merged, *rests], ignore_index=True)
         if bucket_post is not None:
             # bucket_post must return a frame with stable dtypes (empty
             # buckets included) — from_pandas infers the schema from it
@@ -390,22 +409,25 @@ def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
     def asof_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2
 
-        l_df = group.filter(pc2.equal(group["__side"], 0)).select(l_names).to_pandas()
-        r_df = group.filter(pc2.equal(group["__side"], 1)).select(r_out).to_pandas()
-        # null keys can never match: drop them from the right; set aside
-        # null-key left rows (re-appended for how='left'). Stripping nulls
-        # BEFORE dtype alignment keeps int batches int; a batch that
-        # arrived float64 (pandas null upcast) is aligned below.
-        r_df = r_df[r_df[on_r].notna() & r_df[by_r].notna()]
-        l_null = l_df[on].isna() | l_df[by].isna()
-        l_rest = l_df[l_null]
-        l_df = l_df[~l_null]
+        l_tbl = group.filter(pc2.equal(group["__side"], 0)).select(l_names)
+        r_tbl = group.filter(pc2.equal(group["__side"], 1)).select(r_out)
+        # null keys can never match: drop them ARROW-SIDE, before pandas
+        # conversion — an int64 column stripped of its nulls converts to
+        # exact int64 (a pandas-side strip would already have upcast to
+        # float64, silently corrupting values above 2^53)
+        def valid(t, a, b):
+            return pc2.and_kleene(t[a].is_valid(), t[b].is_valid())
+
+        l_ok = valid(l_tbl, on, by)
+        l_rest = l_tbl.filter(pc2.invert(l_ok)).to_pandas()
+        l_df = l_tbl.filter(l_ok).to_pandas()
+        r_df = r_tbl.filter(valid(r_tbl, on_r, by_r)).to_pandas()
         for lc, rc in ((by, by_r), (on, on_r)):
             lt, rt = l_df[lc].dtype, r_df[rc].dtype
             if lt != rt and lt.kind in "iuf" and rt.kind in "iuf":
-                common = np.result_type(lt, rt)  # merge_asof requires
-                l_df[lc] = l_df[lc].astype(common)  # matching dtypes even
-                r_df[rc] = r_df[rc].astype(common)  # on empty frames
+                common = np.result_type(lt, rt)  # only when the two
+                l_df[lc] = l_df[lc].astype(common)  # schemas genuinely
+                r_df[rc] = r_df[rc].astype(common)  # differ (caller's mix)
         # merge_asof picks the LAST in-order candidate going backward and
         # the FIRST going forward, so one ascending stable sort on the
         # tie-break columns yields max-tuple ties backward / min-tuple

@@ -193,23 +193,35 @@ def exact_quantiles(ds, col: str, qs: list[float], *, n_bins: int = 512,
         active = {q: s for q, s in state.items() if q not in resolved}
         if not active:
             break
+        ulp_pending: dict[float, tuple[float, float, int]] = {}
         for q, (lo, hi, incl, rank) in list(active.items()):
             if hi <= np.nextafter(lo, np.inf):  # width underflowed
                 if not incl:
                     resolved[q] = lo  # [lo, hi) one ULP wide = {lo}
                 else:
                     # right-inclusive one-ULP bracket can hold TWO distinct
-                    # values (lo and hi): one counting pass decides which
-                    # side of the rank boundary lo's copies cover
-                    def cnt(batch: pa.Table, lo=lo) -> pa.Table:
-                        v = batch[col].to_numpy(zero_copy_only=False)
-                        return pa.table({"n": pa.array(
-                            [int((v == lo).sum())], pa.int64())})
-
-                    n_lo = sum(r["n"] for r in
-                               ds.map_batches(cnt, batch_format="pyarrow").take_all())
-                    resolved[q] = lo if rank <= n_lo else hi
+                    # values (lo and hi): a count of lo's copies decides
+                    # which side of the rank boundary each q lands on —
+                    # batched into ONE pass for every such q this round
+                    ulp_pending[q] = (lo, hi, rank)
                 del active[q]
+        if ulp_pending:
+            los = np.array(sorted({lo for lo, _h, _r in ulp_pending.values()}),
+                           dtype=np.float64)
+
+            def cnt(batch: pa.Table) -> pa.Table:
+                v = batch[col].to_numpy(zero_copy_only=False)
+                return pa.table({"n": pa.array(
+                    [(v[:, None] == los[None, :]).sum(axis=0)
+                     if v.size else np.zeros(los.size, np.int64)],
+                    pa.list_(pa.int64()))})
+
+            totals = np.zeros(los.size, dtype=np.int64)
+            for r in ds.map_batches(cnt, batch_format="pyarrow").take_all():
+                totals += np.asarray(r["n"], dtype=np.int64)
+            for q, (lo, hi, rank) in ulp_pending.items():
+                n_lo = int(totals[int(np.searchsorted(los, lo))])
+                resolved[q] = lo if rank <= n_lo else hi
         if not active:
             break
         # dedupe identical brackets across qs into one histogram each

@@ -574,6 +574,10 @@ class ServingFeaturesMixin:
         for ti, t in enumerate(arr):
             for v in _deletes(str(t), max_dist):
                 index.setdefault(v, []).append(ti)
+        while len(cache) >= 2:  # bound the per-engine footprint: higher
+            # distances are orders of magnitude larger; keep at most two
+            # distances resident (oldest out)
+            cache.pop(next(iter(cache)))
         cache[max_dist] = index
         return index
 

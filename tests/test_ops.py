@@ -1319,3 +1319,61 @@ class TestNetpbmDecode:
                              fake=False).to_pandas().set_index("doc_id")
         assert meta.loc[1, "width"] == 32 and meta.loc[1, "height"] == 3
         assert meta.loc[2, "height"] == 1 and meta.loc[3, "height"] == 1
+
+    def test_asof_join_big_int64_keys_with_null_batch(self, ray_session):
+        """ns-scale int64 'on' values above 2^53 must survive exactly even
+        when the right side carries nulls (a pandas-side null strip would
+        upcast to float64 and corrupt the comparison)."""
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import asof_join
+
+        big = 1 << 60
+        left = pd.DataFrame({"k": pd.array([1], dtype="Int64"),
+                             "t": pd.array([big + 2], dtype="Int64"),
+                             "lid": [0]})
+        right = pd.DataFrame({"k": pd.array([1, 1], dtype="Int64"),
+                              "t": pd.array([big, None], dtype="Int64"),
+                              "rid": [100, 999]})
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="t", by="k", how="inner").to_pandas()
+        # float64 would round big and big+2 to the same value and the
+        # strict backward '<' would drop the match
+        assert out["rid"].tolist() == [100]
+        assert out["t_r"].tolist() == [big]
+
+    def test_partitioned_join_null_keys_never_match(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from gxdindexer_ray.ops.relational import partitioned_join
+
+        left = pd.DataFrame({"k": pd.array([1, None, 2], dtype="Int64"),
+                             "lv": [10, 20, 30]})
+        right = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                              "rv": [100, 200]})
+        inner = partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                                 "k", "k", how="inner").to_pandas()
+        assert inner["lv"].tolist() == [10] and inner["rv"].tolist() == [200]
+        lj = partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                              "k", "k", how="left").to_pandas()
+        assert sorted(lj["lv"]) == [10, 20, 30]
+        assert pd.isna(lj.loc[lj["lv"] == 20, "rv"]).all()  # null key row kept
+        assert pd.isna(lj.loc[lj["lv"] == 30, "rv"]).all()  # unmatched kept
+
+    def test_symspell_cache_bounded(self):
+        from gxdindexer_ray.pipelines.search import SearchEngine
+
+        class FakeReader:
+            def terms_with_prefix(self, prefix):
+                return ["alpha", "beta", "gamma"]
+
+            def term_stats(self, terms):
+                return {t: (1, 1) for t in terms}
+
+        eng = SearchEngine.__new__(SearchEngine)
+        eng.reader = FakeReader()
+        for d in (1, 2, 3):
+            eng._symspell_index(d)
+        assert len(eng._symspell_cache) == 2  # bounded, oldest evicted
+        assert 3 in eng._symspell_cache
