@@ -11,9 +11,9 @@ then prints ONE JSON line.
 num_cpus=2, 8 and 32 on the same input (GRAFT_SCALING_REPS reps per
 level, min taken) and reports throughput at every level plus the N -> 4N
 efficiencies (t_2 / t_8) / 4 (the official gate pair) and
-(t_8 / t_32) / 4. Official gate runs use the 1M-row corpus
-(GRAFT_PAGES_ROWS=1000000) — at 200k the fixed per-stage overheads
-dominate the 2-CPU level and understate the ratio.
+(t_8 / t_32) / 4. --scaling defaults to the 1M-row corpus regardless of
+the main default (set GRAFT_PAGES_ROWS to override) — at 200k the fixed
+per-stage overheads dominate the 2-CPU level and understate the ratio.
 """
 
 from __future__ import annotations
@@ -259,11 +259,16 @@ def run_scaling() -> dict:
     build time is used (the standard least-interference estimator); every
     rep is reported alongside."""
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    # official tier: 1M docs unless the caller pins a size — at the 200k
+    # default the 2-CPU level is fixed-overhead-bound (measured 0.607 vs
+    # 0.868 at 1M on the same day, BASELINE.md §3a-0)
+    rows = os.environ.get("GRAFT_PAGES_ROWS", "1000000")
 
     def one(ncpu: int) -> dict:
         runs = []
         for _ in range(reps):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="build")
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_ONLY="build", GRAFT_PAGES_ROWS=rows)
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True).stdout
             runs.append(json.loads(out.strip().splitlines()[-1]))
