@@ -1944,6 +1944,42 @@ FROM documents
 """
 
 
+def q71_quantized_knn(sf: str):
+    """int8-quantized cosine top-k (ops/similarity.py::quantize_embeddings
+    + knn_quantized): per-vector symmetric quantization (4x at-rest and
+    in-flight memory vs float32), same broadcast + per-batch partial
+    top-k shape as brute KNN. The oracle reproduces the quantization
+    (floor(x/s + 0.5), clamp) and ranks by exact cosine over the codes."""
+    from ..ops.similarity import knn_quantized, quantize_embeddings
+
+    ids, mat = _query_vectors(sf, 3)
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return knn_quantized(quantize_embeddings(ds), ids, mat, k=5)
+
+
+SQL_Q71 = """
+WITH sc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+         END AS s
+  FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))) AS c
+  FROM sc),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+sims AS (
+  SELECT q.qid, codes.vec_id AS nid,
+         list_cosine_similarity(codes.c, q.qe) AS sim
+  FROM q CROSS JOIN codes WHERE codes.vec_id <> q.qid),
+r AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+      FROM sims)
+SELECT qid, rank, nid FROM r WHERE rank <= 5
+"""
+
+
 def q67_pagerank(sf: str):
     """Distributed PageRank (pinned-bucket iteration, ops/graph.py) over
     the customer->nation->region affiliation graph (int node namespaces
@@ -2100,6 +2136,7 @@ CATALOG: dict[str, tuple] = {
     "q68_partitioned_sink": (q68_partitioned_sink, None),
     "q69_image_decode_meta": (q69_image_decode_meta, SQL_Q69),
     "q70_corpus_curation": (q70_corpus_curation, _q70_sql()),
+    "q71_quantized_knn": (q71_quantized_knn, SQL_Q71),
 }
 
 
@@ -2116,7 +2153,8 @@ GROUPS: dict[str, list[str]] = {
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
-                   "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn"],
+                   "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
+                   "q71_quantized_knn"],
     "serving": [n for n in CATALOG if n[:3] in
                 {"q33", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
 }
