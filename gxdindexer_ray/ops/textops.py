@@ -245,3 +245,48 @@ def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_bucke
 
     return hash_exchange_apply(ds, "__bucket", combine, pre=pre,
                                batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (training-corpus canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_one(s: str) -> str:
+    """NFC -> strip combining marks (accents) -> casefold to lower; the
+    canonicalization applied before hashing/dedup so visually-identical
+    texts (composed vs decomposed accents, case) collapse."""
+    import unicodedata
+
+    nfc = unicodedata.normalize("NFC", s)
+    stripped = "".join(c for c in unicodedata.normalize("NFD", nfc)
+                       if not unicodedata.combining(c))
+    return stripped.lower()
+
+
+def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   out_col: str = "norm_text"):
+    """Vectorized-per-unique unicode normalization: dictionary-encode the
+    column so the Python normalization runs once per DISTINCT value, then
+    scatter back by index (the same vocabulary-sized-cost pattern as the
+    token hashers and smart-alpha keys). Nulls stay null."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({id_col: batch[id_col],
+                             out_col: pa.array([], pa.string())})
+        dic = pc.dictionary_encode(col)
+        vals = [None if s is None else _normalize_one(s)
+                for s in dic.dictionary.to_pylist()]
+        nulls = dic.indices.is_null().to_numpy(zero_copy_only=False)
+        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx[nulls] = 0  # null indices surface as INT64_MIN — clamp, then mask
+        out = np.asarray(vals, dtype=object)[idx]
+        out[nulls] = None
+        return pa.table({id_col: batch[id_col], out_col: pa.array(out, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1944,6 +1944,20 @@ FROM documents
 """
 
 
+def q72_normalize_text(sf: str):
+    """Unicode canonicalization before hashing/dedup (NFC -> strip
+    accents -> lower), vectorized per UNIQUE value via dictionary encode
+    (ops/textops.py::normalize_text). Returns (doc_id, norm_text)."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.normalize_text(ds)
+
+
+SQL_Q72 = """
+SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS norm_text
+FROM documents
+"""
+
+
 def q71_quantized_knn(sf: str):
     """int8-quantized cosine top-k (ops/similarity.py::quantize_embeddings
     + knn_quantized): per-vector symmetric quantization (4x at-rest and
@@ -2137,6 +2151,7 @@ CATALOG: dict[str, tuple] = {
     "q69_image_decode_meta": (q69_image_decode_meta, SQL_Q69),
     "q70_corpus_curation": (q70_corpus_curation, _q70_sql()),
     "q71_quantized_knn": (q71_quantized_knn, SQL_Q71),
+    "q72_normalize_text": (q72_normalize_text, SQL_Q72),
 }
 
 
@@ -2149,7 +2164,8 @@ GROUPS: dict[str, list[str]] = {
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
-             "q28_langid", "q29_fingerprints", "q44_bpe_token_count"],
+             "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
+             "q72_normalize_text"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",

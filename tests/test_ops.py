@@ -1428,3 +1428,24 @@ class TestQuantizedANN:
         assert list(z["q"]) == [0, 0, 0] and z["scale"] == 1.0
         v = a[a["vec_id"] == 2].iloc[0]
         assert list(v["q"]) == [64, -127, 32]  # round(v / (2/127))
+
+
+def test_normalize_text_matches_duckdb_unicode(ray_session):
+    """Python unicodedata chain == DuckDB lower(strip_accents(nfc_normalize))
+    on accents (composed + decomposed), case, CJK, sharp-s, nulls."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import normalize_text
+
+    texts = ["école", "école", "ÉCOLE", "Grüße", "naïve CAFÉ",
+             "北京 Beijing", "ß", "İstanbul", None, "", "ÅÄÖ åäö", "plain"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = normalize_text(rd.from_pandas(df).repartition(3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS norm_text "
+        "FROM t ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
