@@ -45,6 +45,10 @@ def brute_knn(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, k: int,
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block from an upstream filter
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         qids, q = ray.get(ref)
         m = _normalize(_to_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -461,18 +465,28 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
     the same vector quantizes identically on any node."""
 
     def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block from an upstream filter
+            return pa.table({
+                id_col: batch[id_col],
+                "scale": pa.array([], pa.float32()),
+                "q": pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                              pa.array([], pa.int8())),
+            })
         m = _to_matrix(batch[emb_col])
         scale = np.abs(m).max(axis=1) / 127.0
         scale[scale == 0] = 1.0
         # floor(x + 0.5) — deterministic half-up, reproducible in SQL
         # (np.round's half-to-even and SQL round's half-away disagree)
         codes = np.clip(np.floor(m / scale[:, None] + 0.5), -127, 127).astype(np.int8)
-        width = codes.shape[1]
+        n, width = codes.shape
+        # variable list (not fixed-size): a zero-row block has no width to
+        # declare, and mixed widths would fail block-schema unification
+        offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
         return pa.table({
             id_col: batch[id_col],
             "scale": pa.array(scale.astype(np.float32), pa.float32()),
-            "q": pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.reshape(-1), pa.int8()), width),
+            "q": pa.ListArray.from_arrays(offsets,
+                                          pa.array(codes.reshape(-1), pa.int8())),
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -481,40 +495,12 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
 def knn_quantized(qds, query_ids: np.ndarray, query_matrix: np.ndarray, *,
                   k: int, id_col: str = "vec_id",
                   exclude_self: bool = True) -> pd.DataFrame:
-    """brute_knn over a quantized (id, scale, q) Dataset: per batch the
-    int8 codes dequantize to float32 (one multiply by the row scale — the
-    dot itself runs in float32), then the same per-batch partial top-k +
-    driver rank merge as the float path. Cosine is scale-invariant, so
-    the per-row scale cancels under normalization and only quantization
-    ROUNDING differs from exact — recall contract in tests."""
-    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        qids, q = ray.get(ref)
-        # cosine normalizes away the row scale; normalize codes directly
-        # (int8 saves memory at rest/in flight; the dot runs in float64
-        # for oracle-exact ranking, same as brute_knn)
-        m = _normalize(_to_matrix(batch["q"]))
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ q.T
-        out_q, out_n, out_s = [], [], []
-        for j in range(q.shape[0]):
-            s = sims[:, j]
-            mask = ids != qids[j] if exclude_self else np.ones_like(ids, dtype=bool)
-            cand_ids, cand_s = ids[mask], s[mask]
-            if cand_ids.size == 0:
-                continue
-            top = min(k, cand_ids.size)
-            sel = np.lexsort((cand_ids, -cand_s))[:top]
-            out_q.extend([int(qids[j])] * top)
-            out_n.extend(cand_ids[sel].tolist())
-            out_s.extend(cand_s[sel].tolist())
-        return pa.table({
-            "qid": pa.array(out_q, pa.int64()),
-            "nid": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        })
-
-    parts = qds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return _rank_merge(parts, k)
+    """brute_knn over a quantized (id, scale, q) Dataset. Cosine is
+    scale-invariant, so the per-row scale column is NOT read at search
+    time — the int8 codes normalize directly (the scale exists to
+    dequantize magnitudes for consumers that need them) and the dot runs
+    in float64 exactly like the float path; only quantization ROUNDING
+    differs from exact — recall contract in tests. Delegates to brute_knn
+    with the codes column, so the two paths cannot drift."""
+    return brute_knn(qds, query_ids, query_matrix, k=k, id_col=id_col,
+                     emb_col="q", exclude_self=exclude_self)

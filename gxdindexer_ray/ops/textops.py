@@ -282,6 +282,9 @@ def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
         dic = pc.dictionary_encode(col)
         vals = [None if s is None else _normalize_one(s)
                 for s in dic.dictionary.to_pylist()]
+        if not vals:  # ALL-null batch: empty dictionary, nothing to gather
+            return pa.table({id_col: batch[id_col],
+                             out_col: pa.nulls(len(col), pa.string())})
         nulls = dic.indices.is_null().to_numpy(zero_copy_only=False)
         idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         idx[nulls] = 0  # null indices surface as INT64_MIN — clamp, then mask

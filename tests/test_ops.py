@@ -1449,3 +1449,27 @@ def test_normalize_text_matches_duckdb_unicode(ray_session):
         "SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS norm_text "
         "FROM t ORDER BY doc_id").fetchdf()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_quantize_and_normalize_handle_empty_and_allnull_batches(ray_session):
+    """Empty blocks (upstream filters) and all-null text batches must flow
+    through quantize_embeddings / knn_quantized / normalize_text."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from gxdindexer_ray.ops.similarity import knn_quantized, quantize_embeddings
+    from gxdindexer_ray.ops.textops import normalize_text
+
+    df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64),
+                       "embedding": [[float(i), 1.0, -2.0] for i in range(20)]})
+    ds = rd.from_pandas(df).filter(lambda r: r["vec_id"] >= 10)  # empty blocks
+    qds = quantize_embeddings(ds).materialize()
+    assert qds.count() == 10
+    out = knn_quantized(qds, np.array([19], dtype=np.int64),
+                        np.array([[19.0, 1.0, -2.0]]), k=3)
+    assert len(out) == 3
+    allnull = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "text": pa.array([None, None], pa.string())})
+    norm = normalize_text(rd.from_arrow(allnull)).to_pandas()
+    assert norm["norm_text"].isna().all() and len(norm) == 2
