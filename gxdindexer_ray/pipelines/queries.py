@@ -2160,9 +2160,12 @@ CATALOG: dict[str, tuple] = {
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67)}],
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
+    "multimodal": ["q32_blob_meta", "q69_image_decode_meta"],
+    "sketches": ["q37_approx_distinct"],
+    "sinks": ["q68_partitioned_sink"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
              "q72_normalize_text"],
