@@ -2175,7 +2175,7 @@ GROUPS: dict[str, list[str]] = {
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn"],
     "serving": [n for n in CATALOG if n[:3] in
-                {"q33", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
+                {"q33", "q36", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
 }
 
 
