@@ -297,36 +297,55 @@ def partitioned_join(left, right, left_on: str, right_on: str, *,
         r_tbl = group.filter(pc2.equal(side, 1)).select(r_names)
         group = None  # noqa: F841 (release before the merge)
         # SQL join semantics: NULL keys never match (a pandas merge WOULD
-        # match NaN = NaN). Strip them ARROW-SIDE — which also keeps
-        # null-bearing int64 key columns exact int64 in pandas — keeping
-        # unmatched-side null-key rows only where the join shape preserves
-        # them (left keeps left rows, right keeps right rows).
+        # match NaN = NaN). Strip them ARROW-SIDE, keeping unmatched-side
+        # null-key rows only where the join shape preserves them. The merge
+        # itself runs on MINIMAL (key, row-index) frames; payload columns
+        # are reattached arrow-side by take() with null indices for
+        # unmatched rows, so int64 payloads never round-trip through
+        # pandas float64 (exact above 2^53 even in left/right/outer
+        # shapes — a NaN-bearing pandas column would silently round them).
         l_ok = l_tbl[left_on].is_valid()
         r_ok = r_tbl[right_on].is_valid()
-        l_rest = l_tbl.filter(pc2.invert(l_ok)).to_pandas() \
-            if how in ("left", "outer") else None
-        r_rest = r_tbl.filter(pc2.invert(r_ok)).to_pandas() \
-            if how in ("right", "outer") else None
-        l_df = l_tbl.filter(l_ok).to_pandas()
-        r_df = r_tbl.filter(r_ok).to_pandas()
-        merged = l_df.merge(r_df, left_on=left_on, right_on=right_on, how=how)
-        rests = [r for r in (l_rest, r_rest) if r is not None and len(r)]
-        if rests:
-            merged = pd.concat([merged, *rests], ignore_index=True)
-        if bucket_post is not None:
-            # bucket_post must return a frame with stable dtypes (empty
-            # buckets included) — from_pandas infers the schema from it
-            return pa.Table.from_pandas(bucket_post(merged), preserve_index=False)
-        # no post: enforce the unified schema so EMPTY buckets don't emit
-        # null-typed columns (object->null inference breaks list columns)
+        l_rest = l_tbl.filter(pc2.invert(l_ok)) if how in ("left", "outer") else None
+        r_rest = r_tbl.filter(pc2.invert(r_ok)) if how in ("right", "outer") else None
+        l_val = l_tbl.filter(l_ok)
+        r_val = r_tbl.filter(r_ok)
+        l_df = pd.DataFrame({
+            left_on: l_val[left_on].to_numpy(zero_copy_only=False),
+            "__li": np.arange(l_val.num_rows, dtype=np.int64)})
+        r_df = pd.DataFrame({
+            right_on: r_val[right_on].to_numpy(zero_copy_only=False),
+            "__ri": np.arange(r_val.num_rows, dtype=np.int64)})
+        merged = l_df.merge(r_df[[right_on, "__ri"]], left_on=left_on,
+                            right_on=right_on, how=how)
+        li = pa.Array.from_pandas(merged["__li"], type=pa.int64())
+        ri = pa.Array.from_pandas(merged["__ri"], type=pa.int64())
         cols = {}
-        for name, typ in all_fields:
-            try:
-                cols[name] = pa.Array.from_pandas(merged[name], type=typ)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                # e.g. outer-join NaNs in an int column -> let Arrow widen
-                cols[name] = pa.Array.from_pandas(merged[name])
-        return pa.table(cols)
+        for name, _typ in l_fields:
+            cols[name] = l_val[name].take(li)
+        for name, _typ in r_fields:
+            cols[name] = r_val[name].take(ri)
+        if left_on == right_on and how in ("right", "outer"):
+            # shared key name: the key fills from the matched side;
+            # take(li) left it null for right-unmatched rows
+            cols[left_on] = pc2.coalesce(cols[left_on],
+                                         r_val[right_on].take(ri))
+        parts = [pa.table(cols)]
+        for rest in (l_rest, r_rest):
+            if rest is not None and rest.num_rows:
+                parts.append(pa.table({
+                    name: (rest[name].combine_chunks()
+                           if name in rest.column_names
+                           else pa.nulls(rest.num_rows, typ))
+                    for name, typ in all_fields}))
+        out = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        if bucket_post is not None:
+            # bucket_post is pandas->pandas by contract and must return a
+            # frame with stable dtypes (empty buckets included) —
+            # from_pandas infers the schema from it
+            return pa.Table.from_pandas(bucket_post(out.to_pandas()),
+                                        preserve_index=False)
+        return out
 
     # whole-bucket integrity required (a split bucket silently loses join
     # matches) -> explicit exchange, not groupby().map_groups. The per-side
@@ -411,45 +430,63 @@ def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
 
         l_tbl = group.filter(pc2.equal(group["__side"], 0)).select(l_names)
         r_tbl = group.filter(pc2.equal(group["__side"], 1)).select(r_out)
-        # null keys can never match: drop them ARROW-SIDE, before pandas
-        # conversion — an int64 column stripped of its nulls converts to
-        # exact int64 (a pandas-side strip would already have upcast to
-        # float64, silently corrupting values above 2^53)
+        # null keys can never match: drop them ARROW-SIDE. The merge_asof
+        # runs on MINIMAL (by, on, row-index) frames; payload columns are
+        # reattached arrow-side by take() with null indices for unmatched
+        # rows, so int64 payloads never pass through pandas float64
+        # (exact above 2^53 even in how='left' shapes with NaN rows).
         def valid(t, a, b):
             return pc2.and_kleene(t[a].is_valid(), t[b].is_valid())
 
         l_ok = valid(l_tbl, on, by)
-        l_rest = l_tbl.filter(pc2.invert(l_ok)).to_pandas()
-        l_df = l_tbl.filter(l_ok).to_pandas()
-        r_df = r_tbl.filter(valid(r_tbl, on_r, by_r)).to_pandas()
+        l_rest = l_tbl.filter(pc2.invert(l_ok)) if how != "inner" else None
+        l_val = l_tbl.filter(l_ok)
+        r_val = r_tbl.filter(valid(r_tbl, on_r, by_r))
+        # merge_asof picks the LAST in-order candidate going backward and
+        # the FIRST going forward, so one ascending sort over the FULL
+        # right tuple (on_r + every other column) yields max-tuple ties
+        # backward / min-tuple ties forward — i.e. the row a SQL
+        # row_number window ordered by (on DESC, rest DESC) resp.
+        # (on ASC, rest ASC) selects. Sorted arrow-side (full-tuple keys,
+        # so sort stability is irrelevant — equal tuples are identical).
+        if r_val.num_rows:
+            r_val = r_val.take(pc2.sort_indices(
+                r_val, sort_keys=[(on_r, "ascending")]
+                + [(c, "ascending") for c in r_tiebreak]))
+        l_df = pd.DataFrame({
+            by: l_val[by].to_numpy(zero_copy_only=False),
+            on: l_val[on].to_numpy(zero_copy_only=False),
+            "__li": np.arange(l_val.num_rows, dtype=np.int64)})
+        r_df = pd.DataFrame({
+            by_r: r_val[by_r].to_numpy(zero_copy_only=False),
+            on_r: r_val[on_r].to_numpy(zero_copy_only=False),
+            "__ri": np.arange(r_val.num_rows, dtype=np.int64)})
         for lc, rc in ((by, by_r), (on, on_r)):
             lt, rt = l_df[lc].dtype, r_df[rc].dtype
             if lt != rt and lt.kind in "iuf" and rt.kind in "iuf":
                 common = np.result_type(lt, rt)  # only when the two
                 l_df[lc] = l_df[lc].astype(common)  # schemas genuinely
                 r_df[rc] = r_df[rc].astype(common)  # differ (caller's mix)
-        # merge_asof picks the LAST in-order candidate going backward and
-        # the FIRST going forward, so one ascending stable sort on the
-        # tie-break columns yields max-tuple ties backward / min-tuple
-        # ties forward — i.e. the row a SQL row_number window ordered by
-        # (on DESC, rest DESC) resp. (on ASC, rest ASC) selects
-        r_df = r_df.sort_values([on_r] + r_tiebreak, kind="mergesort")
         l_order = np.argsort(l_df[on].to_numpy(), kind="stable")
         merged = pd.merge_asof(
             l_df.iloc[l_order], r_df, left_on=on, right_on=on_r,
             left_by=by, right_by=by_r, direction=direction,
             allow_exact_matches=allow_exact)
         if how == "inner":
-            merged = merged[merged[on_r].notna()]
-        elif len(l_rest):
-            merged = pd.concat([merged, l_rest], ignore_index=True)
+            merged = merged[merged["__ri"].notna()]
+        li = pa.Array.from_pandas(merged["__li"], type=pa.int64())
+        ri = pa.Array.from_pandas(merged["__ri"], type=pa.int64())
         cols = {}
-        for name, typ in out_fields:
-            try:
-                cols[name] = pa.Array.from_pandas(merged[name], type=typ)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                cols[name] = pa.Array.from_pandas(merged[name])
-        return pa.table(cols)
+        for name, _typ in out_fields:
+            cols[name] = (l_val[name].take(li) if name in l_names
+                          else r_val[name].take(ri))
+        out = pa.table(cols)
+        if l_rest is not None and l_rest.num_rows:
+            out = pa.concat_tables([out, pa.table({
+                name: (l_rest[name].combine_chunks() if name in l_names
+                       else pa.nulls(l_rest.num_rows, typ))
+                for name, typ in out_fields})])
+        return out
 
     empty = pa.schema([pa.field(n, t) for n, t in out_fields]
                       + [pa.field("__jb", pa.int32()), pa.field("__side", pa.int8())]).empty_table()
@@ -860,7 +897,12 @@ def keyed_exchange_apply(ds, key_cols: list[str], fn, n_buckets: int = 64, *,
             return pre_pandas(tbl)
         h = np.zeros(tbl.num_rows, dtype=np.uint64)
         for c in key_cols:
-            col = tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            # fill_null BEFORE to_numpy: a batch containing any null would
+            # otherwise convert the whole column to float64, rounding int64
+            # keys > 2^53 and bucketing the SAME key differently in
+            # null-bearing vs null-free batches (same hazard/fix as
+            # partitioned_join's int-key path)
+            col = tbl[c].fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             h = _splitmix64(h ^ _splitmix64(col.view(np.uint64)))
         bucket = (h % np.uint64(n_buckets)).astype(np.int32)
         return tbl.append_column("__bucket", pa.array(bucket))

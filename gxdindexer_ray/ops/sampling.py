@@ -38,6 +38,10 @@ def hash_sample(ds, *, id_col: str, rate: float, seed: int = 0):
     is identical for any batching/partitioning of the input."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
+    if rate >= 1.0:
+        # full sample: the saturated threshold 2^64-1 would drop any row
+        # whose hash equals 2^64-1 (hash < threshold is strict)
+        return ds
     threshold = np.uint64(min(int(rate * 2.0 ** 64), 2 ** 64 - 1))
 
     def f(batch: pa.Table) -> pa.Table:

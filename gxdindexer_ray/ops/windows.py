@@ -18,14 +18,26 @@ def tumbling_window(ds, *, key: str = "event_type", ts_col: str = "ts",
     """count + sum(value) per (key, window-start). Partial/final — one row
     per (key, hour) per batch crosses the shuffle."""
 
+    import re
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    unit = {"h": "hour", "min": "minute", "d": "day"}.get(freq, freq)
+    # accept pandas-style multiples ('15min', '2h') that the old
+    # dt.floor(freq) path supported: leading integer -> floor_temporal's
+    # ``multiple``, remainder -> its unit name
+    m = re.fullmatch(r"(\d*)([a-zA-Z]+)", freq)
+    if not m:
+        raise ValueError(f"unparseable window freq {freq!r}")
+    multiple = int(m.group(1) or 1)
+    unit = {"h": "hour", "t": "minute", "min": "minute", "d": "day",
+            "s": "second", "ms": "millisecond", "us": "microsecond",
+            "ns": "nanosecond"}.get(m.group(2).lower(), m.group(2))
 
     def add_window(batch: pa.Table) -> pa.Table:
         return pa.table({key: batch[key], value_col: batch[value_col],
-                         "window_start": pc.floor_temporal(batch[ts_col], unit=unit)})
+                         "window_start": pc.floor_temporal(
+                             batch[ts_col], multiple=multiple, unit=unit)})
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
     return pre_aggregate(

@@ -1473,3 +1473,126 @@ def test_quantize_and_normalize_handle_empty_and_allnull_batches(ray_session):
                         "text": pa.array([None, None], pa.string())})
     norm = normalize_text(rd.from_arrow(allnull)).to_pandas()
     assert norm["norm_text"].isna().all() and len(norm) == 2
+
+
+def test_partitioned_join_outer_bigint_payload_exact(ray_session):
+    """ADVICE r4: unmatched rows in left/outer shapes used to route
+    right-side int64 payloads through a NaN-bearing pandas float64 column,
+    rounding values above 2^53. Payloads are now reattached arrow-side."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import partitioned_join
+
+    big = 2 ** 53 + 1  # not representable in float64 (rounds to 2^53)
+    left = pd.DataFrame({"k": np.array([1, 2, 3], np.int64),
+                         "lv": np.array([big, big + 2, big + 4], np.int64)})
+    right = pd.DataFrame({"rk": np.array([1, 9], np.int64),
+                          "rv": np.array([big + 1, big + 9], np.int64)})
+    for how in ("left", "outer"):
+        out = partitioned_join(rd.from_pandas(left), rd.from_pandas(right),
+                               "k", "rk", how=how)
+        # assert on ARROW values — a pandas fetch would itself re-inflict
+        # the float64 rounding this test pins against
+        tbl = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")])
+        assert tbl.schema.field("lv").type == pa.int64()
+        assert tbl.schema.field("rv").type == pa.int64()
+        d = tbl.to_pydict()
+        by_k = dict(zip(d["k"], zip(d["lv"], d["rv"])))
+        assert by_k[1] == (big, big + 1)
+        assert by_k[2] == (big + 2, None)
+        assert by_k[3] == (big + 4, None)
+        if how == "outer":
+            assert (None, big + 9) in by_k.values() or \
+                any(lv is None and rv == big + 9 for lv, rv in by_k.values())
+            assert tbl.num_rows == 4
+        else:
+            assert tbl.num_rows == 3
+
+
+def test_asof_left_bigint_payload_exact(ray_session):
+    """ADVICE r4 (asof variant): how='left' unmatched rows must not round
+    matched right int64 payloads above 2^53 via a float64 column."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import asof_join
+
+    big = 2 ** 53 + 1
+    l = rd.from_pandas(pd.DataFrame({
+        "k": np.array([1, 1, 2], np.int64),
+        "t": np.array([10, 5, 10], np.int64),
+        "lv": np.array([big, big + 2, big + 4], np.int64)}))
+    r = rd.from_pandas(pd.DataFrame({
+        "k": np.array([1], np.int64),
+        "t": np.array([7], np.int64),
+        "rv": np.array([big + 1], np.int64)}))
+    out = asof_join(l, r, on="t", by="k", how="left").to_pandas()
+    assert len(out) == 3
+    hit = out[(out["k"] == 1) & (out["t"] == 10)]
+    assert int(hit["rv"].iloc[0]) == big + 1  # exact, not 2^53
+    assert sorted(out["lv"].astype(np.int64)) == [big, big + 2, big + 4]
+    miss = out[(out["k"] == 2) | (out["t"] == 5)]
+    assert miss["rv"].isna().all()
+
+
+def test_keyed_exchange_null_bigint_keys_bucket_consistently(ray_session):
+    """ADVICE r4 (medium): a null in one batch used to flip the int-key
+    fast path's numpy conversion to float64, rounding keys > 2^53 so the
+    SAME key bucketed differently across batches and split its group."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import keyed_exchange_apply
+
+    big = 2 ** 53 + 1
+    clean = pa.table({"k": pa.array([big] * 4 + [7] * 2, pa.int64()),
+                      "v": pa.array(range(6), pa.int64())})
+    dirty = pa.table({"k": pa.array([big] * 3 + [None, 7], pa.int64()),
+                      "v": pa.array(range(6, 11), pa.int64())})
+    ds = rd.from_arrow([clean, dirty])  # two blocks -> two partition batches
+
+    def per_key_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", dropna=False, sort=False).size()
+        return pd.DataFrame({"k": g.index.to_numpy(), "n": g.to_numpy()})
+
+    out = keyed_exchange_apply(ds, ["k"], per_key_count, n_buckets=16,
+                               batch_format="pandas").to_pandas()
+    # each key must appear EXACTLY once with its FULL count (whole group in
+    # one bucket). Before the fix the big key split 4/3 across two buckets
+    # (null-free batch hashed exact int64, null-bearing batch hashed the
+    # float64-rounded value). Key VALUES are asserted via the group sizes —
+    # the pandas reducer format itself renders null-bearing int columns as
+    # float64, which is the caller's formatting choice, not the exchange's.
+    assert len(out) == 3  # big key, key 7, null key — one row each
+    assert sorted(out["n"].astype(int)) == [1, 3, 7]
+
+
+def test_hash_sample_rate_one_keeps_all(ray_session):
+    """ADVICE r4: rate=1.0's saturated threshold could drop a row whose
+    hash equals 2^64-1; rate >= 1.0 now short-circuits to the identity."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.sampling import hash_sample
+
+    df = pd.DataFrame({"event_id": np.arange(100, dtype=np.int64)})
+    out = hash_sample(rd.from_pandas(df), id_col="event_id", rate=1.0)
+    assert out.count() == 100
+
+
+def test_tumbling_window_multiple_freq(ray_session):
+    """ADVICE r4: pandas-style multiples ('15min') must floor correctly
+    through pc.floor_temporal's multiple= argument."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.windows import tumbling_window
+
+    ts = pd.to_datetime(["2024-01-01 00:07", "2024-01-01 00:22",
+                         "2024-01-01 00:29", "2024-01-01 01:05"])
+    df = pd.DataFrame({"event_type": ["a"] * 4, "ts": ts,
+                       "value": [1.0, 2.0, 3.0, 4.0]})
+    out = tumbling_window(rd.from_pandas(df), freq="15min").to_pandas()
+    out = out.sort_values("window_start").reset_index(drop=True)
+    exp = df.groupby(df["ts"].dt.floor("15min"))["value"].agg(["count", "sum"])
+    assert len(out) == len(exp) == 3
+    assert out["total_value"].tolist() == exp["sum"].tolist()
+    assert out["n"].tolist() == exp["count"].tolist()
+    assert pd.to_datetime(out["window_start"]).tolist() == exp.index.tolist()
