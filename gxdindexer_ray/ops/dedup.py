@@ -298,21 +298,48 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
     return band_bucket_pairs(sig_ds)
 
 
-def band_bucket_pairs(sig_ds, n_buckets: int = 64):
+def band_bucket_pairs(sig_ds, n_buckets: int = 64, max_group: int = 512):
     """Shared LSH candidate generation: (band, bhash, doc) signature rows
     -> deduplicated (a, b) candidate pairs (a < b). One bhash-keyed
     exchange; pairs emitted per (band, bucket) group; used by both
-    MinHash-LSH (text) and hyperplane-LSH (embeddings)."""
+    MinHash-LSH (text) and hyperplane-LSH (embeddings).
+
+    Hot-bucket cap: a degenerate band bucket (boilerplate pages sharing a
+    band hash at crawl scale) would emit O(n^2) pairs and stall its
+    reducer. Groups above ``max_group`` docs emit a bounded star+chain
+    instead (every doc paired with the group minimum, plus consecutive
+    sorted neighbors — 2n-3 pairs): full within-bucket connectivity is
+    preserved for the connected-components consumers, and a bucket that
+    large is one near-dup cluster in practice, so downstream exact-Jaccard
+    verification sees representative edges. Capped groups are counted and
+    logged per reducer."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out: list[np.ndarray] = []
+        capped = 0
         for (_, _), grp in group.groupby(["band", "bhash"], sort=False):
-            docs = sorted(grp["doc"].unique())
-            if len(docs) > 1:
-                for x, y in itertools.combinations(docs, 2):
-                    out_a.append(x)
-                    out_b.append(y)
-        return pd.DataFrame({"a": out_a, "b": out_b}).astype(np.int64)
+            docs = np.sort(grp["doc"].unique()).astype(np.int64)
+            n = len(docs)
+            if n < 2:
+                continue
+            if n > max_group:
+                capped += 1
+                a = np.concatenate([np.full(n - 1, docs[0]), docs[1:-1]])
+                b = np.concatenate([docs[1:], docs[2:]])
+            else:
+                iu = np.triu_indices(n, k=1)
+                a, b = docs[iu[0]], docs[iu[1]]
+            out.append(np.stack([a, b]))
+        if capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "band_bucket_pairs: capped %d bucket group(s) above "
+                "max_group=%d to star+chain pair emission", capped, max_group)
+        if not out:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        ab = np.concatenate(out, axis=1)
+        return pd.DataFrame({"a": ab[0], "b": ab[1]}).astype(np.int64)
 
     from .relational import dedup_first, mod_exchange_apply
 
@@ -715,20 +742,39 @@ def simhash_near_dup(ds, *, max_hamming: int = 3, bands: int = 4,
 
     rows = sh.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs(group: pd.DataFrame, max_group: int = 512) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
+        capped = 0
+
+        def emit(ia: np.ndarray, ib: np.ndarray, va: np.ndarray, vb: np.ndarray):
+            ham = _popcount64(va ^ vb)
+            hit = np.flatnonzero(ham <= max_hamming)
+            out_a.extend(ia[hit].tolist() if ia.ndim else [int(ia)] * hit.size)
+            out_b.extend(ib[hit].tolist())
+            out_h.extend(ham[hit].astype(np.int64).tolist())
+
         for (_, _), grp in group.groupby(["band", "chunk"], sort=False):
             if len(grp) < 2:
                 continue
             g = grp.drop_duplicates("doc").sort_values("doc")
             ids = g["doc"].to_numpy(np.int64)
             vals = g["sh"].to_numpy(np.int64).view(np.uint64)
-            for i in range(len(ids) - 1):
-                ham = _popcount64(vals[i] ^ vals[i + 1:])
-                hit = np.flatnonzero(ham <= max_hamming)
-                out_a.extend([int(ids[i])] * hit.size)
-                out_b.extend(ids[i + 1:][hit].tolist())
-                out_h.extend(ham[hit].astype(np.int64).tolist())
+            n = len(ids)
+            if n > max_group:
+                # hot-bucket cap (see band_bucket_pairs): bounded star+chain
+                # instead of O(n^2) comparisons for a degenerate chunk group
+                capped += 1
+                emit(ids[0], ids[1:], vals[0], vals[1:])
+                emit(ids[1:-1], ids[2:], vals[1:-1], vals[2:])
+                continue
+            for i in range(n - 1):
+                emit(ids[i], ids[i + 1:], vals[i], vals[i + 1:])
+        if capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_near_dup: capped %d chunk group(s) above "
+                "max_group=%d to star+chain pair emission", capped, max_group)
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h}).astype(np.int64)
 
     from .relational import mod_exchange_apply
