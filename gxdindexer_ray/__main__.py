@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-dist", type=int, default=1)
     sp.add_argument("--num-cpus", type=int, default=None)
 
+    si = sub.add_parser("spell-index", help="build + seal the persisted "
+                        "SymSpell deletion-neighborhood index next to the "
+                        "segments (serving processes then load it instead "
+                        "of rebuilding per process)")
+    si.add_argument("--index", required=True)
+    si.add_argument("--max-dist", type=int, default=1)
+    si.add_argument("--num-cpus", type=int, default=None)
+
     r = sub.add_parser("run", help="run named pipelines over an sf dir")
     r.add_argument("--pipeline", nargs="+", required=True,
                    help="pipeline names from `list`, a group alias "
@@ -221,13 +229,24 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.cmd == "spellcheck":
             from .pipelines import SearchEngine
+            from .pipelines.search import _symspell_paths
+            from .state.manifest import read_json
 
-            # one-shot lookup: the length-window scan beats paying the
-            # full SymSpell index build for a single query (the index is
-            # the steady-state serving path, not the CLI's)
-            for term, dist, df, cf in SearchEngine(args.index, warm_top_terms=0) \
-                    .spellcheck(args.term, args.k, args.max_dist, method="scan"):
+            # one-shot lookup: use the persisted SymSpell artifact when one
+            # is sealed next to the segments; otherwise the length-window
+            # scan beats paying an in-process index build for one query
+            eng = SearchEngine(args.index, warm_top_terms=0)
+            have = read_json(_symspell_paths(args.index, args.max_dist)[1])
+            method = "symspell" if have else "scan"
+            for term, dist, df, cf in eng.spellcheck(
+                    args.term, args.k, args.max_dist, method=method):
                 print(f"{term}\t{dist}\t{df}\t{cf}")
+            return 0
+        if args.cmd == "spell-index":
+            from .pipelines.search import build_symspell_index
+
+            n = build_symspell_index(args.index, args.max_dist)
+            print(json.dumps({"max_dist": args.max_dist, "n_variants": n}))
             return 0
         if args.cmd == "run":
             from .pipelines.queries import expand_pipeline_names

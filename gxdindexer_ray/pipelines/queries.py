@@ -1383,7 +1383,11 @@ def q55_spellcheck(sf: str):
 
     ix = _index_for(sf)
     eng = SearchEngine(ix, warm_top_terms=0)
+    # build + seal the SymSpell artifact next to the segments (idempotent),
+    # so the probe below exercises the persisted load path end-to-end
+    eng.persist_spell_index(max_dist=2)
     rows = eng.spellcheck("abz", k=5, max_dist=2)
+    assert getattr(eng, "_symspell_from_disk", False)
     return pd.DataFrame(rows, columns=["term", "dist", "df", "cf"]).astype(
         {"term": str, "dist": np.int64, "df": np.int64, "cf": np.int64})
 

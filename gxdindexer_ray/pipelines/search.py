@@ -353,6 +353,119 @@ def _deletes(term: str, max_dist: int) -> set[str]:
     return out
 
 
+def _symspell_arrays(terms, max_dist: int):
+    """In-process SymSpell build: (sorted delete-variant array, aligned
+    term-index array). The columnar sorted-array form replaces the old
+    dict[str, list] — same exhaustive probe via searchsorted ranges, a
+    fraction of the memory, and the exact layout the persisted artifact
+    loads into."""
+    import numpy as np
+
+    vs: list[str] = []
+    tis: list[int] = []
+    for ti, t in enumerate(terms):
+        for v in _deletes(str(t), max_dist):
+            vs.append(v)
+            tis.append(ti)
+    variants = np.asarray(vs, dtype=object)
+    order = np.argsort(variants, kind="mergesort")
+    return variants[order], np.asarray(tis, dtype=np.int64)[order]
+
+
+def _symspell_paths(index_dir, max_dist: int):
+    base = Path(index_dir)
+    return (base / f"symspell_d{max_dist}",
+            base / f"symspell_d{max_dist}_manifest.json")
+
+
+def build_symspell_index(index_dir, max_dist: int, *, terms=None) -> int:
+    """Build and SEAL the deletion-neighborhood (SymSpell) index next to
+    the segments (VERDICT r4 #3: the in-process build is minutes per worker
+    at a 100M-term lexicon; this builds it once, in the same pass family as
+    the lexicon, and every reader loads the columnar artifact instead).
+
+    Distributed shape: the lexicon terms fan out over Ray Data blocks, each
+    batch explodes its terms' <=``max_dist``-deletion variants (the only
+    per-string Python, parallel across the cluster), one global sort by
+    variant, ordered parquet write. Commit is manifest-LAST (same atomic
+    discipline as state/manifest.py): data dir is staged under a tmp name,
+    renamed, and only then the manifest (term count + variant count) is
+    written — a crash leaves no half-artifact a loader would accept.
+    Idempotent: a sealed artifact matching the current lexicon is kept.
+    Returns the number of (variant, term) entries."""
+    import os
+    import shutil
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..state.manifest import atomic_write_json, read_json
+
+    if terms is None:
+        terms = IndexReader(index_dir, warm_top_terms=0).terms_with_prefix("")
+    terms = [str(t) for t in terms]
+    n_terms = len(terms)
+    final, man_path = _symspell_paths(index_dir, max_dist)
+    man = read_json(man_path)
+    if man and man.get("n_terms") == n_terms and man.get("max_dist") == max_dist:
+        return int(man["n_variants"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_v: list[str] = []
+        out_ti: list[int] = []
+        for ti, t in zip(batch["ti"].to_pylist(), batch["term"].to_pylist()):
+            for v in _deletes(t, max_dist):
+                out_v.append(v)
+                out_ti.append(ti)
+        return pa.table({"variant": pa.array(out_v, pa.string()),
+                         "ti": pa.array(out_ti, pa.int64())})
+
+    src = rd.from_arrow(pa.table({
+        "ti": pa.array(np.arange(n_terms, dtype=np.int64)),
+        "term": pa.array(terms, pa.string())}))
+    if n_terms > 4096:
+        src = src.repartition(min(64, max(2, n_terms // 4096)))
+    out = src.map_batches(explode, batch_format="pyarrow") \
+        .sort("variant").materialize()
+    n_variants = out.count()
+    tmp = final.parent / (final.name + f".tmp-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write_parquet(str(tmp))
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    atomic_write_json(man_path, {"max_dist": int(max_dist),
+                                 "n_terms": n_terms,
+                                 "n_variants": int(n_variants)})
+    return int(n_variants)
+
+
+def load_symspell_index(index_dir, max_dist: int, *, expected_terms=None):
+    """Load a sealed SymSpell artifact as (sorted variant array, term-index
+    array), or None when absent/stale (manifest missing, or built against a
+    different lexicon size — e.g. the index was rebuilt since). Parquet
+    files may concatenate out of global order, so sortedness is verified
+    and restored with one argsort — still orders of magnitude cheaper than
+    re-exploding the lexicon in every process."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import read_json
+
+    path, man_path = _symspell_paths(index_dir, max_dist)
+    man = read_json(man_path)
+    if not man or not path.is_dir():
+        return None
+    if expected_terms is not None and man.get("n_terms") != expected_terms:
+        return None
+    t = pq.read_table(path, columns=["variant", "ti"])
+    variants = t["variant"].to_numpy(zero_copy_only=False)
+    tis = t["ti"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(variants) > 1 and np.any(variants[:-1] > variants[1:]):
+        order = np.argsort(variants, kind="mergesort")
+        variants, tis = variants[order], tis[order]
+    return variants, tis
+
+
 def _levenshtein_vec(term: str, cand, clens):
     """Plain Levenshtein distance of ``term`` against every candidate at
     once: fixed-width unicode char-code matrix + two-row DP, vectorized
@@ -555,14 +668,15 @@ class ServingFeaturesMixin:
             cache = self._spell_cache = (arr, lens)
         return cache
 
-    def _symspell_index(self, max_dist: int) -> dict[str, list]:
-        """Deletion-neighborhood index (SymSpell): delete-variant string ->
-        lexicon term indices. Built ONCE per (engine, max_dist) from the
-        lexicon and cached — per-query candidate lookup is then
-        O(deletes(q)) dict probes instead of an O(lexicon) length-window
-        scan. Size is ~lexicon x avg_len^max_dist entries; at very large
-        lexicons persist it next to the segments (same build pass as the
-        lexicon) rather than rebuilding per process."""
+    def _symspell_index(self, max_dist: int):
+        """Deletion-neighborhood index (SymSpell) as (sorted variant array,
+        aligned lexicon term-index array). A sealed on-disk artifact built
+        by ``persist_spell_index`` / ``build_symspell_index`` next to the
+        segments is LOADED when it matches the current lexicon (the serving
+        scale path — no per-process rebuild); otherwise built in process.
+        Cached per (engine, max_dist) either way — per-query candidate
+        lookup is O(deletes(q)) searchsorted probes instead of an
+        O(lexicon) length-window scan."""
         cache = getattr(self, "_symspell_cache", None)
         if cache is None:
             cache = self._symspell_cache = {}  # keyed by max_dist: mixed
@@ -570,16 +684,30 @@ class ServingFeaturesMixin:
         if max_dist in cache:
             return cache[max_dist]
         arr, _ = self._spell_lexicon()
-        index: dict[str, list] = {}
-        for ti, t in enumerate(arr):
-            for v in _deletes(str(t), max_dist):
-                index.setdefault(v, []).append(ti)
+        entry = None
+        index_dir = getattr(self.reader, "index_dir", None)
+        if index_dir is not None:
+            entry = load_symspell_index(index_dir, max_dist,
+                                        expected_terms=len(arr))
+            self._symspell_from_disk = entry is not None
+        if entry is None:
+            entry = _symspell_arrays(arr, max_dist)
         while len(cache) >= 2:  # bound the per-engine footprint: higher
             # distances are orders of magnitude larger; keep at most two
             # distances resident (oldest out)
             cache.pop(next(iter(cache)))
-        cache[max_dist] = index
-        return index
+        cache[max_dist] = entry
+        return entry
+
+    def persist_spell_index(self, max_dist: int) -> int:
+        """Build + seal the SymSpell artifact next to this engine's
+        segments (idempotent; see build_symspell_index). Invalidate the
+        in-memory cache so the next probe exercises the loaded artifact."""
+        arr, _ = self._spell_lexicon()
+        n = build_symspell_index(self.reader.index_dir, max_dist,
+                                 terms=arr)
+        getattr(self, "_symspell_cache", {}).pop(max_dist, None)
+        return n
 
     def spellcheck(self, term: str, k: int = 5, max_dist: int = 1,
                    method: str = "symspell") -> list[tuple[str, int, int, int]]:
@@ -601,13 +729,14 @@ class ServingFeaturesMixin:
         arr, lens = self._spell_lexicon()
         qlen = len(term)
         if method == "symspell":
-            index = self._symspell_index(max_dist)
-            ids: set[int] = set()
-            for v in _deletes(term, max_dist):
-                ids.update(index.get(v, ()))
-            if not ids:
+            variants, tis = self._symspell_index(max_dist)
+            dels = sorted(_deletes(term, max_dist))
+            lo = np.searchsorted(variants, dels, side="left")
+            hi = np.searchsorted(variants, dels, side="right")
+            parts = [tis[a:b] for a, b in zip(lo, hi) if b > a]
+            if not parts:
                 return []
-            sel = np.fromiter(ids, dtype=np.int64, count=len(ids))
+            sel = np.unique(np.concatenate(parts))
             # the deletion probe already implies the length window, but a
             # cheap re-check shrinks the DP matrix for long terms
             sel = sel[np.abs(lens[sel] - qlen) <= max_dist]

@@ -404,3 +404,53 @@ def test_snippets_best_window(built):
         assert snips[int(d)] == " ".join(toks[best:best + 6])
     # no query terms in doc -> empty snippet
     assert eng.snippets_for(ids[:1], ["doesnotexistxyz"], width=6)[int(ids[0])] == ""
+
+
+def test_symspell_persisted_artifact(built):
+    """VERDICT r4 #3: the SymSpell deletion-neighborhood index persists
+    next to the segments, sealed manifest-last; a fresh engine LOADS it
+    (identical suggestions, no per-process rebuild) and a stale artifact
+    (wrong lexicon size) is rejected."""
+    import time
+
+    from gxdindexer_ray.pipelines.search import (SearchEngine,
+                                                 load_symspell_index)
+    from gxdindexer_ray.state.manifest import atomic_write_json, read_json
+
+    out, _ = built
+    cold = SearchEngine(out, warm_top_terms=0)
+    t0 = time.perf_counter()
+    baseline = cold.spellcheck("abz", k=5, max_dist=1)  # in-process build
+    build_t = time.perf_counter() - t0
+    assert not getattr(cold, "_symspell_from_disk", False)
+
+    n = cold.persist_spell_index(max_dist=1)
+    assert n > 0
+    man = read_json(out / "symspell_d1_manifest.json")
+    assert man["n_variants"] == n and man["max_dist"] == 1
+    assert (out / "symspell_d1").is_dir()
+    # idempotent: a second persist reuses the sealed artifact
+    assert cold.persist_spell_index(max_dist=1) == n
+
+    warm = SearchEngine(out, warm_top_terms=0)
+    t0 = time.perf_counter()
+    got = warm.spellcheck("abz", k=5, max_dist=1)
+    load_t = time.perf_counter() - t0
+    assert warm._symspell_from_disk
+    assert got == baseline
+    # cold-start: loading the columnar artifact must beat re-exploding the
+    # lexicon (the 100M-term-lexicon cost this artifact exists to remove);
+    # generous 1x bound to stay robust against host noise
+    assert load_t < build_t, (load_t, build_t)
+
+    # stale artifact (built against a different lexicon) is rejected
+    man["n_terms"] = man["n_terms"] + 1
+    atomic_write_json(out / "symspell_d1_manifest.json", man)
+    arr, _l = warm._spell_lexicon()
+    assert load_symspell_index(out, 1, expected_terms=len(arr)) is None
+    fresh = SearchEngine(out, warm_top_terms=0)
+    assert fresh.spellcheck("abz", k=5, max_dist=1) == baseline
+    assert not getattr(fresh, "_symspell_from_disk", True)
+    # restore the sealed manifest for any later consumer of the fixture
+    man["n_terms"] = man["n_terms"] - 1
+    atomic_write_json(out / "symspell_d1_manifest.json", man)

@@ -195,10 +195,14 @@ def test_symspell_prunes_candidates():
     q = terms[100][:5] + "q"
     assert eng.spellcheck(q, k=10, max_dist=1) \
         == eng.spellcheck(q, k=10, max_dist=1, method="scan")
-    index = eng._symspell_index(1)
+    import numpy as np
+
+    variants, tis = eng._symspell_index(1)
     probed = set()
     for v in _deletes(q, 1):
-        probed.update(index.get(v, ()))
+        lo = np.searchsorted(variants, v, side="left")
+        hi = np.searchsorted(variants, v, side="right")
+        probed.update(tis[lo:hi].tolist())
     arr, lens = eng._spell_lexicon()
     window = ((lens >= len(q) - 1) & (lens <= len(q) + 1)).sum()
     assert len(probed) * 20 < int(window), (len(probed), int(window))
