@@ -147,6 +147,26 @@ def _bracket_counts(ds, col: str, brackets: list[tuple[float, float, bool]],
     return total.reshape(len(brackets), n_bins)
 
 
+def _materialize_if_transformed(ds, col: str):
+    """Guard for multi-pass consumers (VERDICT r4 #5): when the input
+    plan stacks transforms above its source, every pass would re-execute
+    them — materialize the needed column once instead. Bare reads and
+    already-materialized inputs pass through untouched (their re-execution
+    is a pruned parquet read / free object-store lookup). Falls back to
+    materializing when the (private) plan introspection is unavailable."""
+    try:
+        dag = ds._logical_plan.dag
+        source_only = not dag.input_dependencies and type(dag).__name__ in (
+            "Read", "InputData", "FromArrow", "FromPandas", "FromNumpy",
+            "FromItems")
+    except Exception:
+        source_only = False
+    if source_only:
+        return ds
+    return ds.map_batches(lambda t: t.select([col]),
+                          batch_format="pyarrow").materialize()
+
+
 def exact_quantiles(ds, col: str, qs: list[float], *, n_bins: int = 512,
                     exact_cap: int = 65536, max_passes: int = 64) -> pd.DataFrame:
     """EXACT quantiles (SQL ``quantile_disc``: the value at 1-indexed rank
@@ -161,9 +181,14 @@ def exact_quantiles(ds, col: str, qs: list[float], *, n_bins: int = 512,
 
     The all-to-all a ``ds.sort(col)`` would cost is replaced by log-passes
     of histogram partials; the driver never holds more than counts and one
-    <= exact_cap value slice. Re-scans execute the input plan per pass —
-    materialize upstream transforms first if they are expensive."""
+    <= exact_cap value slice. Re-scans execute the input plan per pass, so
+    an input with upstream TRANSFORMS is auto-materialized once up front
+    (pruned to ``col`` — the passes read nothing else); bare reads /
+    already-materialized inputs are streamed as-is (re-reading pruned
+    parquet per pass is the deliberate trade vs pinning the column)."""
     import ray
+
+    ds = _materialize_if_transformed(ds, col)
 
     def mm(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)

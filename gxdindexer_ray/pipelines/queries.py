@@ -1819,8 +1819,14 @@ def q70_corpus_curation(sf: str):
     docs = ds.map_batches(lambda t: t.select(["doc_id", "text"]),
                           batch_format="pyarrow").materialize()
     exact_keep = textops.exact_text_dedup(docs)  # (keep_id, n_copies)
+    # the survivor filter stays LAZY: ranged_id_filter pins only the
+    # (tiny, sorted) keep-id chunks eagerly, and the filter itself fuses
+    # map-side into each downstream read of the pinned docs blocks — the
+    # filtered corpus is never pinned as a SECOND corpus-sized copy
+    # (VERDICT r4 #4; at 100 TB the duplicate pin was the object-store
+    # high-water mark)
     docs_e = ranged_id_filter(docs, exact_keep, "doc_id",
-                              ids_col="keep_id", keep=True).materialize()
+                              ids_col="keep_id", keep=True)
     kept = dedup_corpus(docs_e, threshold=0.5)
     out = hash_split(kept, id_col="doc_id", splits=_Q66_SPLITS).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

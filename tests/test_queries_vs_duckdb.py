@@ -68,3 +68,26 @@ def test_nosql_query_runs(name, fn, ray_session):
     out = _to_pandas(fn(SF_DIR))
     assert out is not None
     assert len(out.columns) > 0
+
+
+def test_q70_single_corpus_materialize(ray_session, monkeypatch):
+    """VERDICT r4 #4: q70 must pin exactly ONE corpus-sized (text-bearing)
+    dataset in the object store — the exact-dedup survivor filter fuses
+    lazily into downstream reads instead of materializing a second copy."""
+    import ray.data as rd
+
+    from gxdindexer_ray.pipelines.queries import q70_corpus_curation
+
+    text_pins = []
+    orig = rd.Dataset.materialize
+
+    def spy(self, *a, **kw):
+        md = orig(self, *a, **kw)
+        if "text" in (md.schema().names or []):
+            text_pins.append(md)
+        return md
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+    out = q70_corpus_curation("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert len(text_pins) == 1, f"{len(text_pins)} corpus-sized pins"
