@@ -233,11 +233,16 @@ def main(argv: list[str] | None = None) -> int:
             from .state.manifest import read_json
 
             # one-shot lookup: use the persisted SymSpell artifact when one
-            # is sealed next to the segments; otherwise the length-window
-            # scan beats paying an in-process index build for one query
+            # is sealed next to the segments AND matches the current
+            # lexicon; otherwise the length-window scan beats paying an
+            # in-process index build for one query (a stale manifest must
+            # not bait the engine into the full rebuild)
             eng = SearchEngine(args.index, warm_top_terms=0)
-            have = read_json(_symspell_paths(args.index, args.max_dist)[1])
-            method = "symspell" if have else "scan"
+            sdir, man_path = _symspell_paths(args.index, args.max_dist)
+            man = read_json(man_path)
+            fresh = (man and sdir.is_dir()
+                     and man.get("n_terms") == len(eng._spell_lexicon()[0]))
+            method = "symspell" if fresh else "scan"
             for term, dist, df, cf in eng.spellcheck(
                     args.term, args.k, args.max_dist, method=method):
                 print(f"{term}\t{dist}\t{df}\t{cf}")

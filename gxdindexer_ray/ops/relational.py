@@ -599,7 +599,9 @@ def pre_aggregate(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if driver_final:
         pdf = partials.to_pandas()
-        g = pdf.groupby(keys, sort=False, observed=True)
+        # dropna=False: the Arrow partial keeps null-key groups (SQL
+        # semantics) — the final must not silently drop them
+        g = pdf.groupby(keys, sort=False, observed=True, dropna=False)
         agg_map = {}
         for out in sums:
             agg_map[out] = (out, "sum")

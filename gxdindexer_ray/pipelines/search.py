@@ -407,7 +407,11 @@ def build_symspell_index(index_dir, max_dist: int, *, terms=None) -> int:
     n_terms = len(terms)
     final, man_path = _symspell_paths(index_dir, max_dist)
     man = read_json(man_path)
-    if man and man.get("n_terms") == n_terms and man.get("max_dist") == max_dist:
+    if man and man.get("n_terms") == n_terms \
+            and man.get("max_dist") == max_dist and final.is_dir():
+        # is_dir(): a manifest without its data dir (crash between rmtree
+        # and rename, or manual deletion) must trigger a rebuild, not be
+        # trusted forever
         return int(man["n_variants"])
 
     def explode(batch: pa.Table) -> pa.Table:

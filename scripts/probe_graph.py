@@ -1,5 +1,7 @@
 """Scale probe: PageRank + connected components on synthetic power-law
-graphs (VERDICT r4 #6). Deterministic generation; fresh Ray session."""
+graphs (VERDICT r4 #6; results recorded in BASELINE.md round-5 section).
+Deterministic generation; fresh 32-CPU Ray session; one config per row of
+the BASELINE table, including the zipf-2.5 variant."""
 import json
 import sys
 import time
@@ -34,25 +36,24 @@ def steal_pct(dt=0.5):
     return 100.0 * (s1 - s0) / max(1, (t1 - t0))
 
 
-def make_edges(n_edges: int, n_nodes: int, seed: int):
-    rng = np.random.default_rng(seed)
-    src = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
-    # power-law fan-in: zipf dst ranks -> super-hubs
-    dst = (rng.zipf(1.7, n_edges) - 1).astype(np.int64) % n_nodes
-    hub_share = float((dst == dst[0] * 0 + np.bincount(dst % 1000).argmax()).mean())
-    return src, dst, hub_share
-
+CONFIGS = [  # (tag, n_edges, n_nodes, n_buckets, zipf_a)
+    ("10M", 10_000_000, 2_000_000, 32, 1.7),
+    ("30M", 30_000_000, 5_000_000, 64, 1.7),
+    ("30M_zipf2.5", 30_000_000, 5_000_000, 64, 2.5),
+]
 
 results = {"steal_pct_start": round(steal_pct(), 2)}
-for n_edges, n_nodes, nb in ((10_000_000, 2_000_000, 32),
-                             (30_000_000, 5_000_000, 64)):
-    src, dst, _ = make_edges(n_edges, n_nodes, seed=7)
-    tag = f"{n_edges // 1_000_000}M"
-    # hub stats for the record
-    top = np.bincount(dst, minlength=n_nodes).max()
-    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+for tag, n_edges, n_nodes, nb, zipf_a in CONFIGS:
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+    # power-law fan-in: zipf dst ranks -> super-hubs (rank 1 maps to node
+    # 0, which receives the zipf head mass — 49% of edges at a=1.7, 75%
+    # at a=2.5)
+    dst = (rng.zipf(zipf_a, n_edges) - 1).astype(np.int64) % n_nodes
+    top = int(np.bincount(dst, minlength=n_nodes).max())
     n_blocks = max(8, n_edges // 1_000_000)
-    ds = rd.from_arrow(tbl).repartition(n_blocks).materialize()
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})) \
+        .repartition(n_blocks).materialize()
 
     t0 = time.perf_counter()
     pr = pagerank(ds, iters=10, tol=0.0, n_buckets=nb)
@@ -63,23 +64,22 @@ for n_edges, n_nodes, nb in ((10_000_000, 2_000_000, 32),
     pr_t = time.perf_counter() - t0
     assert abs(s["s"].sum() - 1.0) < 1e-6, s["s"].sum()
 
-    cc_tbl = pa.table({"a": pa.array(src), "b": pa.array(dst)})
-    cc_ds = rd.from_arrow(cc_tbl).repartition(n_blocks).materialize()
+    cc_ds = rd.from_arrow(pa.table({"a": pa.array(src), "b": pa.array(dst)})) \
+        .repartition(n_blocks).materialize()
     t1 = time.perf_counter()
     cc = connected_components_ds(cc_ds, n_buckets=nb)
-    n_comp = cc.map_batches(
-        lambda t: pa.table({"n": [t.num_rows],
-                            "c": [pa.compute.count_distinct(t["comp"]).as_py()]}),
-        batch_format="pyarrow").to_pandas()
+    n_lab = cc.map_batches(
+        lambda t: pa.table({"n": [t.num_rows]}),
+        batch_format="pyarrow").to_pandas()["n"].sum()
     cc_t = time.perf_counter() - t1
     results[tag] = {
         "n_edges": n_edges, "n_nodes": n_nodes, "n_buckets": nb,
-        "max_fan_in": int(top),
+        "zipf_a": zipf_a, "max_fan_in": top,
         "pagerank_10it_sec": round(pr_t, 2),
         "pagerank_edges_per_sec_per_iter": int(n_edges * 10 / pr_t),
         "cc_sec": round(cc_t, 2),
         "cc_edges_per_sec": int(n_edges / cc_t),
-        "cc_nodes_labeled": int(n_comp["n"].sum()),
+        "cc_nodes_labeled": int(n_lab),
     }
     print(json.dumps({tag: results[tag]}), flush=True)
 

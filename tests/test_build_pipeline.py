@@ -406,12 +406,19 @@ def test_snippets_best_window(built):
     assert eng.snippets_for(ids[:1], ["doesnotexistxyz"], width=6)[int(ids[0])] == ""
 
 
+def _timeit(fn):
+    import time as _t
+
+    t0 = _t.perf_counter()
+    fn()
+    return _t.perf_counter() - t0
+
+
 def test_symspell_persisted_artifact(built):
     """VERDICT r4 #3: the SymSpell deletion-neighborhood index persists
     next to the segments, sealed manifest-last; a fresh engine LOADS it
     (identical suggestions, no per-process rebuild) and a stale artifact
     (wrong lexicon size) is rejected."""
-    import time
 
     from gxdindexer_ray.pipelines.search import (SearchEngine,
                                                  load_symspell_index)
@@ -419,9 +426,7 @@ def test_symspell_persisted_artifact(built):
 
     out, _ = built
     cold = SearchEngine(out, warm_top_terms=0)
-    t0 = time.perf_counter()
     baseline = cold.spellcheck("abz", k=5, max_dist=1)  # in-process build
-    build_t = time.perf_counter() - t0
     assert not getattr(cold, "_symspell_from_disk", False)
 
     n = cold.persist_spell_index(max_dist=1)
@@ -433,14 +438,18 @@ def test_symspell_persisted_artifact(built):
     assert cold.persist_spell_index(max_dist=1) == n
 
     warm = SearchEngine(out, warm_top_terms=0)
-    t0 = time.perf_counter()
     got = warm.spellcheck("abz", k=5, max_dist=1)
-    load_t = time.perf_counter() - t0
     assert warm._symspell_from_disk
     assert got == baseline
     # cold-start: loading the columnar artifact must beat re-exploding the
-    # lexicon (the 100M-term-lexicon cost this artifact exists to remove);
-    # generous 1x bound to stay robust against host noise
+    # lexicon (the 100M-term-lexicon cost this artifact exists to remove).
+    # Timed in isolation (min of 2 each, same process) so the comparison
+    # is build-vs-load, not harness noise.
+    from gxdindexer_ray.pipelines.search import _symspell_arrays
+
+    arr, _lens = warm._spell_lexicon()
+    build_t = min(_timeit(lambda: _symspell_arrays(arr, 1)) for _ in range(2))
+    load_t = min(_timeit(lambda: load_symspell_index(out, 1)) for _ in range(2))
     assert load_t < build_t, (load_t, build_t)
 
     # stale artifact (built against a different lexicon) is rejected
