@@ -293,3 +293,37 @@ def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({id_col: batch[id_col], out_col: pa.array(out, pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# (pattern, replacement) pairs applied IN ORDER. RE2 syntax so the Arrow
+# kernels and the DuckDB oracle (both RE2-backed) match byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               out_col: str = "clean_text", count_col: str = "n_pii"):
+    """Training-corpus PII scrubbing: email / phone / IPv4 patterns are
+    replaced with typed placeholder tokens, fully vectorized
+    (pc.replace_substring_regex per pattern — compiled RE2 over the whole
+    column, no per-row Python). ``count_col`` counts pattern hits against
+    the ORIGINAL text (per pattern, summed — the same quantity the SQL
+    oracle computes with regexp_extract_all), so redaction-rate monitoring
+    costs no second pass. Map-side only; nulls stay null."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = None
+        out = col
+        for pat, repl in PII_PATTERNS:
+            c = pc.count_substring_regex(col, pattern=pat).cast(pa.int64())
+            n = c if n is None else pc.add(n, c)
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+        return pa.table({id_col: batch[id_col], out_col: out, count_col: n})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2091,6 +2091,56 @@ FROM hashed
 """
 
 
+def q73_pii_redact(sf: str):
+    """Training-corpus PII scrubbing (ops/textops.py::redact_pii): email /
+    phone / IPv4 patterns replaced with typed placeholders, n_pii counted
+    against the original text — all compiled-RE2 Arrow kernels, map-side,
+    zero shuffles. Returns (doc_id, clean_text, n_pii)."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.redact_pii(ds)
+
+
+def _q73_sql() -> str:
+    from ..ops.textops import PII_PATTERNS
+
+    clean = "text"
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(text, '{esc}'))")
+        clean = f"regexp_replace({clean}, '{esc}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {clean} AS clean_text,
+       CAST({' + '.join(counts)} AS BIGINT) AS n_pii
+FROM documents
+"""
+
+
+def q74_length_band_filter(sf: str):
+    """Quality gate by corpus-relative length: keep documents whose
+    n_chars lies within the exact [p10, p90] band. The percentiles come
+    from the sort-free histogram-bracketing quantiles
+    (ops/sketches.py::exact_quantiles — two log-pass scans), then the
+    band filter is PUSHED INTO the parquet read (row-group pruning), so
+    the corpus itself is never shuffled or re-scanned wholesale."""
+    from ..ops.sketches import exact_quantiles
+
+    stats = read_table(sf, "documents", columns=["n_chars"])
+    qv = exact_quantiles(stats, "n_chars", [0.1, 0.9])
+    lo, hi = (float(v) for v in qv["value"])
+    return read_table(sf, "documents", columns=["doc_id", "n_chars"],
+                      filter=((pc.field("n_chars") >= lo)
+                              & (pc.field("n_chars") <= hi)))
+
+
+SQL_Q74 = """
+WITH band AS (SELECT quantile_disc(n_chars, 0.1) AS lo,
+                     quantile_disc(n_chars, 0.9) AS hi FROM documents)
+SELECT doc_id, n_chars FROM documents, band
+WHERE n_chars >= lo AND n_chars <= hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2168,6 +2218,8 @@ CATALOG: dict[str, tuple] = {
     "q70_corpus_curation": (q70_corpus_curation, _q70_sql()),
     "q71_quantized_knn": (q71_quantized_knn, SQL_Q71),
     "q72_normalize_text": (q72_normalize_text, SQL_Q72),
+    "q73_pii_redact": (q73_pii_redact, _q73_sql()),
+    "q74_length_band_filter": (q74_length_band_filter, SQL_Q74),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2187,7 +2239,7 @@ CATALOG = {n: CATALOG[n] for n in _ROTATED}
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74)}],
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
     "multimodal": ["q32_blob_meta", "q69_image_decode_meta"],
@@ -2195,7 +2247,7 @@ GROUPS: dict[str, list[str]] = {
     "sinks": ["q68_partitioned_sink"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
-             "q72_normalize_text"],
+             "q72_normalize_text", "q73_pii_redact"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",

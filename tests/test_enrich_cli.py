@@ -242,3 +242,38 @@ def test_cli_run_concurrent_longest_first(ray_session, capsys, tmp_path, monkeyp
     # timings refreshed with this run's measurements
     saved = json.loads(timings.read_text())
     assert saved["q02_event_normalize"] < 99.0
+
+
+def test_cli_spell_index_lifecycle(ray_session, tmp_path, capsys):
+    """spell-index builds + seals the SymSpell artifact; spellcheck uses it
+    when fresh, and falls back to the scan when the manifest goes stale
+    (same output either way)."""
+    import json
+
+    from gxdindexer_ray.__main__ import main
+    from gxdindexer_ray.fixtures import generate_pages
+
+    pages = generate_pages(tmp_path / "pages", 200, seed=42)
+    out = tmp_path / "ix"
+    assert main(["build", "--pages", str(pages), "--out", str(out)]) == 0
+    capsys.readouterr()
+
+    assert main(["spell-index", "--index", str(out), "--max-dist", "1"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_variants"] > 0
+    assert (out / "symspell_d1").is_dir()
+    assert (out / "symspell_d1_manifest.json").exists()
+
+    assert main(["spellcheck", "--index", str(out), "--term", "zerh",
+                 "--k", "3", "--max-dist", "1"]) == 0
+    fresh_rows = capsys.readouterr().out.strip().splitlines()
+    assert any(r.split("\t")[0] == "zerg" for r in fresh_rows)
+
+    # stale manifest (lexicon-size mismatch) -> scan fallback, same rows
+    man_path = out / "symspell_d1_manifest.json"
+    man = json.loads(man_path.read_text())
+    man["n_terms"] += 1
+    man_path.write_text(json.dumps(man))
+    assert main(["spellcheck", "--index", str(out), "--term", "zerh",
+                 "--k", "3", "--max-dist", "1"]) == 0
+    assert capsys.readouterr().out.strip().splitlines() == fresh_rows

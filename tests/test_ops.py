@@ -1682,3 +1682,38 @@ def test_exact_quantiles_materializes_transformed_input(ray_session, tmp_path):
     import math as _m
     for q, v in zip(got["q"], got["value"]):
         assert v == exp[max(1, _m.ceil(q * len(exp))) - 1]
+
+
+def test_redact_pii_patterns(ray_session):
+    """PII scrubbing: emails/phones/IPs replaced with typed placeholders,
+    counts match; nulls stay null; DuckDB regexp parity on injected PII."""
+    import duckdb
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import PII_PATTERNS, redact_pii
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "contact bob@example.com or +1 (555) 123-4567 now",
+            "server at 10.0.0.1 and 192.168.1.255 up",
+            "no pii here at all",
+            None,
+            "a.b-c_d%e+f@sub.domain.org twice: x@y.io",
+        ],
+    })
+    out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out.loc[0, "clean_text"] == "contact <EMAIL> or <PHONE> now"
+    assert out.loc[1, "clean_text"] == "server at <IP> and <IP> up"
+    assert out.loc[2, "clean_text"] == "no pii here at all"
+    assert pd.isna(out.loc[3, "clean_text"]) and pd.isna(out.loc[3, "n_pii"])
+    assert out.loc[4, "clean_text"] == "<EMAIL> twice: <EMAIL>"
+    assert out.loc[[0, 1, 2, 4], "n_pii"].tolist() == [2, 2, 0, 2]
+    # byte parity with the DuckDB regexp chain on the same rows
+    con = duckdb.connect()
+    con.register("documents", df)
+    from gxdindexer_ray.pipelines.queries import _q73_sql
+
+    exp = con.execute(_q73_sql()).df().sort_values("doc_id")
+    assert out["clean_text"].fillna("~").tolist() == exp["clean_text"].fillna("~").tolist()
+    assert out["n_pii"].fillna(-1).tolist() == exp["n_pii"].fillna(-1).tolist()
