@@ -1717,3 +1717,27 @@ def test_redact_pii_patterns(ray_session):
     exp = con.execute(_q73_sql()).df().sort_values("doc_id")
     assert out["clean_text"].fillna("~").tolist() == exp["clean_text"].fillna("~").tolist()
     assert out["n_pii"].fillna(-1).tolist() == exp["n_pii"].fillna(-1).tolist()
+
+
+def test_dedup_first_arrow_parity_ties_and_nulls(ray_session):
+    """The Arrow-native first-wins local must match pandas
+    sort_values(mergesort)+drop_duplicates semantics: ties on order_cols
+    resolved stably, null keys form ONE group, null order values sort
+    last, string keys stay on the zero-copy path."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import dedup_first
+
+    df = pd.DataFrame({
+        "k": ["a", "a", None, "b", None, "b", "a"],
+        "o": pd.array([3, 1, 2, None, 5, 1, 1], dtype="Int64"),
+        "v": np.arange(7, dtype=np.int64),
+    })
+    out = dedup_first(rd.from_pandas(df), ["k"], ["o", "v"]).to_pandas()
+    exp = df.sort_values(["o", "v"], kind="mergesort") \
+        .drop_duplicates(["k"], keep="first")
+    got = {(k if pd.notna(k) else None): int(v)
+           for k, v in zip(out["k"], out["v"])}
+    want = {(k if pd.notna(k) else None): int(v)
+            for k, v in zip(exp["k"], exp["v"])}
+    assert got == want  # a: v=6 (o=1 tie, lower v), b: v=5, null: v=2
