@@ -2141,6 +2141,34 @@ WHERE n_chars >= lo AND n_chars <= hi
 """
 
 
+def q75_repetition_ratio(sf: str):
+    """Gopher-style repetition quality rule: the share of each document's
+    bigrams held by its most frequent bigram, exact and fully vectorized
+    (ops/textops.py::repetition_ratio — dictionary codes + one lexsort per
+    batch, no hashing, map-side only)."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.repetition_ratio(ds)
+
+
+SQL_Q75 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+big AS (
+  SELECT doc_id, unnest(list_transform(list_slice(ts, 1, len(ts) - 1),
+                 (x, i) -> x || ' ' || ts[i + 1])) AS bg
+  FROM arr WHERE len(ts) >= 2),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+agg AS (SELECT doc_id,
+               floor(max(c)::DOUBLE / sum(c) * 1000000 + 0.5) / 1000000 AS r
+        FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.r, 0.0) AS rep_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2220,6 +2248,7 @@ CATALOG: dict[str, tuple] = {
     "q72_normalize_text": (q72_normalize_text, SQL_Q72),
     "q73_pii_redact": (q73_pii_redact, _q73_sql()),
     "q74_length_band_filter": (q74_length_band_filter, SQL_Q74),
+    "q75_repetition_ratio": (q75_repetition_ratio, SQL_Q75),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2247,7 +2276,8 @@ GROUPS: dict[str, list[str]] = {
     "sinks": ["q68_partitioned_sink"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
-             "q72_normalize_text", "q73_pii_redact"],
+             "q72_normalize_text", "q73_pii_redact",
+             "q75_repetition_ratio"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",

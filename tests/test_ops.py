@@ -1741,3 +1741,21 @@ def test_dedup_first_arrow_parity_ties_and_nulls(ray_session):
     want = {(k if pd.notna(k) else None): int(v)
             for k, v in zip(exp["k"], exp["v"])}
     assert got == want  # a: v=6 (o=1 tie, lower v), b: v=5, null: v=2
+
+
+def test_repetition_ratio_edges(ray_session):
+    """Repetition ratio: pure boilerplate -> 1.0 for a 2-token loop's
+    dominant bigram share; <2 tokens / empty / null -> 0.0; mixed doc
+    matches the hand count."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import repetition_ratio
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["spam spam spam spam", "the cat the cat the dog",
+                 "one", "", None],
+    })
+    out = repetition_ratio(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["rep_ratio"].tolist() == [1.0, 0.4, 0.0, 0.0, 0.0]
