@@ -924,6 +924,17 @@ def keyed_exchange_apply(ds, key_cols: list[str], fn, n_buckets: int = 64, *,
         if local_arrow is not None:
             tbl = local_arrow(tbl)
         if not all(pa.types.is_integer(tbl.schema.field(c).type) for c in key_cols):
+            if local_arrow is not None:
+                # keep payload columns ARROW (a full to_pandas would turn
+                # null-bearing int64 payloads into float64, rounding values
+                # > 2^53 and flipping the block schema per batch — the same
+                # hazard fixed in the join paths): hash only the KEY
+                # columns through the deterministic string hasher
+                kdf = pd.DataFrame({c: tbl[c].to_numpy(zero_copy_only=False)
+                                    for c in key_cols})
+                return tbl.append_column(
+                    "__bucket",
+                    pa.array(stable_bucket_ids(kdf, key_cols, n_buckets)))
             df = tbl.to_pandas()
             df["__bucket"] = stable_bucket_ids(df, key_cols, n_buckets)
             return pa.Table.from_pandas(df, preserve_index=False)
@@ -1060,7 +1071,13 @@ def dedup_first(ds, key_cols: list[str], order_cols: list[str], n_buckets: int =
         s = tbl.take(_pc.sort_indices(
             tbl, sort_keys=[(c, "ascending") for c in order_cols]))
         gb = pa.TableGroupBy(s, key_cols, use_threads=False)
-        out = gb.aggregate([(c, "first") for c in names if c not in key_cols])
+        # skip_nulls=False: 'first' must take the winning ROW's value even
+        # when it is null — the default skip_nulls=True would stitch each
+        # column's first NON-null value from different rows, synthesizing
+        # rows that never existed
+        opt = _pc.ScalarAggregateOptions(skip_nulls=False, min_count=0)
+        out = gb.aggregate([(c, "first", opt)
+                            for c in names if c not in key_cols])
         out = out.rename_columns(
             [c[:-6] if c.endswith("_first") else c for c in out.column_names])
         return out.select(names)

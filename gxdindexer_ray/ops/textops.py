@@ -299,7 +299,10 @@ def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # kernels and the DuckDB oracle (both RE2-backed) match byte-for-byte.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+    # separators between groups are REQUIRED and the match must end on a
+    # word boundary: an unanchored all-optional-separator phone pattern
+    # would swallow any 11+-digit run (order ids, card numbers)
+    (r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 
@@ -309,10 +312,12 @@ def redact_pii(ds, *, id_col: str = "doc_id", text_col: str = "text",
     """Training-corpus PII scrubbing: email / phone / IPv4 patterns are
     replaced with typed placeholder tokens, fully vectorized
     (pc.replace_substring_regex per pattern — compiled RE2 over the whole
-    column, no per-row Python). ``count_col`` counts pattern hits against
-    the ORIGINAL text (per pattern, summed — the same quantity the SQL
-    oracle computes with regexp_extract_all), so redaction-rate monitoring
-    costs no second pass. Map-side only; nulls stay null."""
+    column, no per-row Python). ``count_col`` counts each pattern against
+    the RUNNING text (post prior replacements), so the total equals the
+    number of replacements actually performed — overlapping patterns
+    (a phone-shaped digit run inside an email) are not double-counted.
+    The SQL oracle computes the identical staged counts with
+    regexp_extract_all. Map-side only; nulls stay null."""
 
     def f(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -321,7 +326,7 @@ def redact_pii(ds, *, id_col: str = "doc_id", text_col: str = "text",
         n = None
         out = col
         for pat, repl in PII_PATTERNS:
-            c = pc.count_substring_regex(col, pattern=pat).cast(pa.int64())
+            c = pc.count_substring_regex(out, pattern=pat).cast(pa.int64())
             n = c if n is None else pc.add(n, c)
             out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
         return pa.table({id_col: batch[id_col], out_col: out, count_col: n})

@@ -1759,3 +1759,40 @@ def test_repetition_ratio_edges(ray_session):
     out = repetition_ratio(rd.from_pandas(df)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["rep_ratio"].tolist() == [1.0, 0.4, 0.0, 0.0, 0.0]
+
+
+def test_dedup_first_null_payload_in_winning_row(ray_session):
+    """Review r5: Arrow 'first' must take the winning ROW's value even when
+    it is null — skip_nulls would stitch columns from different rows."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import dedup_first
+
+    df = pd.DataFrame({"k": np.array([1, 1], np.int64),
+                       "o": np.array([1, 2], np.int64),
+                       "v": pd.array([None, 7], dtype="Int64")})
+    out = dedup_first(rd.from_pandas(df), ["k"], ["o"]).to_pandas()
+    assert len(out) == 1
+    assert int(out["o"].iloc[0]) == 1
+    assert pd.isna(out["v"].iloc[0])  # NOT 7 — no franken-row
+
+
+def test_dedup_first_string_key_bigint_payload(ray_session):
+    """Review r5: string-key local_arrow path must not route payloads
+    through pandas (int64 > 2^53 with nulls would round / flip schema)."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import dedup_first
+
+    big = 2 ** 53 + 1
+    t1 = pa.table({"k": pa.array(["a", "b"]),
+                   "o": pa.array([1, 1], pa.int64()),
+                   "v": pa.array([big, None], pa.int64())})
+    t2 = pa.table({"k": pa.array(["a", "c"]),
+                   "o": pa.array([2, 1], pa.int64()),
+                   "v": pa.array([big + 2, big + 4], pa.int64())})
+    out = dedup_first(rd.from_arrow([t1, t2]), ["k"], ["o"])
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert tbl.schema.field("v").type == pa.int64()
+    d = dict(zip(tbl["k"].to_pylist(), tbl["v"].to_pylist()))
+    assert d == {"a": big, "b": None, "c": big + 4}
