@@ -1,10 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode step is REAL for binary netpbm payloads (P5 grayscale / P6
-RGB — pure-numpy parse, no codec library needed) and STUBBED for
-compressed formats (JPEG/PNG/audio/video need codec libraries this
-container lacks — those raise NotImplementedError unless a deterministic
-fake is requested). Everything Ray-side is real and tested either way:
+The decode step is REAL for binary netpbm images (P5 grayscale / P6
+RGB) and for PCM WAV audio (RIFF format-1, 8/16-bit) — both pure-numpy
+parses needing no codec library — and STUBBED for compressed formats
+(JPEG/PNG/mp3/ogg/video need codec libraries this container lacks —
+those raise NotImplementedError unless a deterministic fake is
+requested). Everything Ray-side is real and tested either way:
 schema handling for binary columns, actor-pool stage signatures (decoder
 state initialized once per actor), bytes-bounded batch sizing, and the
 typed metadata output layout.
@@ -81,8 +82,120 @@ def decode_image(blob: bytes) -> np.ndarray:
     )
 
 
-def decode_audio(blob: bytes):
-    raise NotImplementedError("audio decode is stubbed in this environment")
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 (n,) mono or (n, ch) multi-channel -> RIFF/WAVE PCM bytes
+    (format 1, 16-bit little-endian) — pure struct/numpy, no codec lib."""
+    import struct
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                    sample_rate * ch * 2, ch * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Audio decode: REAL for PCM WAV (RIFF format-1, 8- or 16-bit — a
+    pure chunk-walk + zero-copy frombuffer, no codec library; same spirit
+    as the netpbm image path). Returns ((n_samples, channels) array,
+    sample_rate). Compressed audio (mp3/ogg/flac/aac) raises — plug a
+    soundfile/ffmpeg decoder in a container that has one."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes in this environment; plug a "
+            "soundfile/ffmpeg decoder here for compressed audio")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(f"non-PCM WAV format {audio_fmt}")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2", count=len(data) // 2)
+    elif bits == 8:
+        samples = np.frombuffer(data, np.uint8)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n = (len(samples) // ch) * ch
+    return samples[:n].reshape(-1, ch), rate
+
+
+class AudioMetaStage:
+    """Actor-pool map_batches stage for audio payloads: REAL PCM WAV
+    parse per blob (decode_audio) -> (doc_id, sample_rate, channels,
+    n_samples, duration_ms). Same bytes-bounded batch sizing contract as
+    ImageMetaStage."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blob_col = batch["blob"]
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        n = len(blob_col)
+        rates = np.empty(n, np.int32)
+        chans = np.empty(n, np.int32)
+        nsamp = np.empty(n, np.int64)
+        for i, v in enumerate(blob_col):
+            blob = bytes(v.as_buffer()) if v.is_valid else b""
+            if self.fake:
+                h, w, _ht = fake_features(blob)
+                rates[i], chans[i], nsamp[i] = 16000, 1, w
+            else:
+                samples, rate = decode_audio(blob)
+                rates[i] = rate
+                chans[i] = samples.shape[1]
+                nsamp[i] = samples.shape[0]
+        dur = nsamp * 1000 // rates
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sample_rate": pa.array(rates, pa.int32()),
+            "channels": pa.array(chans, pa.int32()),
+            "n_samples": pa.array(nsamp, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+        })
+
+
+def text_to_wav(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                sample_rate: int = 16000):
+    """Deterministic REAL audio payloads from text (the fixture path for
+    the non-stubbed decode): one int16 sample per utf-8 byte, mono."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for t in batch[text_col].to_pylist():
+            b = (t or "").encode("utf-8")
+            blobs.append(encode_wav(
+                np.frombuffer(b, np.uint8).astype(np.int16), sample_rate))
+        return pa.table({"doc_id": batch[id_col],
+                         "blob": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def audio_metadata(ds, *, fake: bool = False, concurrency=(1, 4),
+                   batch_size: int = 256):
+    return ds.map_batches(
+        AudioMetaStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def fake_features(blob: bytes) -> tuple[str, int, int]:

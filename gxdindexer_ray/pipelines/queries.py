@@ -2144,6 +2144,27 @@ WHERE n_chars >= lo AND n_chars <= hi
 """
 
 
+def q76_audio_decode_meta(sf: str):
+    """REAL (non-stubbed) audio decode through the actor-pool metadata
+    stage: deterministic PCM WAV payloads manufactured from text
+    (ops/multimodal.py::text_to_wav — one int16 sample per utf-8 byte,
+    16 kHz mono), parsed with the pure-numpy RIFF chunk walk — rate /
+    channels / sample count / duration come from the actual header+data."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return mm.audio_metadata(mm.text_to_wav(ds)) \
+        .select_columns(["doc_id", "sample_rate", "channels",
+                         "n_samples", "duration_ms"])
+
+
+SQL_Q76 = """
+SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+       coalesce(octet_length(encode(text)), 0)::BIGINT AS n_samples,
+       (coalesce(octet_length(encode(text)), 0)::BIGINT * 1000) // 16000
+           AS duration_ms
+FROM documents
+"""
+
+
 def q75_repetition_ratio(sf: str):
     """Gopher-style repetition quality rule: the share of each document's
     bigrams held by its most frequent bigram, exact and fully vectorized
@@ -2252,6 +2273,7 @@ CATALOG: dict[str, tuple] = {
     "q73_pii_redact": (q73_pii_redact, _q73_sql()),
     "q74_length_band_filter": (q74_length_band_filter, SQL_Q74),
     "q75_repetition_ratio": (q75_repetition_ratio, SQL_Q75),
+    "q76_audio_decode_meta": (q76_audio_decode_meta, SQL_Q76),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2259,7 +2281,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 75 entries the sweep covers q51-q75 + q01-q25. The
+# the window — at 76 entries the sweep covers q51-q76 + q01-q24. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2274,7 +2296,8 @@ GROUPS: dict[str, list[str]] = {
                    {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74)}],
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
-    "multimodal": ["q32_blob_meta", "q69_image_decode_meta"],
+    "multimodal": ["q32_blob_meta", "q69_image_decode_meta",
+                   "q76_audio_decode_meta"],
     "sketches": ["q37_approx_distinct"],
     "sinks": ["q68_partitioned_sink"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",

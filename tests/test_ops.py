@@ -1796,3 +1796,64 @@ def test_dedup_first_string_key_bigint_payload(ray_session):
     assert tbl.schema.field("v").type == pa.int64()
     d = dict(zip(tbl["k"].to_pylist(), tbl["v"].to_pylist()))
     assert d == {"a": big, "b": None, "c": big + 4}
+
+
+def test_wav_roundtrip_and_decode(ray_session):
+    """PCM WAV decode is REAL: round-trip 16-bit mono/stereo, 8-bit, extra
+    RIFF chunks and odd-size word alignment; compressed blobs raise."""
+    import pytest as _pt
+    import struct
+
+    from gxdindexer_ray.ops.multimodal import decode_audio, encode_wav
+
+    mono = (np.arange(100, dtype=np.int16) - 50) * 300
+    s, rate = decode_audio(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (100, 1)
+    assert np.array_equal(s[:, 0], mono)
+
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    s2, r2 = decode_audio(encode_wav(stereo, 44100))
+    assert r2 == 44100 and s2.shape == (100, 2)
+    assert np.array_equal(s2, stereo)
+
+    # extra LIST chunk with ODD size before data: chunk walk must stay
+    # word-aligned
+    blob = encode_wav(mono, 8000)
+    hdr, chunks = blob[:12], blob[12:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+    riff_size = struct.pack("<I", len(chunks) + len(extra) + 4)
+    blob2 = hdr[:4] + riff_size + hdr[8:] + extra + chunks
+    s3, _ = decode_audio(blob2)
+    assert np.array_equal(s3[:, 0], mono)
+
+    # 8-bit PCM
+    b8 = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+          + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+          + b"data" + struct.pack("<I", 4) + bytes([0, 128, 255, 64]))
+    s4, _ = decode_audio(b8)
+    assert s4[:, 0].tolist() == [0, 128, 255, 64]
+
+    with _pt.raises(NotImplementedError):
+        decode_audio(b"\xff\xfbmp3 frames go here")
+    with _pt.raises(NotImplementedError):
+        # non-PCM format tag
+        decode_audio(b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                     + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+                     + b"data" + struct.pack("<I", 0))
+
+
+def test_audio_meta_stage(ray_session):
+    """text_to_wav -> AudioMetaStage end to end: n_samples == utf-8 byte
+    count, duration from the actual header."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.multimodal import audio_metadata, text_to_wav
+
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": ["hello world", "", None]})
+    out = audio_metadata(text_to_wav(rd.from_pandas(df))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["sample_rate"].tolist() == [16000] * 3
+    assert out["channels"].tolist() == [1] * 3
+    assert out["n_samples"].tolist() == [11, 0, 0]
+    assert out["duration_ms"].tolist() == [11 * 1000 // 16000, 0, 0]
