@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The decode step is REAL for binary netpbm images (P5 grayscale / P6
-RGB) and for PCM WAV audio (RIFF format-1, 8/16-bit) — both pure-numpy
-parses needing no codec library — and STUBBED for compressed formats
-(JPEG/PNG/mp3/ogg/video need codec libraries this container lacks —
-those raise NotImplementedError unless a deterministic fake is
-requested). Everything Ray-side is real and tested either way:
+RGB), PCM WAV audio (RIFF format-1, 8/16-bit) and uncompressed
+YUV4MPEG2 video (C420 frame walk) — all pure-numpy parses needing no
+codec library — and STUBBED for compressed formats (JPEG/PNG/mp3/ogg/
+mp4 need codec libraries this container lacks — those raise
+NotImplementedError unless a deterministic fake is requested).
+Everything Ray-side is real and tested either way:
 schema handling for binary columns, actor-pool stage signatures (decoder
 state initialized once per actor), bytes-bounded batch sizing, and the
 typed metadata output layout.
@@ -303,16 +304,130 @@ def resize_image(blob: bytes, width: int, height: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
-def sample_frames(blob: bytes, every_n: int = 30):
-    """Stub: real video frame sampling needs a codec library."""
-    raise NotImplementedError("video frame sampling is stubbed in this environment")
+def encode_y4m_frames(width: int, height: int, frames: list[bytes],
+                      fps: int = 25) -> bytes:
+    """Raw C420 frame byte strings -> YUV4MPEG2 container (plain-text
+    stream header + FRAME markers + raw planes — no codec library)."""
+    fsize = width * height * 3 // 2
+    out = [f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C420\n".encode()]
+    for f in frames:
+        if len(f) != fsize:
+            raise ValueError(f"frame size {len(f)} != {fsize}")
+        out.append(b"FRAME\n" + f)
+    return b"".join(out)
+
+
+def decode_video(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Video decode: REAL for uncompressed YUV4MPEG2/C420 (a plain-text
+    header + FRAME-marker walk, no codec library — completing the
+    netpbm/WAV trio). Returns (width, height, [raw C420 frame bytes]).
+    Compressed video (mp4/webm/mkv) raises."""
+    if not blob.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only uncompressed YUV4MPEG2 decodes in this environment; plug "
+            "an ffmpeg/pyav decoder here for compressed video")
+    nl = blob.index(b"\n")
+    width = height = None
+    for tok in blob[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2"):
+            raise NotImplementedError(f"colorspace {tok!r} not supported")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    fsize = width * height * 3 // 2
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(blob):
+        if blob[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        fnl = blob.index(b"\n", pos)
+        frames.append(blob[fnl + 1:fnl + 1 + fsize])
+        pos = fnl + 1 + fsize
+    return width, height, frames
+
+
+def sample_frames(blob: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:
+    """Every ``every_n``-th frame of a decodable (Y4M) payload as
+    (frame_idx, raw frame bytes); compressed formats raise via
+    decode_video."""
+    _w, _h, frames = decode_video(blob)
+    return [(i, frames[i]) for i in range(0, len(frames), every_n)]
+
+
+class VideoMetaStage:
+    """Actor-pool map_batches stage for video payloads: REAL Y4M parse ->
+    per-doc (doc_id, width, height, n_frames, n_sampled) where n_sampled
+    counts the every_n-th-frame samples FrameSampleStage would emit."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blob_col = batch["blob"]
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        n = len(blob_col)
+        ws = np.empty(n, np.int32)
+        hs = np.empty(n, np.int32)
+        nf = np.empty(n, np.int64)
+        ns = np.empty(n, np.int64)
+        for i, v in enumerate(blob_col):
+            blob = bytes(v.as_buffer()) if v.is_valid else b""
+            w, h, frames = decode_video(blob)
+            ws[i], hs[i], nf[i] = w, h, len(frames)
+            ns[i] = 0 if not frames else (len(frames) - 1) // self.every_n + 1
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "n_sampled": pa.array(ns, pa.int64()),
+        })
+
+
+def text_to_y4m(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                width: int = 16, height: int = 16):
+    """Deterministic REAL video payloads from text: utf-8 bytes laid
+    row-major into C420 frames (w*h*3/2 bytes each), zero-padded;
+    empty/null text becomes one zero frame."""
+    fsize = width * height * 3 // 2
+
+    def f(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for t in batch[text_col].to_pylist():
+            b = (t or "").encode("utf-8")
+            n_frames = max(1, -(-len(b) // fsize))
+            buf = np.zeros(n_frames * fsize, np.uint8)
+            buf[:len(b)] = np.frombuffer(b, np.uint8)
+            frames = [buf[i * fsize:(i + 1) * fsize].tobytes()
+                      for i in range(n_frames)]
+            blobs.append(encode_y4m_frames(width, height, frames))
+        return pa.table({"doc_id": batch[id_col],
+                         "blob": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def video_metadata(ds, *, every_n: int = 30, concurrency=(1, 4),
+                   batch_size: int = 64):
+    return ds.map_batches(
+        VideoMetaStage,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class FrameSampleStage:
-    """Actor-pool stage signature for video payloads: emits one row per
-    sampled frame index with deterministic fake frame hashes when
-    ``fake=True`` (the Ray-side plumbing — fan-out rows per input row,
-    schema, batch sizing — is real and tested; decode is not)."""
+    """Actor-pool stage for video payloads: one row per sampled frame.
+    ``fake=False`` (default) REALLY samples every_n-th frames of a Y4M
+    payload (sample_frames) and hashes the raw frame bytes; ``fake=True``
+    keeps the deterministic 1-frame-per-KB fake for plumbing tests with
+    arbitrary blobs."""
 
     def __init__(self, every_n: int = 30, fake: bool = False):
         self.every_n = every_n
@@ -325,15 +440,21 @@ class FrameSampleStage:
         doc_ids, frame_idx, frame_hash = [], [], []
         for i, v in enumerate(blob_col):
             blob = bytes(v.as_buffer()) if v.is_valid else b""
-            if not self.fake:
-                sample_frames(blob, self.every_n)  # raises: stub
-            n_fake_frames = max(1, len(blob) // 1024)  # pretend 1 frame/KB
             did = batch["doc_id"][i].as_py()
-            for f in range(0, n_fake_frames, self.every_n):
-                h = hashlib.blake2b(blob + f.to_bytes(4, "big"), digest_size=8).hexdigest()
+            if self.fake:
+                n_fake_frames = max(1, len(blob) // 1024)  # 1 frame/KB
+                for f in range(0, n_fake_frames, self.every_n):
+                    h = hashlib.blake2b(blob + f.to_bytes(4, "big"),
+                                        digest_size=8).hexdigest()
+                    doc_ids.append(did)
+                    frame_idx.append(f)
+                    frame_hash.append(h)
+                continue
+            for f, frame in sample_frames(blob, self.every_n):
                 doc_ids.append(did)
                 frame_idx.append(f)
-                frame_hash.append(h)
+                frame_hash.append(
+                    hashlib.blake2b(frame, digest_size=8).hexdigest())
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "frame_idx": pa.array(frame_idx, pa.int32()),

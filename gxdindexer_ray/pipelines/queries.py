@@ -2165,6 +2165,28 @@ FROM documents
 """
 
 
+def q77_video_frame_sample(sf: str):
+    """REAL (non-stubbed) video parse through the actor-pool metadata
+    stage: deterministic uncompressed Y4M payloads manufactured from text
+    (ops/multimodal.py::text_to_y4m — utf-8 bytes packed into 16x16 C420
+    frames of 384 bytes), walked with the pure-numpy YUV4MPEG2 parser;
+    n_sampled counts the every-4th-frame samples FrameSampleStage emits."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return mm.video_metadata(mm.text_to_y4m(ds), every_n=4)
+
+
+SQL_Q77 = """
+WITH m AS (
+  SELECT doc_id,
+         greatest(1, ceil(coalesce(octet_length(encode(text)), 0)
+                          / 384.0))::BIGINT AS n_frames
+  FROM documents)
+SELECT doc_id, 16 AS width, 16 AS height, n_frames,
+       (n_frames - 1) // 4 + 1 AS n_sampled
+FROM m
+"""
+
+
 def q75_repetition_ratio(sf: str):
     """Gopher-style repetition quality rule: the share of each document's
     bigrams held by its most frequent bigram, exact and fully vectorized
@@ -2274,6 +2296,7 @@ CATALOG: dict[str, tuple] = {
     "q74_length_band_filter": (q74_length_band_filter, SQL_Q74),
     "q75_repetition_ratio": (q75_repetition_ratio, SQL_Q75),
     "q76_audio_decode_meta": (q76_audio_decode_meta, SQL_Q76),
+    "q77_video_frame_sample": (q77_video_frame_sample, SQL_Q77),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2281,7 +2304,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 76 entries the sweep covers q51-q76 + q01-q24. The
+# the window — at 77 entries the sweep covers q51-q77 + q01-q23. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2297,7 +2320,7 @@ GROUPS: dict[str, list[str]] = {
     "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
     "multimodal": ["q32_blob_meta", "q69_image_decode_meta",
-                   "q76_audio_decode_meta"],
+                   "q76_audio_decode_meta", "q77_video_frame_sample"],
     "sketches": ["q37_approx_distinct"],
     "sinks": ["q68_partitioned_sink"],
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",

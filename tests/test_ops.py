@@ -1857,3 +1857,52 @@ def test_audio_meta_stage(ray_session):
     assert out["channels"].tolist() == [1] * 3
     assert out["n_samples"].tolist() == [11, 0, 0]
     assert out["duration_ms"].tolist() == [11 * 1000 // 16000, 0, 0]
+
+
+def test_y4m_roundtrip_and_frame_sampling(ray_session):
+    """Y4M video parse is REAL: encode/decode round-trip, every-n frame
+    sampling with real frame-byte hashes, compressed blobs raise."""
+    import pytest as _pt
+
+    from gxdindexer_ray.ops.multimodal import (FrameSampleStage,
+                                               decode_video,
+                                               encode_y4m_frames,
+                                               sample_frames)
+
+    w, h = 4, 4
+    fsize = w * h * 3 // 2
+    frames = [bytes([i]) * fsize for i in range(10)]
+    blob = encode_y4m_frames(w, h, frames)
+    gw, gh, got = decode_video(blob)
+    assert (gw, gh) == (w, h) and got == frames
+    samp = sample_frames(blob, every_n=3)
+    assert [i for i, _ in samp] == [0, 3, 6, 9]
+    assert all(f == frames[i] for i, f in samp)
+    with _pt.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00 ftypmp42 not a y4m")
+
+    # real (non-fake) FrameSampleStage emits one row per sampled frame
+    # with hashes of the actual frame bytes
+    batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "blob": pa.array([blob], pa.binary())})
+    out = FrameSampleStage(every_n=3)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 3, 6, 9]
+    import hashlib as _h
+    assert out["frame_hash"].to_pylist()[1] == \
+        _h.blake2b(frames[3], digest_size=8).hexdigest()
+
+
+def test_video_meta_stage_end_to_end(ray_session):
+    """text_to_y4m -> VideoMetaStage: frame counts from the actual
+    container, one zero frame for empty/null text."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.multimodal import text_to_y4m, video_metadata
+
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": ["x" * 900, "", None]})  # 900B -> 3 frames
+    out = video_metadata(text_to_y4m(rd.from_pandas(df)), every_n=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_frames"].tolist() == [3, 1, 1]
+    assert out["n_sampled"].tolist() == [1, 1, 1]
+    assert out["width"].tolist() == [16] * 3
