@@ -105,3 +105,31 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         return pd.DataFrame({user_col: out.index.to_numpy(), "n_sessions": out.to_numpy()})
 
     return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)
+
+
+def running_aggregate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                      tiebreak_col: str = "event_id",
+                      value_col: str = "value", n_buckets: int = 64,
+                      lag_delta: bool = False):
+    """Ordered per-key running window — the windowed-aggregate class Ray
+    Data lacks natively, expressed as ONE key-hash exchange + a vectorized
+    in-bucket sorted scan (no per-key Python): running_sum = SQL
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` and, with
+    ``lag_delta``, ``value - lag(value) OVER (...)`` (null on each key's
+    first row). Partitioning assumption: one key's rows fit a reducer
+    (same contract as every keyed exchange here)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False)[value_col]
+        out = df[[key_col, tiebreak_col, value_col]].copy()
+        out["running_sum"] = g.cumsum()
+        if lag_delta:
+            out["delta"] = df[value_col] - g.shift()
+        return out
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key_col, ts_col, tiebreak_col, value_col]]
+
+    return keyed_exchange_apply(ds, [key_col], per_bucket, n_buckets,
+                                local=local)

@@ -2187,6 +2187,40 @@ FROM m
 """
 
 
+def q78_running_sum(sf: str):
+    """Ordered per-key running window (ops/windows.py::running_aggregate):
+    per-user cumulative value plus value - lag(value) deltas over the
+    events log, ordered by (ts, event_id) — one key-hash exchange, one
+    vectorized sorted scan per bucket."""
+    from ..ops.windows import running_aggregate
+
+    ds = read_table(sf, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = running_aggregate(ds, lag_delta=True)
+
+    def round2(t: pa.Table) -> pa.Table:
+        # fixed-point the cumulative sum: left-to-right vs tree-structured
+        # float accumulation differs in ULPs, so both sides land on the
+        # same 2-dp grid via the identical floor(x*100 + 0.5) formula
+        rs = t["running_sum"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("running_sum"),
+                            "running_sum",
+                            pa.array(np.floor(rs * 100 + 0.5) / 100))
+
+    return out.map_batches(round2, batch_format="pyarrow")
+
+
+SQL_Q78 = """
+SELECT user_id, event_id, value,
+       floor(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) * 100 + 0.5) / 100
+           AS running_sum,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+"""
+
+
 def q75_repetition_ratio(sf: str):
     """Gopher-style repetition quality rule: the share of each document's
     bigrams held by its most frequent bigram, exact and fully vectorized
@@ -2297,6 +2331,7 @@ CATALOG: dict[str, tuple] = {
     "q75_repetition_ratio": (q75_repetition_ratio, SQL_Q75),
     "q76_audio_decode_meta": (q76_audio_decode_meta, SQL_Q76),
     "q77_video_frame_sample": (q77_video_frame_sample, SQL_Q77),
+    "q78_running_sum": (q78_running_sum, SQL_Q78),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2304,7 +2339,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 77 entries the sweep covers q51-q77 + q01-q23. The
+# the window — at 78 entries the sweep covers q51-q78 + q01-q22. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2317,7 +2352,8 @@ CATALOG = {n: CATALOG[n] for n in _ROTATED}
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
                    {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74)}],
-    "windows": ["q20_tumbling_window", "q21_sessionize", "q61_hopping_window"],
+    "windows": ["q20_tumbling_window", "q21_sessionize",
+                "q61_hopping_window", "q78_running_sum"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
     "multimodal": ["q32_blob_meta", "q69_image_decode_meta",
                    "q76_audio_decode_meta", "q77_video_frame_sample"],
