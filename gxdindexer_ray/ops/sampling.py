@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .relational import _splitmix64, keyed_exchange_apply
+from .relational import _splitmix64, keyed_exchange_apply, mod_exchange_apply
 
 
 def _id_hashes(ids: np.ndarray, seed: int) -> np.ndarray:
@@ -102,3 +102,51 @@ def hash_split(ds, *, id_col: str, splits: dict[str, float], seed: int = 0,
         return batch.append_column(label_col, lab.cast(pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def shuffle_shard(ds, *, id_col: str, n_shards: int = 16, seed: int = 0):
+    """Deterministic global shuffle for training-data sharding: every row
+    gets (shard, pos) where ``shard = splitmix64(id ^ seed) % n_shards``
+    and ``pos`` is the row's rank within its shard ordered by the same
+    hash (ties impossible within a shard: splitmix64 is a bijection, and
+    equal ids are broken by id). Reading shards in pos order replays a
+    uniform pseudo-random permutation of the corpus.
+
+    This is how you "random_shuffle" 100 TB: a true shuffle is an
+    all-to-all exchange of every byte with non-deterministic placement;
+    here the PAYLOAD never moves — only (id, hash) pairs cross ONE
+    mod-shard exchange to be ranked, the assignment is a pure function of
+    the data (re-running a failed shard or changing cluster size/block
+    split reproduces it exactly), and the downstream trainer fetches rows
+    by (shard, pos) order. Output: (id_col, shard, pos)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _id_hashes(ids, seed)
+        return pa.table({id_col: batch[id_col],
+                         "shard": pa.array((h % np.uint64(n_shards))
+                                           .astype(np.int64)),
+                         "__h": pa.array(h)})
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        # a bucket holds whole shards (shard % n_buckets routing), possibly
+        # several: rank within each by (hash, id), vectorized
+        sh = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = tbl["__h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h, sh))
+        sh_s = sh[order]
+        starts = np.r_[0, np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1]
+        pos = np.arange(len(sh_s), dtype=np.int64)
+        pos -= np.repeat(starts, np.diff(np.r_[starts, len(sh_s)]))
+        out = np.empty(len(sh_s), dtype=np.int64)
+        out[order] = pos
+        return pa.table({id_col: tbl[id_col], "shard": tbl["shard"],
+                         "pos": pa.array(out)})
+
+    shards = ds.map_batches(pre, batch_format="pyarrow")
+    return mod_exchange_apply(shards, "shard", rank,
+                              n_buckets=min(n_shards, 64),
+                              batch_format="pyarrow")

@@ -372,3 +372,56 @@ def repetition_ratio(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          out_col: pa.array(rep, pa.float64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_tokens(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 size: int = 32, stride: int = 24):
+    """Fixed token-window chunking — the context-window preprocessing step
+    of an LLM training pipeline: each document becomes overlapping chunks
+    of ``size`` tokens starting every ``stride`` tokens (last chunk may be
+    shorter; empty docs emit nothing). Output rows are
+    (id, chunk_idx, n_tokens, chunk_text) with chunk_text the space-join
+    of the frozen-spec tokens, so the DuckDB list_slice oracle matches
+    byte-for-byte. Fully vectorized (one gather + one ListArray +
+    one binary_join per batch) and map-side only — nothing shuffles; at
+    corpus scale the op is embarrassingly parallel and output-bounded."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, doc_idx = tokenize_column(batch[text_col])
+        empty = pa.table({id_col: pa.array([], batch[id_col].type),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if len(flat) == 0:
+            return empty
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        cnt = np.bincount(doc_idx, minlength=n)          # tokens per row
+        flat_start = np.r_[0, np.cumsum(cnt)[:-1]]       # row's first token
+        n_chunks = -(-cnt // stride)                     # ceil; 0 stays 0
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        row_of_chunk = np.repeat(np.arange(n), n_chunks)
+        chunk_idx = (np.arange(total)
+                     - np.repeat(np.r_[0, np.cumsum(n_chunks)[:-1]], n_chunks))
+        start = chunk_idx * stride
+        clen = np.minimum(size, cnt[row_of_chunk] - start)
+        # gather indices: for chunk c, flat_start[row] + start + [0, clen)
+        offsets = np.r_[0, np.cumsum(clen)]
+        ar = np.arange(offsets[-1], dtype=np.int64)
+        ar -= np.repeat(offsets[:-1], clen)              # within-chunk pos
+        idx = np.repeat(flat_start[row_of_chunk] + start, clen) + ar
+        values = flat.take(pa.array(idx, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), values)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(row_of_chunk, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " ")})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2221,6 +2221,97 @@ FROM events
 """
 
 
+def q79_decontaminate(sf: str):
+    """Benchmark decontamination (ops/decontam.py::ngram_contamination):
+    docs with doc_id % 13 == 0 act as the held-out benchmark split; every
+    other doc is flagged with the number of its DISTINCT 4-grams that
+    appear anywhere in the benchmark side. Exact n-gram strings through
+    ONE hash exchange (no broadcast set, no hashing approximation) —
+    the standard GPT-3/PaLM-style contamination check as a distributed
+    operator."""
+    from ..ops.decontam import ngram_contamination
+
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+    def side(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 13 == 0) if bench else (ids % 13 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    cand = docs.map_batches(side(False), batch_format="pyarrow")
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    return ngram_contamination(cand, bench, n=4)
+
+
+SQL_Q79 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 2),
+                 i -> array_to_string(list_slice(ts, i, i + 3), ' '))) AS g
+  FROM arr WHERE len(ts) >= 4),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 13 = 0),
+cand AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % 13 <> 0)
+SELECT c.doc_id, count(*)::BIGINT AS hit_ngrams
+FROM cand c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""
+
+
+def q80_chunk_tokens(sf: str):
+    """Context-window chunking (ops/textops.py::chunk_tokens): every doc
+    becomes overlapping 32-token windows on a 24-token stride — the
+    training-sample preprocessing step of an LLM pipeline, fully
+    vectorized and map-side only."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.chunk_tokens(ds, size=32, stride=24)
+
+
+SQL_Q80 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+ch AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS start
+  FROM arr WHERE len(ts) > 0)
+SELECT doc_id,
+       (start / 24)::BIGINT AS chunk_idx,
+       least(32, len(ts) - start)::BIGINT AS n_tokens,
+       array_to_string(list_slice(ts, start + 1, start + 32), ' ')
+           AS chunk_text
+FROM ch
+"""
+
+
+def q81_shuffle_shard(sf: str):
+    """Deterministic global shuffle (ops/sampling.py::shuffle_shard):
+    (shard, pos) assignment that replays a uniform pseudo-random
+    permutation of the corpus without moving payload bytes — only
+    (id, hash) pairs cross one mod-shard exchange. 16 shards over the
+    documents table."""
+    from ..ops.sampling import shuffle_shard
+
+    ds = read_table(sf, "documents", columns=["doc_id"])
+    return shuffle_shard(ds, id_col="doc_id", n_shards=16)
+
+
+SQL_Q81 = (
+    _sql_splitmix("SELECT doc_id FROM documents", "doc_id", "doc_id")
+    + """
+SELECT doc_id, (hv % 16)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+        - 1)::BIGINT AS pos
+FROM hashed
+""")
+
+
 def q75_repetition_ratio(sf: str):
     """Gopher-style repetition quality rule: the share of each document's
     bigrams held by its most frequent bigram, exact and fully vectorized
@@ -2332,6 +2423,9 @@ CATALOG: dict[str, tuple] = {
     "q76_audio_decode_meta": (q76_audio_decode_meta, SQL_Q76),
     "q77_video_frame_sample": (q77_video_frame_sample, SQL_Q77),
     "q78_running_sum": (q78_running_sum, SQL_Q78),
+    "q79_decontaminate": (q79_decontaminate, SQL_Q79),
+    "q80_chunk_tokens": (q80_chunk_tokens, SQL_Q80),
+    "q81_shuffle_shard": (q81_shuffle_shard, SQL_Q81),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2354,7 +2448,8 @@ GROUPS: dict[str, list[str]] = {
                    {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74)}],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum"],
-    "sampling": ["q62_hash_sample", "q63_sample_per_key", "q66_train_test_split"],
+    "sampling": ["q62_hash_sample", "q63_sample_per_key",
+                 "q66_train_test_split", "q81_shuffle_shard"],
     "multimodal": ["q32_blob_meta", "q69_image_decode_meta",
                    "q76_audio_decode_meta", "q77_video_frame_sample"],
     "sketches": ["q37_approx_distinct"],
@@ -2362,9 +2457,10 @@ GROUPS: dict[str, list[str]] = {
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
              "q72_normalize_text", "q73_pii_redact",
-             "q75_repetition_ratio"],
+             "q75_repetition_ratio", "q80_chunk_tokens"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
-              "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation"],
+              "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
+              "q79_decontaminate"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn"],

@@ -1906,3 +1906,103 @@ def test_video_meta_stage_end_to_end(ray_session):
     assert out["n_frames"].tolist() == [3, 1, 1]
     assert out["n_sampled"].tolist() == [1, 1, 1]
     assert out["width"].tolist() == [16] * 3
+
+
+def test_ngram_contamination_exact(ray_session):
+    """Hand-built corpus: overlap counts are checkable by eye; bench docs
+    never appear in the output; docs with < n tokens never flag."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.decontam import ngram_contamination
+
+    bench = rd.from_items([
+        {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 101, "text": "pack my box with five dozen liquor jugs"},
+    ])
+    cand = rd.from_items([
+        # shares "the quick brown fox" AND "quick brown fox jumps" -> 2
+        {"doc_id": 1, "text": "saw the quick brown fox jumps away"},
+        # shares exactly one 4-gram (punct splits stop the second)
+        {"doc_id": 2, "text": "pack my box with care"},
+        # repeated hit n-gram inside one doc still counts ONCE (distinct)
+        {"doc_id": 3, "text": "the lazy dog! over the lazy dog? over the lazy dog"},
+        # no overlap
+        {"doc_id": 4, "text": "completely unrelated words in this row"},
+        # too short for any 4-gram
+        {"doc_id": 5, "text": "quick brown fox"},
+    ])
+    out = {r["doc_id"]: r["hit_ngrams"]
+           for r in ngram_contamination(cand, bench, n=4, n_buckets=8)
+           .take_all()}
+    # verify against the scalar ground truth (set intersection of each
+    # doc's distinct 4-grams with the union of bench grams)
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    def grams(t, n=4):
+        ts = tokenize(t)
+        return {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+
+    bg = grams("the quick brown fox jumps over the lazy dog") | grams(
+        "pack my box with five dozen liquor jugs")
+    for did, txt in [(1, "saw the quick brown fox jumps away"),
+                     (2, "pack my box with care"),
+                     (3, "the lazy dog! over the lazy dog? over the lazy dog"),
+                     (4, "completely unrelated words in this row"),
+                     (5, "quick brown fox")]:
+        expect = len(grams(txt) & bg)
+        assert out.get(did, 0) == expect
+
+
+def test_chunk_tokens_layout(ray_session):
+    """Chunk starts step by stride, last chunk truncates, text is the
+    exact token-slice join, empty/short docs behave."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import chunk_tokens
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    texts = {1: " ".join(f"w{i}" for i in range(10)),   # 10 toks
+             2: "only three tokens",                     # 1 chunk
+             3: "",                                      # no chunks
+             4: " ".join(f"x{i}" for i in range(8))}     # exactly 2 strides
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    rows = chunk_tokens(ds, size=4, stride=4).take_all()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in rows}
+    expect = {}
+    for did, txt in texts.items():
+        ts = tokenize(txt)
+        for ci, start in enumerate(range(0, len(ts), 4)):
+            seg = ts[start:start + 4]
+            expect[(did, ci)] = (len(seg), " ".join(seg))
+    assert got == expect
+    # overlapping windows: stride < size
+    rows = chunk_tokens(ds, size=4, stride=2).take_all()
+    r1 = sorted((r["chunk_idx"], r["chunk_text"]) for r in rows
+                if r["doc_id"] == 1)
+    ts = tokenize(texts[1])
+    assert r1 == [(i, " ".join(ts[s:s + 4]))
+                  for i, s in enumerate(range(0, 10, 2))]
+
+
+def test_shuffle_shard_is_permutation_and_deterministic(ray_session):
+    import ray.data as rd
+    from gxdindexer_ray.ops.sampling import shuffle_shard
+
+    ids = list(range(500))
+    ds = rd.from_items([{"doc_id": i} for i in ids])
+    rows = shuffle_shard(ds, id_col="doc_id", n_shards=7).take_all()
+    assert sorted(r["doc_id"] for r in rows) == ids        # every row once
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(7))
+    for positions in by_shard.values():                    # dense 0..k-1
+        assert sorted(positions) == list(range(len(positions)))
+    # determinism across a different block split
+    rows2 = shuffle_shard(ds.repartition(13), id_col="doc_id",
+                          n_shards=7).take_all()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rs)
+    assert key(rows) == key(rows2)
+    # a different seed produces a different permutation
+    rows3 = shuffle_shard(ds, id_col="doc_id", n_shards=7,
+                          seed=99).take_all()
+    assert key(rows) != key(rows3)
