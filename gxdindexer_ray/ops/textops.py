@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..text.tokenize import doc_term_counts, tokenize_column
+from .relational import keyed_exchange_apply
 
 
 # ---------------------------------------------------------------------------
@@ -425,3 +426,62 @@ def chunk_tokens(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "chunk_text": pc.binary_join(lists, " ")})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def top_tfidf_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, n_docs: int | None = None,
+                    n_buckets: int = 64):
+    """Per-document keyword extraction: the k terms with the highest
+    ``tf * ln(n_docs / df)`` (ties broken by term asc), tfidf fixed-point
+    rounded to 6 dp on output. Two exchanges, both skinny:
+
+    1. distinct (doc, term, tf) rows hash-partition BY TERM; each bucket
+       owns its terms completely, so df is just the per-term group size —
+       the corpus-wide statistic costs no extra pass or broadcast, and
+       scoring happens in the same reducer.
+    2. scored rows re-partition BY DOC with a per-batch partial top-k
+       (k rows per doc per batch cross the wire), per-bucket final top-k.
+
+    ``n_docs`` defaults to ``ds.count()`` (metadata-cheap on a raw
+    parquet read; pass it explicitly when the input plan is transformed)."""
+    if n_docs is None:
+        n_docs = ds.count()
+    n_f = float(n_docs)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        vocab, doc_idx, codes, tf = doc_term_counts(batch[text_col])
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_idx, pa.int64())),
+            "term": (vocab.take(pa.array(codes, pa.int64()))
+                     if len(vocab) else pa.array([], pa.string())),
+            "tf": pa.array(tf, pa.int64())})
+
+    def score_bucket(tbl: pa.Table) -> pa.Table:
+        # rows are distinct (doc, term): df = the term's group size here
+        codes = pc.dictionary_encode(tbl["term"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(codes)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = tf * np.log(n_f / df[codes])
+        return pa.table({id_col: tbl[id_col], "term": tbl["term"],
+                         "tfidf": pa.array(tfidf, pa.float64())})
+
+    def topk(df_: pd.DataFrame) -> pd.DataFrame:
+        out = (df_.sort_values([id_col, "tfidf", "term"],
+                               ascending=[True, False, True])
+               .groupby(id_col, sort=False).head(k))
+        return out.reset_index(drop=True)
+
+    scored = keyed_exchange_apply(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        ["term"], score_bucket, n_buckets,
+        batch_format="pyarrow", local_arrow=lambda t: t)
+    ranked = keyed_exchange_apply(scored, [id_col], topk, n_buckets,
+                                  local=topk)
+
+    def round6(t: pa.Table) -> pa.Table:
+        v = t["tfidf"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("tfidf"), "tfidf",
+                            pa.array(np.floor(v * 1e6 + 0.5) / 1e6))
+
+    return ranked.map_batches(round6, batch_format="pyarrow")

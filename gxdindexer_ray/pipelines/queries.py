@@ -2312,6 +2312,38 @@ FROM hashed
 """)
 
 
+def q82_keyword_extract(sf: str):
+    """Per-doc keyword extraction (ops/textops.py::top_tfidf_terms): top-3
+    terms by tf*ln(N/df). df is computed inside the term-keyed exchange
+    (no extra corpus pass, no broadcast vocabulary); a doc-keyed partial
+    top-k exchange finishes the ranking."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.top_tfidf_terms(ds, k=3)
+
+
+SQL_Q82 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM arr),
+tfs AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id, t.term,
+         t.tf * ln((SELECT count(*) FROM documents)::DOUBLE / d.df) AS x
+  FROM tfs t JOIN dfs d USING (term)),
+rk AS (SELECT doc_id, term, x,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY x DESC, term) AS rn
+       FROM sc)
+SELECT doc_id, term, floor(x * 1000000 + 0.5) / 1000000 AS tfidf
+FROM rk WHERE rn <= 3
+"""
+
+
 def q75_repetition_ratio(sf: str):
     """Gopher-style repetition quality rule: the share of each document's
     bigrams held by its most frequent bigram, exact and fully vectorized
@@ -2426,6 +2458,7 @@ CATALOG: dict[str, tuple] = {
     "q79_decontaminate": (q79_decontaminate, SQL_Q79),
     "q80_chunk_tokens": (q80_chunk_tokens, SQL_Q80),
     "q81_shuffle_shard": (q81_shuffle_shard, SQL_Q81),
+    "q82_keyword_extract": (q82_keyword_extract, SQL_Q82),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2457,7 +2490,8 @@ GROUPS: dict[str, list[str]] = {
     "text": ["q22_token_count", "q23_term_stats", "q25_quality",
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
              "q72_normalize_text", "q73_pii_redact",
-             "q75_repetition_ratio", "q80_chunk_tokens"],
+             "q75_repetition_ratio", "q80_chunk_tokens",
+             "q82_keyword_extract"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate"],

@@ -2006,3 +2006,42 @@ def test_shuffle_shard_is_permutation_and_deterministic(ray_session):
     rows3 = shuffle_shard(ds, id_col="doc_id", n_shards=7,
                           seed=99).take_all()
     assert key(rows) != key(rows3)
+
+
+def test_top_tfidf_terms_scalar_truth(ray_session):
+    """Tiny corpus vs a scalar tf-idf computation; rare terms outrank
+    common ones, ties break by term asc, k caps per doc."""
+    import math
+
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import top_tfidf_terms
+    from gxdindexer_ray.text.tokenize import tokenize
+
+    texts = {1: "apple banana apple cherry",
+             2: "banana cherry cherry dates",
+             3: "apple elderberry elderberry elderberry",
+             4: ""}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    rows = top_tfidf_terms(ds, k=2, n_buckets=4).take_all()
+
+    tfs = {d: {} for d in texts}
+    for d, t in texts.items():
+        for w in tokenize(t):
+            tfs[d][w] = tfs[d].get(w, 0) + 1
+    df = {}
+    for d in tfs:
+        for w in tfs[d]:
+            df[w] = df.get(w, 0) + 1
+    n = float(len(texts))
+    expect = set()
+    for d in tfs:
+        scored = sorted(((w, c * math.log(n / df[w]))
+                         for w, c in tfs[d].items()),
+                        key=lambda x: (-x[1], x[0]))[:2]
+        for w, s in scored:
+            expect.add((d, w, math.floor(s * 1e6 + 0.5) / 1e6))
+    got = {(r["doc_id"], r["term"], r["tfidf"]) for r in rows}
+    assert got == expect
+    # explicit n_docs overrides the input count
+    rows2 = top_tfidf_terms(ds, k=1, n_docs=1000, n_buckets=4).take_all()
+    assert all(r["tfidf"] > 0 for r in rows2)
