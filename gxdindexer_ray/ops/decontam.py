@@ -60,12 +60,21 @@ def ngram_pairs(batch: pa.Table, *, id_col: str, text_col: str,
     return tbl.group_by([id_col, "g"]).aggregate([])
 
 
-def ngram_contamination(cand, bench, *, id_col: str = "doc_id",
+def ngram_contamination(cand, bench=None, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 4,
-                        n_buckets: int = 64, out_col: str = "hit_ngrams"):
+                        n_buckets: int = 64, out_col: str = "hit_ngrams",
+                        bench_mask=None):
     """For each doc in ``cand``, count its DISTINCT n-grams that appear in
     ANY ``bench`` doc; emits only contaminated docs (count >= 1) as
-    (id_col, out_col). Exact string comparison — no hash collisions."""
+    (id_col, out_col). Exact string comparison — no hash collisions.
+
+    Two input shapes:
+    - ``(cand, bench)``: two separate Datasets.
+    - ``(corpus, bench_mask=fn)``: ONE Dataset split map-side by
+      ``bench_mask(batch) -> bool ndarray`` (True = benchmark row). This
+      reads and tokenizes the corpus ONCE instead of executing the shared
+      upstream plan per branched side — the 100-TB shape when both splits
+      come from the same table."""
 
     def gen_cand(batch: pa.Table) -> pa.Table:
         tbl = ngram_pairs(batch, id_col=id_col, text_col=text_col, n=n)
@@ -75,14 +84,26 @@ def ngram_contamination(cand, bench, *, id_col: str = "doc_id",
     def gen_bench(batch: pa.Table) -> pa.Table:
         tbl = ngram_pairs(batch, id_col=id_col, text_col=text_col, n=n)
         # the benchmark side only needs the DISTINCT n-gram set; doc ids
-        # are nulled so the union schema matches at minimum width
+        # are nulled (in the INPUT's id type, so the union schema matches
+        # for string/int32/... ids too)
         g = pc.unique(tbl["g"])
-        return pa.table({id_col: pa.nulls(len(g), pa.int64()),
+        return pa.table({id_col: pa.nulls(len(g), tbl.schema.field(id_col).type),
                          "g": g,
                          "is_bench": pa.array(np.ones(len(g), np.int8))})
 
-    sides = (cand.map_batches(gen_cand, batch_format="pyarrow")
-             .union(bench.map_batches(gen_bench, batch_format="pyarrow")))
+    if bench_mask is not None:
+        if bench is not None:
+            raise ValueError("pass either bench or bench_mask, not both")
+
+        def gen_both(batch: pa.Table) -> pa.Table:
+            m = pa.array(np.asarray(bench_mask(batch), dtype=bool))
+            return pa.concat_tables([gen_cand(batch.filter(pc.invert(m))),
+                                     gen_bench(batch.filter(m))])
+
+        sides = cand.map_batches(gen_both, batch_format="pyarrow")
+    else:
+        sides = (cand.map_batches(gen_cand, batch_format="pyarrow")
+                 .union(bench.map_batches(gen_bench, batch_format="pyarrow")))
 
     def bucket_fn(tbl: pa.Table) -> pa.Table:
         is_b = pc.equal(tbl["is_bench"], 1)

@@ -124,6 +124,9 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, ch, rate, _brate, _align, bits = fmt
     if audio_fmt != 1:
         raise NotImplementedError(f"non-PCM WAV format {audio_fmt}")
+    if ch < 1 or rate < 1:
+        raise ValueError(
+            f"malformed WAV fmt chunk: channels={ch}, sample_rate={rate}")
     if bits == 16:
         samples = np.frombuffer(data, "<i2", count=len(data) // 2)
     elif bits == 8:
@@ -344,7 +347,11 @@ def decode_video(blob: bytes) -> tuple[int, int, list[bytes]]:
         if blob[pos:pos + 5] != b"FRAME":
             raise ValueError(f"bad FRAME marker at {pos}")
         fnl = blob.index(b"\n", pos)
-        frames.append(blob[fnl + 1:fnl + 1 + fsize])
+        frame = blob[fnl + 1:fnl + 1 + fsize]
+        if len(frame) != fsize:
+            raise ValueError(
+                f"truncated Y4M frame at {pos}: {len(frame)}/{fsize} bytes")
+        frames.append(frame)
         pos = fnl + 1 + fsize
     return width, height, frames
 

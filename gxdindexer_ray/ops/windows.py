@@ -116,14 +116,22 @@ def running_aggregate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     in-bucket sorted scan (no per-key Python): running_sum = SQL
     ``sum(value) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` and, with
     ``lag_delta``, ``value - lag(value) OVER (...)`` (null on each key's
-    first row). Partitioning assumption: one key's rows fit a reducer
-    (same contract as every keyed exchange here)."""
+    first row). running_sum honors SQL's default RANGE frame: rows tied on
+    (ts, tiebreak) are frame peers and all receive the tie-group total.
+    lag/delta between tied rows follows the stable in-bucket sort order
+    (SQL leaves it implementation-defined). Partitioning assumption: one
+    key's rows fit a reducer (same contract as every keyed exchange
+    here)."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
         g = df.groupby(key_col, sort=False)[value_col]
         out = df[[key_col, tiebreak_col, value_col]].copy()
-        out["running_sum"] = g.cumsum()
+        # RANGE frame: broadcast each (key, ts, tiebreak) tie-group's last
+        # cumsum so peers share the frame total (= SQL sum OVER ORDER BY)
+        out["running_sum"] = g.cumsum().groupby(
+            [df[key_col], df[ts_col], df[tiebreak_col]],
+            sort=False, dropna=False).transform("last")
         if lag_delta:
             out["delta"] = df[value_col] - g.shift()
         return out

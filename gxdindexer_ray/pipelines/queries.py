@@ -2232,17 +2232,11 @@ def q79_decontaminate(sf: str):
     from ..ops.decontam import ngram_contamination
 
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
-
-    def side(bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            mask = (ids % 13 == 0) if bench else (ids % 13 != 0)
-            return t.filter(pa.array(mask))
-        return f
-
-    cand = docs.map_batches(side(False), batch_format="pyarrow")
-    bench = docs.map_batches(side(True), batch_format="pyarrow")
-    return ngram_contamination(cand, bench, n=4)
+    # bench_mask splits ONE read map-side (branching two filtered
+    # map_batches off the same lazy read would execute the scan twice)
+    return ngram_contamination(
+        docs, n=4,
+        bench_mask=lambda t: t["doc_id"].to_numpy(zero_copy_only=False) % 13 == 0)
 
 
 SQL_Q79 = """
@@ -2466,7 +2460,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 78 entries the sweep covers q51-q78 + q01-q22. The
+# the window — at 82 entries the sweep covers q51-q82 + q01-q18. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]

@@ -2045,3 +2045,86 @@ def test_top_tfidf_terms_scalar_truth(ray_session):
     # explicit n_docs overrides the input count
     rows2 = top_tfidf_terms(ds, k=1, n_docs=1000, n_buckets=4).take_all()
     assert all(r["tfidf"] > 0 for r in rows2)
+
+
+def test_running_aggregate_range_frame_ties(ray_session):
+    """SQL's default RANGE frame: rows tied on (key, ts, tiebreak) are
+    frame peers and ALL receive the tie-group total (DuckDB semantics for
+    sum OVER (PARTITION BY key ORDER BY ts, tiebreak))."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.windows import running_aggregate
+
+    ds = rd.from_items([
+        {"user_id": "u", "ts": 1, "event_id": 1, "value": 1.0},
+        {"user_id": "u", "ts": 1, "event_id": 1, "value": 2.0},  # tied peer
+        {"user_id": "u", "ts": 2, "event_id": 2, "value": 5.0},
+        {"user_id": "v", "ts": 1, "event_id": 9, "value": 4.0},
+    ])
+    rows = running_aggregate(ds, key_col="user_id", ts_col="ts",
+                             tiebreak_col="event_id", value_col="value",
+                             n_buckets=4).take_all()
+    got = {(r["user_id"], r["value"]): r["running_sum"] for r in rows}
+    # both tied rows see the full peer total 3.0, not [1.0, 3.0]
+    assert got[("u", 1.0)] == 3.0
+    assert got[("u", 2.0)] == 3.0
+    assert got[("u", 5.0)] == 8.0
+    assert got[("v", 4.0)] == 4.0
+
+
+def test_ngram_contamination_string_ids_and_mask(ray_session):
+    """Non-int64 id columns work (bench-side nulls take the INPUT's id
+    type), and the single-input bench_mask path matches the two-Dataset
+    path on the same split."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.decontam import ngram_contamination
+
+    corpus = rd.from_items([
+        {"url": "bench/1", "text": "the quick brown fox jumps over it"},
+        {"url": "cand/1", "text": "saw the quick brown fox jumps away"},
+        {"url": "cand/2", "text": "nothing shared with anything here now"},
+    ])
+    out = {r["url"]: r["hit_ngrams"] for r in ngram_contamination(
+        corpus, id_col="url", text_col="text", n=4, n_buckets=4,
+        bench_mask=lambda t: [s.startswith("bench/")
+                              for s in t["url"].to_pylist()]).take_all()}
+    # "the quick brown fox" + "quick brown fox jumps" shared
+    assert out == {"cand/1": 2}
+
+    # two-Dataset path agrees
+    bench = corpus.filter(lambda r: r["url"].startswith("bench/"))
+    cand = corpus.filter(lambda r: not r["url"].startswith("bench/"))
+    out2 = {r["url"]: r["hit_ngrams"] for r in ngram_contamination(
+        cand, bench, id_col="url", text_col="text", n=4,
+        n_buckets=4).take_all()}
+    assert out2 == out
+
+
+def test_video_truncated_frame_raises(ray_session):
+    """A blob cut mid-frame is a decode ERROR, not a silent short frame."""
+    import pytest as _pt
+    from gxdindexer_ray.ops.multimodal import decode_video, encode_y4m_frames
+
+    blob = encode_y4m_frames(4, 4, [bytes(24), bytes(range(24))])
+    w, h, frames = decode_video(blob)
+    assert (w, h, len(frames)) == (4, 4, 2)
+    with _pt.raises(ValueError, match="truncated"):
+        decode_video(blob[:-10])
+
+
+def test_audio_malformed_fmt_raises(ray_session):
+    """fmt chunks declaring 0 channels or 0 sample rate raise ValueError
+    (not ZeroDivisionError / silent duration_ms=0)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+    from gxdindexer_ray.ops.multimodal import decode_audio, encode_wav
+
+    blob = bytearray(encode_wav(np.zeros(8, np.int16), sample_rate=16000))
+    assert blob[12:16] == b"fmt "
+    zero_ch = bytes(blob[:22]) + struct.pack("<H", 0) + bytes(blob[24:])
+    with _pt.raises(ValueError, match="channels=0"):
+        decode_audio(zero_ch)
+    zero_rate = bytes(blob[:24]) + struct.pack("<I", 0) + bytes(blob[28:])
+    with _pt.raises(ValueError, match="sample_rate=0"):
+        decode_audio(zero_rate)
