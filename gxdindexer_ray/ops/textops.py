@@ -485,3 +485,74 @@ def top_tfidf_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
                             pa.array(np.floor(v * 1e6 + 0.5) / 1e6))
 
     return ranked.map_batches(round6, batch_format="pyarrow")
+
+
+def unigram_logprob_score(ds, *, id_col: str = "doc_id",
+                          text_col: str = "text", n_buckets: int = 64,
+                          total_tokens: int | None = None,
+                          out_col: str = "lm_score"):
+    """CCNet-style language-model quality score with the LM reduced to
+    order 1 so it is exactly SQL-oracle-able: per-token cross-entropy of
+    each document under the corpus's OWN unigram MLE,
+    ``score = -sum_t tf_t * ln(cnt_t / T) / len``  (high = improbable
+    /noisy text — the public CCNet "perplexity filtering" signal).
+
+    Distributed shape (nothing corpus-sized broadcast or drivered):
+    1. map-side distinct (doc, term, tf) rows (Arrow dictionary kernels);
+    2. ONE hash exchange BY TERM: a bucket owns each of its terms
+       completely, so the corpus-wide count ``cnt_t`` is just the term
+       group's tf sum — no global vocab table, no second corpus pass;
+       the reducer emits per-(doc, bucket) partials (sum tf*ln cnt,
+       sum tf) — one skinny row per doc per bucket;
+    3. a doc-keyed combiner-tree aggregate sums the partials; the final
+       map uses the algebra ``-sum tf*ln(cnt/T)/L = ln T - (sum tf*ln
+       cnt)/L`` so the scalar T enters only at the end.
+    ``total_tokens`` (T) is summed from the per-doc aggregate itself when
+    not given (the per-doc table is materialized once — skinny rows).
+    Output floats are fixed-point rounded to 6 dp."""
+    from ray.data.aggregate import Sum
+
+    from .relational import keyed_exchange_apply
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        vocab, doc_idx, codes, tf = doc_term_counts(batch[text_col])
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_idx, pa.int64())),
+            "term": (vocab.take(pa.array(codes, pa.int64()))
+                     if len(vocab) else pa.array([], pa.string())),
+            "tf": pa.array(tf, pa.int64())})
+
+    def bucket_partials(tbl: pa.Table) -> pa.Table:
+        # rows are distinct (doc, term): cnt_t = the term's tf-group sum
+        codes = pc.dictionary_encode(tbl["term"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes, weights=tf)
+        contrib = tf * np.log(cnt[codes])
+        docs = tbl[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uniq, tbl.schema.field(id_col).type),
+            "s": pa.array(np.bincount(inv, weights=contrib), pa.float64()),
+            "L": pa.array(np.bincount(inv, weights=tf).astype(np.int64),
+                          pa.int64())})
+
+    partials = keyed_exchange_apply(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        ["term"], bucket_partials, n_buckets,
+        batch_format="pyarrow", local_arrow=lambda t: t)
+    per_doc = partials.groupby(id_col).aggregate(
+        Sum("s", alias_name="s"), Sum("L", alias_name="L"))
+    if total_tokens is None:
+        per_doc = per_doc.materialize()  # skinny: one row per doc
+        total_tokens = per_doc.sum("L")
+    ln_t = float(np.log(float(total_tokens)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ln = t["L"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = ln_t - s / ln
+        return pa.table({id_col: t[id_col],
+                         out_col: pa.array(np.floor(v * 1e6 + 0.5) / 1e6)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

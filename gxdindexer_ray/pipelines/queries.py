@@ -2338,6 +2338,39 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q83_lm_score(sf: str):
+    """CCNet-style unigram LM quality score
+    (ops/textops.py::unigram_logprob_score): each doc's per-token
+    cross-entropy under the corpus's own unigram MLE. The corpus-wide
+    term counts come from the SAME term-keyed exchange that scores the
+    docs (a bucket owns its terms completely) — no global vocabulary
+    table, no broadcast, no second corpus pass."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.unigram_logprob_score(ds)
+
+
+SQL_Q83 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM arr),
+tfs AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY doc_id, term),
+cnt AS (SELECT term, sum(tf)::DOUBLE AS c FROM tfs GROUP BY term),
+tot AS (SELECT sum(tf)::DOUBLE AS t FROM tfs),
+sc AS (SELECT f.doc_id,
+              sum(f.tf * ln(c.c))::DOUBLE AS s,
+              sum(f.tf)::DOUBLE AS len
+       FROM tfs f JOIN cnt c USING (term) GROUP BY f.doc_id)
+SELECT doc_id,
+       floor((ln((SELECT t FROM tot)) - s / len) * 1000000 + 0.5) / 1000000
+           AS lm_score
+FROM sc
+"""
+
+
 def q75_repetition_ratio(sf: str):
     """Gopher-style repetition quality rule: the share of each document's
     bigrams held by its most frequent bigram, exact and fully vectorized
@@ -2453,6 +2486,7 @@ CATALOG: dict[str, tuple] = {
     "q80_chunk_tokens": (q80_chunk_tokens, SQL_Q80),
     "q81_shuffle_shard": (q81_shuffle_shard, SQL_Q81),
     "q82_keyword_extract": (q82_keyword_extract, SQL_Q82),
+    "q83_lm_score": (q83_lm_score, SQL_Q83),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2485,7 +2519,7 @@ GROUPS: dict[str, list[str]] = {
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
              "q72_normalize_text", "q73_pii_redact",
              "q75_repetition_ratio", "q80_chunk_tokens",
-             "q82_keyword_extract"],
+             "q82_keyword_extract", "q83_lm_score"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate"],

@@ -2128,3 +2128,35 @@ def test_audio_malformed_fmt_raises(ray_session):
     zero_rate = bytes(blob[:24]) + struct.pack("<I", 0) + bytes(blob[28:])
     with _pt.raises(ValueError, match="sample_rate=0"):
         decode_audio(zero_rate)
+
+
+def test_unigram_logprob_score_scalar_truth(ray_session):
+    """Tiny corpus vs a scalar cross-entropy computation: common-word docs
+    score low, rare-word docs high, empty docs emit nothing; an explicit
+    total_tokens skips the in-op corpus total."""
+    import collections
+    import math
+
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import unigram_logprob_score
+
+    texts = {1: "the cat sat on the mat", 2: "the the the",
+             3: "zebra quagga", 4: ""}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    got = {r["doc_id"]: r["lm_score"]
+           for r in unigram_logprob_score(ds, n_buckets=4).take_all()}
+
+    cnt = collections.Counter(w for t in texts.values() for w in t.split())
+    total = sum(cnt.values())
+    expect = {}
+    for d, t in texts.items():
+        ws = t.split()
+        if ws:
+            s = -sum(math.log(cnt[w] / total) for w in ws) / len(ws)
+            expect[d] = math.floor(s * 1e6 + 0.5) / 1e6
+    assert got == expect
+    assert got[2] < got[1] < got[3]  # repetitive < mixed < all-rare
+
+    got2 = {r["doc_id"]: r["lm_score"] for r in unigram_logprob_score(
+        ds, n_buckets=4, total_tokens=total).take_all()}
+    assert got2 == expect
