@@ -504,3 +504,182 @@ def knn_quantized(qds, query_ids: np.ndarray, query_matrix: np.ndarray, *,
     with the codes column, so the two paths cannot drift."""
     return brute_knn(qds, query_ids, query_matrix, k=k, id_col=id_col,
                      emb_col="q", exclude_self=exclude_self)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — m sub-codebooks, ADC lookup-table scan
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(x: np.ndarray, n_clusters: int, *, iters: int = 10,
+               seed: int = 0) -> np.ndarray:
+    """Deterministic Lloyd k-means in plain L2 (PQ quantizes raw subvector
+    coordinates — no normalization, unlike the cosine kmeans_fit)."""
+    if len(x) < n_clusters:
+        raise ValueError(f"sample ({len(x)}) smaller than n_codes ({n_clusters})")
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        d2 = -2.0 * x @ cents.T + (cents ** 2).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def pq_train(ds, *, m: int = 4, n_codes: int = 16, sample_limit: int = 5000,
+             emb_col: str = "embedding", seed: int = 0) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): the d dims split into ``m`` contiguous
+    subspaces, each with its own ``n_codes``-centroid L2 k-means codebook
+    fit on a bounded sample of NORMALIZED vectors (cosine search).
+    Codebook training is a bounded-size model fit — the sample (default
+    5000 rows) is the only data that touches the driver; size is capped
+    regardless of corpus size. Returns (m, n_codes, d/m) float64."""
+    sample = pa.concat_tables(
+        [ray.get(r) for r in ds.limit(sample_limit).to_arrow_refs()])
+    x = _normalize(_to_matrix(sample[emb_col]))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return np.stack([_kmeans_l2(x[:, i * sub:(i + 1) * sub], n_codes,
+                                seed=seed + i) for i in range(m)])
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Map-side PQ encoding: each (normalized) vector becomes ``m`` uint8
+    centroid indices — at m=4 that is 4 BYTES per vector at rest and
+    in-flight vs 4·d float32 (a 64x cut at d=64), the memory lever that
+    makes billion-scale ANN fit a cluster. Codebooks broadcast once
+    (``ray.put``, tiny: m × n_codes × d/m floats). Deterministic."""
+    ref = ray.put(codebooks)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        books = ray.get(ref)
+        m_ = books.shape[0]
+        if n == 0:  # empty block from an upstream filter
+            return pa.table({
+                id_col: batch[id_col],
+                "code": pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.uint8()))})
+        x = _normalize(_to_matrix(batch[emb_col]))
+        sub = x.shape[1] // m_
+        codes = np.empty((n, m_), np.uint8)
+        for i in range(m_):
+            xs = x[:, i * sub:(i + 1) * sub]
+            d2 = -2.0 * xs @ books[i].T + (books[i] ** 2).sum(axis=1)[None, :]
+            codes[:, i] = np.argmin(d2, axis=1)
+        offs = pa.array(np.arange(0, (n + 1) * m_, m_, dtype=np.int32))
+        return pa.table({
+            id_col: batch[id_col],
+            "code": pa.ListArray.from_arrays(
+                offs, pa.array(codes.reshape(-1), pa.uint8()))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pq_knn(codes_ds, codebooks: np.ndarray, query_ids: np.ndarray,
+           query_matrix: np.ndarray, *, k: int, id_col: str = "vec_id",
+           exclude_self: bool = True, rerank_with=None,
+           emb_col: str = "embedding",
+           rerank_factor: int = 10) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded Dataset: the
+    normalized query's inner product with a reconstructed vector
+    decomposes across subspaces, so each query precomputes a tiny lookup
+    table LUT[sub, code] = q_sub · centroid and a batch scan is ``m``
+    uint8 gathers + adds — no float vectors read at all. Same broadcast +
+    per-batch partial top-k shape as brute_knn (~k rows per query per
+    batch reach the driver). Returns (qid, rank, nid).
+
+    ``rerank_with`` (the original float-vector Dataset) enables the
+    standard ADC+R second stage (Jégou et al. §V): the ADC scan shortlists
+    ``k * rerank_factor`` candidates per query, then ONE pass over the
+    float vectors re-ranks exactly — only candidate rows (matched
+    map-side against a sorted id shortlist) ever compute a dot product.
+    The shortlist is O(queries × k), never O(corpus), so broadcasting it
+    is in-contract; quantization error then only costs recall where a
+    true neighbor falls outside the shortlist, not rank precision."""
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    m_, _n_codes, sub = codebooks.shape
+    luts = np.einsum("qms,mcs->qmc", qn.reshape(len(qn), m_, sub), codebooks)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), luts))
+    k_eff = k * rerank_factor if rerank_with is not None else k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        qids, lut = ray.get(ref)
+        col = batch["code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64).reshape(batch.num_rows, m_)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = np.zeros((batch.num_rows, len(qids)), np.float64)
+        for i in range(m_):
+            scores += lut[:, i, codes[:, i]].T
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            s = scores[:, j]
+            mask = ids != qids[j] if exclude_self else np.ones_like(ids, bool)
+            cand_ids, cand_s = ids[mask], s[mask]
+            if cand_ids.size == 0:
+                continue
+            top = min(k_eff, cand_ids.size)
+            sel = np.lexsort((cand_ids, -cand_s))[:top]
+            out_q.extend([int(qids[j])] * top)
+            out_n.extend(cand_ids[sel].tolist())
+            out_s.extend(cand_s[sel].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    adc = _rank_merge(parts, k_eff)
+    if rerank_with is None:
+        return adc
+
+    qids_arr = np.asarray(query_ids, dtype=np.int64)
+    union = np.unique(adc["nid"].to_numpy())
+    cand_sets = [adc.loc[adc["qid"] == q, "nid"].to_numpy() for q in qids_arr]
+    rref = ray.put((qids_arr, qn, union, [np.sort(c) for c in cand_sets]))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "nid": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        qids, q, uni, cands = ray.get(rref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(np.isin(ids, uni))
+        if sel.size == 0:
+            return empty
+        sub = batch.take(pa.array(sel, pa.int64()))
+        sids = ids[sel]
+        sims = _normalize(_to_matrix(sub[emb_col])) @ q.T
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            cj = cands[j]
+            if cj.size == 0:
+                continue
+            mask = cj[np.searchsorted(cj, sids).clip(max=len(cj) - 1)] == sids
+            if not mask.any():
+                continue
+            out_q.extend([int(qids[j])] * int(mask.sum()))
+            out_n.extend(sids[mask].tolist())
+            out_s.extend(sims[mask, j].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts2 = rerank_with.map_batches(
+        exact_partial, batch_format="pyarrow").to_pandas()
+    return _rank_merge(parts2, k)

@@ -2338,6 +2338,23 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q84_pq_knn(sf: str):
+    """Product-quantization ANN (ops/similarity.py::pq_train/pq_encode/
+    pq_knn — Jégou et al. TPAMI 2011): vectors become m=8 uint8 codes
+    (32x at-rest cut at d=64 float32), queries scan with per-query ADC
+    lookup tables (no float vectors read), then the standard ADC+R stage
+    re-ranks the k*10 shortlist exactly. Approximate by construction —
+    rows-only driver check; the recall/determinism contracts live in
+    tests/test_ops.py::test_pq_knn_recall_and_determinism."""
+    from ..ops.similarity import pq_encode, pq_knn, pq_train
+
+    ids, mat = _query_vectors(sf, 3)
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, n_codes=32)
+    codes = pq_encode(ds, books).materialize()
+    return pq_knn(codes, books, ids, mat, k=5, rerank_with=ds)
+
+
 def q83_lm_score(sf: str):
     """CCNet-style unigram LM quality score
     (ops/textops.py::unigram_logprob_score): each doc's per-token
@@ -2487,6 +2504,7 @@ CATALOG: dict[str, tuple] = {
     "q81_shuffle_shard": (q81_shuffle_shard, SQL_Q81),
     "q82_keyword_extract": (q82_keyword_extract, SQL_Q82),
     "q83_lm_score": (q83_lm_score, SQL_Q83),
+    "q84_pq_knn": (q84_pq_knn, None),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2525,7 +2543,7 @@ GROUPS: dict[str, list[str]] = {
               "q79_decontaminate"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
-                   "q71_quantized_knn"],
+                   "q71_quantized_knn", "q84_pq_knn"],
     "serving": [n for n in CATALOG if n[:3] in
                 {"q33", "q36", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
 }
