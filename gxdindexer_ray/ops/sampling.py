@@ -150,3 +150,46 @@ def shuffle_shard(ds, *, id_col: str, n_shards: int = 16, seed: int = 0):
     return mod_exchange_apply(shards, "shard", rank,
                               n_buckets=min(n_shards, 64),
                               batch_format="pyarrow")
+
+
+def source_mix(ds, *, key_col: str = "source", id_col: str = "doc_id",
+               weights: dict[str, float], seed: int = 0):
+    """Deterministic corpus mixing toward target source proportions — the
+    public LLM "data mixing" step (Pile / LLaMA-style source weights):
+    source ``s`` keeps ``rate_s = w_s * N / n_s`` where
+    ``N = min_s(n_s / w_s)`` is the largest mixed-corpus size no source
+    can oversample (the binding source keeps everything; every other
+    source downsamples toward the target mix). ONE tiny counts aggregate
+    (a row per source) sets the rates; the keep rule is the map-side
+    hash-threshold test of ``hash_sample`` (a pure function of the id —
+    batching / cluster-size / rerun invariant) and only the O(sources)
+    threshold dict ships with the tasks. Sources absent from ``weights``
+    are dropped. The threshold compare runs in float64 on BOTH this
+    engine and the SQL oracle (hv cast to double, identical IEEE op
+    order), so the kept set is exactly reproducible."""
+    import pyarrow.compute as pc
+
+    from .relational import pre_aggregate
+
+    counts = pre_aggregate(ds.select_columns([key_col]), [key_col],
+                           counts="rows").to_pandas()
+    n = {r[key_col]: float(r["rows"]) for _, r in counts.iterrows()}
+    common = [s for s in n if s in weights]
+    if not common:
+        raise ValueError("no key present in both the data and weights")
+    big_n = min(n[s] / weights[s] for s in common)
+    thr = {s: weights[s] * big_n / n[s] * 2.0 ** 64 for s in common}
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dic = pc.dictionary_encode(col)
+        lut = np.array([thr.get(s, 0.0) for s in dic.dictionary.to_pylist()],
+                       dtype=np.float64)
+        t = lut[dic.indices.to_numpy(zero_copy_only=False)] \
+            if batch.num_rows else np.empty(0, np.float64)
+        hv = _id_hashes(batch[id_col].to_numpy(zero_copy_only=False), seed)
+        return batch.filter(pa.array(hv.astype(np.float64) < t))
+
+    return ds.map_batches(f, batch_format="pyarrow")

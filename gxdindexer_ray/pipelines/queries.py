@@ -2338,6 +2338,38 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q85_source_mix(sf: str):
+    """Weighted corpus mixing (ops/sampling.py::source_mix): downsample
+    the 20 sources toward target proportions w(srcK) = (K+1)/210 — the
+    Pile/LLaMA-style source-weighting step. One tiny per-source counts
+    aggregate sets deterministic splitmix64 keep-thresholds; the filter
+    is map-side and rerun/cluster-size invariant. Output (doc_id,
+    source) of the kept rows."""
+    from ..ops.sampling import source_mix
+
+    ds = read_table(sf, "documents", columns=["doc_id", "source"])
+    weights = {f"src{k}": (k + 1) / 210.0 for k in range(20)}
+    return source_mix(ds, weights=weights)
+
+
+SQL_Q85 = _sql_splitmix(
+    "SELECT doc_id, source FROM documents", "doc_id, source", "doc_id",
+) + """,
+w AS (SELECT DISTINCT source,
+             (CAST(substr(source, 4) AS INT) + 1) / 210.0 AS w
+      FROM documents),
+cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+tgt AS (SELECT min(n / w) AS big_n FROM cnt JOIN w USING (source)),
+thr AS (SELECT source,
+               w.w * (SELECT big_n FROM tgt) / cnt.n
+                   * 18446744073709551616.0 AS t
+        FROM cnt JOIN w USING (source))
+SELECT doc_id, source
+FROM hashed JOIN thr USING (source)
+WHERE hv::DOUBLE < t
+"""
+
+
 def q84_pq_knn(sf: str):
     """Product-quantization ANN (ops/similarity.py::pq_train/pq_encode/
     pq_knn — Jégou et al. TPAMI 2011): vectors become m=8 uint8 codes
@@ -2505,6 +2537,7 @@ CATALOG: dict[str, tuple] = {
     "q82_keyword_extract": (q82_keyword_extract, SQL_Q82),
     "q83_lm_score": (q83_lm_score, SQL_Q83),
     "q84_pq_knn": (q84_pq_knn, None),
+    "q85_source_mix": (q85_source_mix, SQL_Q85),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2512,7 +2545,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 82 entries the sweep covers q51-q82 + q01-q18. The
+# the window — at 85 entries the sweep covers q51-q85 + q01-q15. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2528,7 +2561,8 @@ GROUPS: dict[str, list[str]] = {
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key",
-                 "q66_train_test_split", "q81_shuffle_shard"],
+                 "q66_train_test_split", "q81_shuffle_shard",
+                 "q85_source_mix"],
     "multimodal": ["q32_blob_meta", "q69_image_decode_meta",
                    "q76_audio_decode_meta", "q77_video_frame_sample"],
     "sketches": ["q37_approx_distinct"],

@@ -2218,3 +2218,29 @@ def test_pq_knn_recall_and_determinism(ray_session):
     lut = np.einsum("qms,mcs->qmc", qn.reshape(len(qn), m_, -1), books)
     adc = sum(lut[0, i, int(c)] for i, c in enumerate(row["code"]))
     assert abs(adc - float(qn[0] @ rec_vec)) < 1e-12
+
+
+def test_source_mix_rates_and_determinism(ray_session):
+    """Skewed two-source corpus mixed to 50/50: the smaller source (the
+    binding one at equal weights... actually the one with min n/w) keeps
+    everything, the larger downsamples toward it; selection is invariant
+    to repartitioning; unweighted sources drop."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.sampling import source_mix
+
+    rows = ([{"doc_id": i, "source": "big"} for i in range(400)]
+            + [{"doc_id": 1000 + i, "source": "small"} for i in range(100)]
+            + [{"doc_id": 2000 + i, "source": "junk"} for i in range(50)])
+    ds = rd.from_items(rows)
+    out = source_mix(ds, weights={"big": 0.5, "small": 0.5}).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # N = min(400/.5, 100/.5) = 200 -> small keeps all 100, big ~100
+    assert "junk" not in by_src
+    assert len(by_src["small"]) == 100
+    assert 70 <= len(by_src["big"]) <= 130  # Bernoulli(0.25) over 400
+
+    out2 = source_mix(ds.repartition(7),
+                      weights={"big": 0.5, "small": 0.5}).take_all()
+    assert {r["doc_id"] for r in out2} == {r["doc_id"] for r in out}
