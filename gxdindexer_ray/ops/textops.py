@@ -651,10 +651,10 @@ def frequent_terms(ds, *, text_col: str = "text", k: int = 20,
            .sort_values(["cnt", "term"], ascending=[False, True],
                         kind="mergesort")
            .head(k).reset_index(drop=True))
-    if len(out) and int(out["cnt"].iloc[-1]) * capacity <= total:
-        need = total // int(out["cnt"].iloc[-1]) + 1
+    if len(out) < k or int(out["cnt"].iloc[-1]) * capacity <= total:
+        kth = int(out["cnt"].iloc[-1]) if len(out) else 1
         raise ValueError(
             f"capacity {capacity} cannot prove top-{k} exact "
-            f"(k-th count {int(out['cnt'].iloc[-1])} <= N/capacity = "
-            f"{total / capacity:.1f}); use capacity >= {need}")
+            f"({len(out)} candidates; k-th count {kth} vs N/capacity = "
+            f"{total / capacity:.1f}); use capacity >= {total // kth + 1}")
     return out[["term", "cnt"]]

@@ -2338,6 +2338,28 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q86_frequent_terms(sf: str):
+    """EXACT global top-20 terms (ops/textops.py::frequent_terms): the
+    classic two-pass heavy-hitter pipeline — per-batch Misra-Gries
+    threshold candidates, bounded candidate union, exact recount of
+    candidates only — so the full vocabulary never shuffles. Exactness is
+    proven at runtime (k-th count * capacity > N) rather than assumed,
+    which is why a plain SQL top-k can oracle it."""
+    ds = read_table(sf, "documents", columns=["text"])
+    return textops.frequent_terms(ds, k=20, capacity=4096)
+
+
+SQL_Q86 = """
+WITH arr AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT unnest(ts) AS term FROM arr),
+c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term)
+SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
 def q85_source_mix(sf: str):
     """Weighted corpus mixing (ops/sampling.py::source_mix): downsample
     the 20 sources toward target proportions w(srcK) = (K+1)/210 — the
@@ -2538,6 +2560,7 @@ CATALOG: dict[str, tuple] = {
     "q83_lm_score": (q83_lm_score, SQL_Q83),
     "q84_pq_knn": (q84_pq_knn, None),
     "q85_source_mix": (q85_source_mix, SQL_Q85),
+    "q86_frequent_terms": (q86_frequent_terms, SQL_Q86),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2545,7 +2568,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 85 entries the sweep covers q51-q85 + q01-q15. The
+# the window — at 86 entries the sweep covers q51-q86 + q01-q14. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2571,7 +2594,8 @@ GROUPS: dict[str, list[str]] = {
              "q28_langid", "q29_fingerprints", "q44_bpe_token_count",
              "q72_normalize_text", "q73_pii_redact",
              "q75_repetition_ratio", "q80_chunk_tokens",
-             "q82_keyword_extract", "q83_lm_score"],
+             "q82_keyword_extract", "q83_lm_score",
+             "q86_frequent_terms"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate"],

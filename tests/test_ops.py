@@ -2244,3 +2244,31 @@ def test_source_mix_rates_and_determinism(ray_session):
     out2 = source_mix(ds.repartition(7),
                       weights={"big": 0.5, "small": 0.5}).take_all()
     assert {r["doc_id"] for r in out2} == {r["doc_id"] for r in out}
+
+
+def test_frequent_terms_exact_and_guarded(ray_session):
+    """Zipf-ish corpus: top-k matches an exact scalar count with the
+    (count desc, term asc) tie-break; an under-provisioned capacity
+    raises instead of silently returning an approximate answer."""
+    import collections
+
+    import pytest as _pt
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import frequent_terms
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for d in range(300):
+        # quadratic map -> heavy head, plus per-doc noise terms
+        idx = (rng.random(40) ** 2 * len(vocab)).astype(int)
+        texts.append(" ".join(vocab[i] for i in idx))
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+    out = frequent_terms(ds, k=10, capacity=512)
+    cnt = collections.Counter(w for t in texts for w in t.split())
+    expect = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert list(zip(out["term"], out["cnt"])) == expect
+
+    with _pt.raises(ValueError, match="capacity"):
+        frequent_terms(ds, k=10, capacity=2)
