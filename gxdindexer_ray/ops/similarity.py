@@ -683,3 +683,87 @@ def pq_knn(codes_ds, codebooks: np.ndarray, query_ids: np.ndarray,
     parts2 = rerank_with.map_batches(
         exact_partial, batch_format="pyarrow").to_pandas()
     return _rank_merge(parts2, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means corpus clustering (SemDeDup-style cluster step)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_cluster(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+                   k: int = 8, iters: int = 10, sample_limit: int = 5000,
+                   seed: int = 0):
+    """Distributed Lloyd k-means over an embedding column — the corpus
+    clustering that SemDeDup-style pipelines (public: Abbas et al. 2023)
+    run before per-cluster dedup/mixing. Cosine geometry (normalized
+    vectors, same as kmeans_fit).
+
+    Scale shape: centroids init deterministically from a bounded sample;
+    each round is ONE map pass emitting per-batch (cluster, sum_vec,
+    count) partials — k x d floats per batch, NOT per row — merged
+    driver-side into the k x d update (the only thing the driver ever
+    holds). The input is materialized once and re-read per round
+    (iters passes over pinned blocks, no re-execution of upstream
+    transforms); a final map labels rows with broadcast centroids.
+    Returns ((id, cluster) Dataset, centroids ndarray)."""
+    ds = ds.materialize()
+    sample = pa.concat_tables(
+        [ray.get(r) for r in ds.limit(sample_limit).to_arrow_refs()])
+    x0 = _normalize(_to_matrix(sample[emb_col]))
+    if len(x0) < k:
+        raise ValueError(f"sample ({len(x0)}) smaller than k ({k})")
+    rng = np.random.default_rng(seed)
+    centroids = x0[rng.choice(len(x0), size=k, replace=False)].copy()
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def round_partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            kk, d = cents.shape
+            if batch.num_rows == 0:
+                return pa.table({"c": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.ListArray.from_arrays(
+                                     pa.array([0], pa.int32()),
+                                     pa.array([], pa.float64()))})
+            m = _normalize(_to_matrix(batch[emb_col]))
+            assign = np.argmax(m @ cents.T, axis=1)
+            sums = np.zeros((kk, d), np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            offs = pa.array(np.arange(0, (kk + 1) * d, d, dtype=np.int32))
+            return pa.table({
+                "c": pa.array(np.arange(kk, dtype=np.int32), pa.int32()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.ListArray.from_arrays(
+                    offs, pa.array(sums.reshape(-1), pa.float64()))})
+
+        sums = np.zeros_like(centroids, dtype=np.float64)
+        counts = np.zeros(k, np.int64)
+        for b in (ds.map_batches(round_partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=4096)):
+            cs = b["c"].to_numpy(zero_copy_only=False)
+            counts[cs] += b["n"].to_numpy(zero_copy_only=False)
+            col = b["s"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            sums[cs] += col.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(len(cs), -1)
+        live = counts > 0
+        centroids[live] = _normalize(sums[live] / counts[live, None])
+
+    cref = ray.put(centroids)
+
+    def label(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], pa.int32())})
+        m = _normalize(_to_matrix(batch[emb_col]))
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(np.argmax(m @ cents.T, axis=1)
+                                .astype(np.int32), pa.int32())})
+
+    return ds.map_batches(label, batch_format="pyarrow"), centroids

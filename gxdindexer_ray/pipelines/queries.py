@@ -2338,6 +2338,21 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q87_kmeans_cluster(sf: str):
+    """Distributed Lloyd k-means over the embeddings table
+    (ops/similarity.py::kmeans_cluster) — the SemDeDup-style corpus
+    clustering step. Each round is one map pass emitting k x d partial
+    sums per BATCH (never per row); the driver holds only the k x d
+    update. Iterative/approximate-free but not SQL-expressible —
+    rows-only driver check; exact-equality-vs-dense-numpy contract in
+    tests/test_ops.py::test_kmeans_cluster_matches_dense."""
+    from ..ops.similarity import kmeans_cluster
+
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    labeled, _ = kmeans_cluster(ds, k=8, iters=5)
+    return labeled
+
+
 def q86_frequent_terms(sf: str):
     """EXACT global top-20 terms (ops/textops.py::frequent_terms): the
     classic two-pass heavy-hitter pipeline — per-batch Misra-Gries
@@ -2561,6 +2576,7 @@ CATALOG: dict[str, tuple] = {
     "q84_pq_knn": (q84_pq_knn, None),
     "q85_source_mix": (q85_source_mix, SQL_Q85),
     "q86_frequent_terms": (q86_frequent_terms, SQL_Q86),
+    "q87_kmeans_cluster": (q87_kmeans_cluster, None),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2568,7 +2584,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 86 entries the sweep covers q51-q86 + q01-q14. The
+# the window — at 87 entries the sweep covers q51-q87 + q01-q13. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2601,7 +2617,8 @@ GROUPS: dict[str, list[str]] = {
               "q79_decontaminate"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
-                   "q71_quantized_knn", "q84_pq_knn"],
+                   "q71_quantized_knn", "q84_pq_knn",
+                   "q87_kmeans_cluster"],
     "serving": [n for n in CATALOG if n[:3] in
                 {"q33", "q36", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
 }

@@ -2272,3 +2272,47 @@ def test_frequent_terms_exact_and_guarded(ray_session):
 
     with _pt.raises(ValueError, match="capacity"):
         frequent_terms(ds, k=10, capacity=2)
+
+
+def test_kmeans_cluster_matches_dense(ray_session):
+    """Distributed Lloyd == a dense single-process reference with the
+    same init, round count, and update rule (well-separated clusters, so
+    float partial-sum order cannot flip an assignment); clusters are
+    coherent (every planted group lands in one cluster)."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.similarity import (_normalize, kmeans_cluster)
+
+    rng = np.random.default_rng(5)
+    centers = _normalize(rng.normal(size=(4, 16)))
+    vecs = np.stack([centers[i % 4] + 0.05 * rng.normal(size=16)
+                     for i in range(600)])
+    df = pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist()
+                                     for v in vecs]})
+    ds = rd.from_pandas(df)
+    labeled, cents = kmeans_cluster(ds, k=4, iters=6, sample_limit=600,
+                                    seed=0)
+    got = (labeled.to_pandas().sort_values("vec_id")["cluster"]
+           .to_numpy())
+
+    # dense reference: identical init (first-600 sample, same rng), same
+    # normalized-mean update
+    x = _normalize(np.stack([np.asarray(v, np.float64)
+                             for v in df["embedding"]]))
+    r2 = np.random.default_rng(0)
+    c = x[r2.choice(600, size=4, replace=False)].copy()
+    for _ in range(6):
+        a = np.argmax(x @ c.T, axis=1)
+        for j in range(4):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    ref = np.argmax(x @ c.T, axis=1)
+    assert (got == ref).all()
+    assert np.abs(cents - c).max() < 1e-9
+
+    # planted groups are pure: one cluster per planted center
+    planted = np.arange(600) % 4
+    for g in range(4):
+        assert len(set(got[planted == g])) == 1
