@@ -767,3 +767,78 @@ def kmeans_cluster(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
                                 .astype(np.int32), pa.int32())})
 
     return ds.map_batches(label, batch_format="pyarrow"), centroids
+
+
+def semdedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+             k: int = 8, iters: int = 5, threshold: float = 0.95,
+             sample_limit: int = 5000, seed: int = 0,
+             max_cluster_rows: int = 100_000, n_buckets: int = 16):
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup of an
+    embedding corpus — k-means cluster, then WITHIN each cluster drop all
+    but one of every near-identical group (cosine > threshold), keeping
+    the smallest id of each threshold-graph connected component. Pairwise
+    work is confined to clusters (the method's point: no global
+    all-pairs); rows cross ONE exchange keyed by cluster. Partitioning
+    assumption: one cluster's rows fit a reducer — raises above
+    ``max_cluster_rows`` (at corpus scale, raise k until clusters fit;
+    the reference implementation makes the same assumption). Returns a
+    (id, cluster) Dataset of SURVIVORS."""
+    from .relational import keyed_exchange_apply
+
+    _labeled, cents = kmeans_cluster(
+        ds, id_col=id_col, emb_col=emb_col, k=k, iters=iters,
+        sample_limit=sample_limit, seed=seed)
+    cref = ray.put(cents)
+
+    def label_with_vec(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], pa.int32()),
+                             emb_col: batch[emb_col]})
+        m = _normalize(_to_matrix(batch[emb_col]))
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(np.argmax(m @ c.T, axis=1)
+                                .astype(np.int32), pa.int32()),
+            emb_col: batch[emb_col]})
+
+    labeled = ds.map_batches(label_with_vec, batch_format="pyarrow")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        clusters = tbl["cluster"].to_numpy(zero_copy_only=False)
+        m_all = _normalize(_to_matrix(tbl[emb_col]))
+        keep_ids, keep_cl = [], []
+        for cl in np.unique(clusters):
+            sel = clusters == cl
+            ids = ids_all[sel]
+            if ids.size > max_cluster_rows:
+                raise ValueError(
+                    f"cluster {cl} has {ids.size} rows > max_cluster_rows="
+                    f"{max_cluster_rows}; increase k")
+            order = np.argsort(ids, kind="stable")
+            ids, m = ids[order], m_all[sel][order]
+            adj = (m @ m.T) > threshold  # includes self (diag True)
+            # min-label propagation over the threshold graph: converges in
+            # <= component-diameter rounds; survivors are components' min ids
+            lab = np.arange(ids.size)
+            while True:
+                new = np.where(adj, lab[None, :], ids.size).min(axis=1)
+                if (new == lab).all():
+                    break
+                lab = new
+            surv = lab == np.arange(ids.size)
+            keep_ids.append(ids[surv])
+            keep_cl.append(np.full(int(surv.sum()), cl, np.int32))
+        if not keep_ids:
+            return pa.table({id_col: pa.array([], tbl.schema.field(id_col).type),
+                             "cluster": pa.array([], pa.int32())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(keep_ids),
+                             tbl.schema.field(id_col).type),
+            "cluster": pa.array(np.concatenate(keep_cl), pa.int32())})
+
+    return keyed_exchange_apply(labeled, ["cluster"], per_bucket, n_buckets,
+                                batch_format="pyarrow",
+                                local_arrow=lambda t: t)

@@ -2338,6 +2338,20 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q88_semdedup(sf: str):
+    """SemDeDup semantic dedup (ops/similarity.py::semdedup — Abbas et
+    al. 2023): k-means cluster the embeddings, then within each cluster
+    keep the min id of every cosine>threshold connected component.
+    Pairwise work confined to clusters; one cluster-keyed exchange.
+    Iterative + threshold-graph — rows-only driver check; the
+    planted-duplicate exactness contract lives in
+    tests/test_ops.py::test_semdedup_planted_duplicates."""
+    from ..ops.similarity import semdedup
+
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=8, iters=5, threshold=0.95)
+
+
 def q87_kmeans_cluster(sf: str):
     """Distributed Lloyd k-means over the embeddings table
     (ops/similarity.py::kmeans_cluster) — the SemDeDup-style corpus
@@ -2577,6 +2591,7 @@ CATALOG: dict[str, tuple] = {
     "q85_source_mix": (q85_source_mix, SQL_Q85),
     "q86_frequent_terms": (q86_frequent_terms, SQL_Q86),
     "q87_kmeans_cluster": (q87_kmeans_cluster, None),
+    "q88_semdedup": (q88_semdedup, None),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2584,7 +2599,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 87 entries the sweep covers q51-q87 + q01-q13. The
+# the window — at 88 entries the sweep covers q51-q88 + q01-q12. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2614,7 +2629,7 @@ GROUPS: dict[str, list[str]] = {
              "q86_frequent_terms"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
-              "q79_decontaminate"],
+              "q79_decontaminate", "q88_semdedup"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

@@ -2316,3 +2316,46 @@ def test_kmeans_cluster_matches_dense(ray_session):
     planted = np.arange(600) % 4
     for g in range(4):
         assert len(set(got[planted == g])) == 1
+
+
+def test_semdedup_planted_duplicates(ray_session):
+    """Planted near-identical groups collapse to their min id; distinct
+    vectors all survive; survivors have no same-cluster pair above the
+    threshold (checked against a dense scalar recomputation)."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.similarity import _normalize, semdedup
+
+    rng = np.random.default_rng(11)
+    centers = _normalize(rng.normal(size=(4, 16)))
+    rows = []
+    vid = 0
+    truth_groups = []  # lists of ids that are mutual near-dups
+    for g in range(40):
+        base = centers[g % 4] + 0.05 * rng.normal(size=16)
+        n_copies = 3 if g % 5 == 0 else 1
+        ids = []
+        for _ in range(n_copies):
+            v = base + 1e-4 * rng.normal(size=16)  # cos ~ 0.9999
+            rows.append({"vec_id": vid,
+                         "embedding": v.astype(np.float32).tolist()})
+            ids.append(vid)
+            vid += 1
+        truth_groups.append(ids)
+    ds = rd.from_items(rows)
+    surv = semdedup(ds, k=4, iters=6, threshold=0.999, sample_limit=vid,
+                    n_buckets=4).take_all()
+    kept = {r["vec_id"] for r in surv}
+    for ids in truth_groups:
+        # each planted dup group keeps exactly its min id
+        assert kept & set(ids) == {min(ids)}, ids
+    # no surviving same-cluster pair above threshold
+    by_cl = {}
+    for r in surv:
+        by_cl.setdefault(r["cluster"], []).append(r["vec_id"])
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+            for r in ds.take_all()}
+    for cl, ids in by_cl.items():
+        m = _normalize(np.stack([vecs[i] for i in ids]))
+        s = m @ m.T
+        np.fill_diagonal(s, 0)
+        assert (s <= 0.999).all()
