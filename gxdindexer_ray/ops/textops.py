@@ -658,3 +658,110 @@ def frequent_terms(ds, *, text_col: str = "text", k: int = 20,
             f"({len(out)} candidates; k-th count {kth} vs N/capacity = "
             f"{total / capacity:.1f}); use capacity >= {total // kth + 1}")
     return out[["term", "cnt"]]
+
+
+def pmi_collocations(ds, *, text_col: str = "text", k: int = 20,
+                     min_count: int = 5, n_buckets: int = 32) -> pd.DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): ``pmi = ln(c_xy * N / (c_x * c_y))`` over
+    corpus-wide counts, keeping bigrams with ``c_xy >= min_count``,
+    ranked (pmi desc, x asc, y asc).
+
+    Scale shape: ONE tokenize pass emits per-batch unigram and bigram
+    count partials (distinct terms/pairs per batch — skinny), pinned
+    once. Exchange 1 is keyed on the FIRST word: a bucket owns term x
+    completely, so both c_x and every c_xy with that x finalize together
+    (no unigram join). Exchange 2 re-keys the surviving bigrams on the
+    SECOND word against the same pinned unigram partials to attach c_y,
+    computes PMI, filters, and emits a per-bucket top-k partial; only
+    k x n_buckets rows reach the driver. The corpus is read once; the
+    full vocabulary never joins against itself."""
+    def partial_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "y": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8())})
+        flat, doc_idx = tokenize_column(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        dic = pc.dictionary_encode(flat)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dic.dictionary
+        ucnt = np.bincount(codes, minlength=len(vocab))
+        uterm = vocab
+        m = len(flat) - 1
+        rows = [pa.table({
+            "k": uterm, "y": pa.nulls(len(uterm), pa.string()).fill_null(""),
+            "c": pa.array(ucnt, pa.int64()),
+            "kind": pa.array(np.zeros(len(uterm), np.int8))})]
+        if m > 0:
+            valid = doc_idx[:m] == doc_idx[1:]
+            cx, cy = codes[:m][valid], codes[1:][valid]
+            key = cx * len(vocab) + cy
+            uniq, cnt = np.unique(key, return_counts=True)
+            rows.append(pa.table({
+                "k": vocab.take(pa.array(uniq // len(vocab), pa.int64())),
+                "y": vocab.take(pa.array(uniq % len(vocab), pa.int64())),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(len(uniq), np.int8))}))
+        return pa.concat_tables(rows)
+
+    partials = ds.map_batches(
+        partial_rows, batch_format="pyarrow").materialize()
+    total = float(partials.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["c"]),
+        batch_format="pyarrow").sum("c"))
+
+    def bucket_x(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[df["kind"] == 0].groupby("k")["c"].sum()
+        b = (df[df["kind"] == 1].groupby(["k", "y"], as_index=False)["c"]
+             .sum())
+        b = b[b["c"] >= min_count]
+        b["cx"] = b["k"].map(u).astype(np.int64)
+        return b.rename(columns={"k": "x"})[["x", "y", "c", "cx"]]
+
+    from .relational import keyed_exchange_apply
+    with_cx = keyed_exchange_apply(partials, ["k"], bucket_x, n_buckets)
+
+    def rekey_y(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["y"], "x": t["x"], "c": t["c"],
+                         "cx": t["cx"],
+                         "kind": pa.array(np.ones(t.num_rows, np.int8))})
+
+    uni_side = partials.map_batches(
+        lambda t: (lambda u: pa.table(
+            {"k": u["k"], "x": u["y"], "c": u["c"],
+             "cx": pa.array(np.zeros(u.num_rows, np.int64)),
+             "kind": pa.array(np.zeros(u.num_rows, np.int8))}))(
+            t.filter(pc.equal(t["kind"], 0))),
+        batch_format="pyarrow")
+    sides = with_cx.map_batches(rekey_y, batch_format="pyarrow").union(uni_side)
+
+    def bucket_y(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[df["kind"] == 0].groupby("k")["c"].sum()
+        b = df[df["kind"] == 1].copy()
+        if not len(b):
+            return pd.DataFrame({"x": pd.Series([], dtype=object),
+                                 "y": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "pmi": pd.Series([], dtype=np.float64)})
+        cy = b["k"].map(u).to_numpy(np.float64)
+        c = b["c"].to_numpy(np.float64)
+        cx = b["cx"].to_numpy(np.float64)
+        # same float op grouping as the SQL oracle: (c*N) / (cx*cy)
+        pmi = np.log(c * total / (cx * cy))
+        out = pd.DataFrame({"x": b["x"].to_numpy(), "y": b["k"].to_numpy(),
+                            "cnt": b["c"].to_numpy(np.int64), "pmi": pmi})
+        return (out.sort_values(["pmi", "x", "y"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(k))
+
+    parts = keyed_exchange_apply(sides, ["k"], bucket_y, n_buckets) \
+        .to_pandas()
+    out = (parts.sort_values(["pmi", "x", "y"],
+                             ascending=[False, True, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["pmi"] = np.floor(out["pmi"].to_numpy() * 1e6 + 0.5) / 1e6
+    return out[["x", "y", "cnt", "pmi"]]

@@ -2338,6 +2338,43 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q89_collocations(sf: str):
+    """Top-20 PMI collocations (ops/textops.py::pmi_collocations —
+    Church & Hanks): bigrams with count >= 5 ranked by
+    ln(c_xy*N/(c_x*c_y)). First-word-keyed exchange finalizes c_x AND
+    c_xy together (a bucket owns its terms); a second exchange re-keys
+    on the second word for c_y; only per-bucket top-k partials reach
+    the driver."""
+    ds = read_table(sf, "documents", columns=["text"])
+    return textops.pmi_collocations(ds, k=20, min_count=5)
+
+
+SQL_Q89 = """
+WITH arr AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT unnest(ts) AS t FROM arr),
+uni AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+bg AS (SELECT unnest(list_transform(list_slice(ts, 1, len(ts) - 1),
+              (x, i) -> x || ' ' || ts[i + 1])) AS b
+       FROM arr WHERE len(ts) >= 2),
+bc AS (SELECT split_part(b, ' ', 1) AS x, split_part(b, ' ', 2) AS y,
+              count(*)::BIGINT AS cnt
+       FROM bg GROUP BY 1, 2),
+sc AS (SELECT bc.x, bc.y, bc.cnt,
+              ln(bc.cnt::DOUBLE * (SELECT n FROM tot)
+                 / (ux.c::DOUBLE * uy.c::DOUBLE)) AS p
+       FROM bc JOIN uni ux ON ux.t = bc.x JOIN uni uy ON uy.t = bc.y
+       WHERE bc.cnt >= 5),
+rk AS (SELECT x, y, cnt, p,
+              row_number() OVER (ORDER BY p DESC, x, y) AS rn FROM sc)
+SELECT x, y, cnt, floor(p * 1000000 + 0.5) / 1000000 AS pmi
+FROM rk WHERE rn <= 20
+"""
+
+
 def q88_semdedup(sf: str):
     """SemDeDup semantic dedup (ops/similarity.py::semdedup — Abbas et
     al. 2023): k-means cluster the embeddings, then within each cluster
@@ -2592,6 +2629,7 @@ CATALOG: dict[str, tuple] = {
     "q86_frequent_terms": (q86_frequent_terms, SQL_Q86),
     "q87_kmeans_cluster": (q87_kmeans_cluster, None),
     "q88_semdedup": (q88_semdedup, None),
+    "q89_collocations": (q89_collocations, SQL_Q89),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2599,7 +2637,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 88 entries the sweep covers q51-q88 + q01-q12. The
+# the window — at 89 entries the sweep covers q51-q89 + q01-q11. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2626,7 +2664,7 @@ GROUPS: dict[str, list[str]] = {
              "q72_normalize_text", "q73_pii_redact",
              "q75_repetition_ratio", "q80_chunk_tokens",
              "q82_keyword_extract", "q83_lm_score",
-             "q86_frequent_terms"],
+             "q86_frequent_terms", "q89_collocations"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate", "q88_semdedup"],

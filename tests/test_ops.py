@@ -2359,3 +2359,36 @@ def test_semdedup_planted_duplicates(ray_session):
         s = m @ m.T
         np.fill_diagonal(s, 0)
         assert (s <= 0.999).all()
+
+
+def test_pmi_collocations_scalar_truth(ray_session):
+    """Tiny corpus vs a scalar PMI computation: exclusive pairs beat
+    promiscuous ones, min_count filters, (pmi desc, x, y) tie-break."""
+    import collections
+    import math
+
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import pmi_collocations
+
+    # "alpha beta" always together (5x); "the cat" frequent but "the"
+    # appears everywhere
+    texts = (["alpha beta the cat"] * 5 + ["the dog the cat the fish"] * 3)
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    out = pmi_collocations(ds, k=5, min_count=5, n_buckets=4)
+
+    uni = collections.Counter(w for t in texts for w in t.split())
+    big = collections.Counter()
+    for t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    n = float(sum(uni.values()))
+    exp = sorted(
+        ((x, y, c, math.floor(math.log(c * n / (uni[x] * uni[y])) * 1e6
+                              + 0.5) / 1e6)
+         for (x, y), c in big.items() if c >= 5),
+        key=lambda r: (-r[3], r[0], r[1]))[:5]
+    got = list(out.itertuples(index=False, name=None))
+    assert got == exp
+    assert got[0][:2] == ("alpha", "beta")  # exclusive pair ranks first
