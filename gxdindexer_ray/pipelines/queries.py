@@ -2338,6 +2338,31 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q90_bloom_semi_join(sf: str):
+    """EXACT semi-join through a Bloom prefilter
+    (ops/relational.py::bloom_semi_join): per-event membership against
+    rich customers tested first with ONE fixed-size broadcast bitmap
+    (id-set-size independent — the 100-TB alternative to shipping the id
+    set), then ranged-verified so false positives cannot leak. Counts
+    per event_type."""
+    from ..ops.relational import bloom_semi_join
+
+    keys = read_table(sf, "customer", columns=["c_custkey", "c_acctbal"],
+                      filter=(pc.field("c_acctbal") > 5000.0))
+    ev = read_table(sf, "events", columns=["event_id", "user_id",
+                                           "event_type"])
+    hits = bloom_semi_join(ev, keys, "user_id", ids_col="c_custkey",
+                           bits=1 << 20)
+    return pre_aggregate(hits, ["event_type"], counts="n")
+
+
+SQL_Q90 = """
+SELECT event_type, count(*) AS n FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY event_type
+"""
+
+
 def q89_collocations(sf: str):
     """Top-20 PMI collocations (ops/textops.py::pmi_collocations —
     Church & Hanks): bigrams with count >= 5 ranked by
@@ -2630,6 +2655,7 @@ CATALOG: dict[str, tuple] = {
     "q87_kmeans_cluster": (q87_kmeans_cluster, None),
     "q88_semdedup": (q88_semdedup, None),
     "q89_collocations": (q89_collocations, SQL_Q89),
+    "q90_bloom_semi_join": (q90_bloom_semi_join, SQL_Q90),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2637,7 +2663,7 @@ CATALOG: dict[str, tuple] = {
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
 # (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 89 entries the sweep covers q51-q89 + q01-q11. The
+# the window — at 90 entries the sweep covers q51-q90 + q01-q10. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 _ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
@@ -2649,7 +2675,7 @@ CATALOG = {n: CATALOG[n] for n in _ROTATED}
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90)}],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key",

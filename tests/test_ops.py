@@ -2392,3 +2392,42 @@ def test_pmi_collocations_scalar_truth(ray_session):
     got = list(out.itertuples(index=False, name=None))
     assert got == exp
     assert got[0][:2] == ("alpha", "beta")  # exclusive pair ranks first
+
+
+def test_bloom_semi_join_exact_and_compact(ray_session):
+    """Bloom prefilter + ranged verify == exact set membership (checked
+    vs a scalar set); a tiny bitmap forced into heavy false positives
+    still yields the exact result (the verify stage catches FPs); the
+    prefilter demonstrably removes non-members before the verify."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.relational import (bloom_build, bloom_semi_join,
+                                               _bloom_probes)
+
+    keys = rd.from_items([{"k": i} for i in range(0, 4000, 7)])
+    big = rd.from_items([{"id": i, "v": i * 2} for i in range(4000)])
+    expect = {i for i in range(4000) if i % 7 == 0}
+
+    got = {r["id"] for r in bloom_semi_join(
+        big, keys, "id", ids_col="k", bits=1 << 16).take_all()}
+    assert got == expect
+
+    # absurdly small bitmap -> many FPs -> still exact after verify
+    got2 = {r["id"] for r in bloom_semi_join(
+        big, keys, "id", ids_col="k", bits=64, n_hashes=2).take_all()}
+    assert got2 == expect
+
+    # the bitmap itself never false-negatives and prunes most non-members
+    bm = bloom_build(keys.map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow"),
+        "id", bits=1 << 16)
+    ids = np.arange(4000)
+    pos = _bloom_probes(ids, 4, 0, 1 << 16)
+    hit = np.ones(len(ids), bool)
+    for i in range(4):
+        byte = (pos[i] >> np.uint64(3)).astype(np.int64)
+        bit = (pos[i] & np.uint64(7)).astype(np.uint8)
+        hit &= (bm[byte] >> bit) & 1 == 1
+    members = np.isin(ids, np.fromiter(expect, np.int64))
+    assert hit[members].all()  # no false negatives
+    fp = hit[~members].mean()
+    assert fp < 0.05  # bitmap prunes >95% of non-members pre-verify
