@@ -1223,7 +1223,10 @@ def bloom_build(ids_ds, id_col: str, *, bits: int = 1 << 24,
     bitmap no matter how many blocks, and no task ever sees the id set.
     Size ``bits`` ~16x the expected distinct ids for ~0.1% FP at 4
     hashes; the filter is an over-approximation by construction (no
-    false negatives)."""
+    false negatives). ``bits`` must be a positive multiple of 8 (the
+    bitmap is byte-packed)."""
+    if bits <= 0 or bits % 8:
+        raise ValueError(f"bits must be a positive multiple of 8, got {bits}")
     bm = ray.remote(_block_bitmap)
     refs = [bm.remote(r, id_col, bits, n_hashes, seed)
             for r in ids_ds.to_arrow_refs()]
@@ -1249,6 +1252,8 @@ def bloom_semi_join(ds, ids_ds, id_col: str, *, ids_col: str | None = None,
     billions of rows, shipping a fixed 2 MB bitmap to every task beats
     sorting/fetching id chunks for rows that mostly do not match —
     the verify stage only ever sees pre-passed rows."""
+    if bits <= 0 or bits % 8:
+        raise ValueError(f"bits must be a positive multiple of 8, got {bits}")
     ids_col = ids_col or id_col
     key_blocks = ids_ds.map_batches(
         lambda t: t.select([ids_col]).rename_columns([id_col]),

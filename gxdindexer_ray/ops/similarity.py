@@ -692,7 +692,7 @@ def pq_knn(codes_ds, codebooks: np.ndarray, query_ids: np.ndarray,
 
 def kmeans_cluster(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
                    k: int = 8, iters: int = 10, sample_limit: int = 5000,
-                   seed: int = 0):
+                   seed: int = 0, keep_emb: bool = False):
     """Distributed Lloyd k-means over an embedding column — the corpus
     clustering that SemDeDup-style pipelines (public: Abbas et al. 2023)
     run before per-cluster dedup/mixing. Cosine geometry (normalized
@@ -705,7 +705,9 @@ def kmeans_cluster(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
     holds). The input is materialized once and re-read per round
     (iters passes over pinned blocks, no re-execution of upstream
     transforms); a final map labels rows with broadcast centroids.
-    Returns ((id, cluster) Dataset, centroids ndarray)."""
+    Returns ((id, cluster) Dataset, centroids ndarray); ``keep_emb``
+    carries the embedding column through the labeling map so a caller
+    (semdedup) can do per-cluster vector work without re-labeling."""
     ds = ds.materialize()
     sample = pa.concat_tables(
         [ray.get(r) for r in ds.limit(sample_limit).to_arrow_refs()])
@@ -744,12 +746,15 @@ def kmeans_cluster(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
         for b in (ds.map_batches(round_partial, batch_format="pyarrow")
                   .iter_batches(batch_format="pyarrow", batch_size=4096)):
             cs = b["c"].to_numpy(zero_copy_only=False)
-            counts[cs] += b["n"].to_numpy(zero_copy_only=False)
+            # one iter batch coalesces MANY per-block partials, so cluster
+            # ids repeat within cs — unbuffered np.add.at, never fancy +=
+            np.add.at(counts, cs, b["n"].to_numpy(zero_copy_only=False))
             col = b["s"]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            sums[cs] += col.flatten().to_numpy(zero_copy_only=False) \
-                .reshape(len(cs), -1)
+            np.add.at(sums, cs,
+                      col.flatten().to_numpy(zero_copy_only=False)
+                      .reshape(len(cs), -1))
         live = counts > 0
         centroids[live] = _normalize(sums[live] / counts[live, None])
 
@@ -757,22 +762,53 @@ def kmeans_cluster(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
 
     def label(batch: pa.Table) -> pa.Table:
         cents = ray.get(cref)
+        cols = {id_col: batch[id_col]}
         if batch.num_rows == 0:
-            return pa.table({id_col: batch[id_col],
-                             "cluster": pa.array([], pa.int32())})
-        m = _normalize(_to_matrix(batch[emb_col]))
-        return pa.table({
-            id_col: batch[id_col],
-            "cluster": pa.array(np.argmax(m @ cents.T, axis=1)
-                                .astype(np.int32), pa.int32())})
+            cols["cluster"] = pa.array([], pa.int32())
+        else:
+            m = _normalize(_to_matrix(batch[emb_col]))
+            cols["cluster"] = pa.array(np.argmax(m @ cents.T, axis=1)
+                                       .astype(np.int32), pa.int32())
+        if keep_emb:
+            cols[emb_col] = batch[emb_col]
+        return pa.table(cols)
 
     return ds.map_batches(label, batch_format="pyarrow"), centroids
+
+
+_SEMDEDUP_CHUNK = 2048  # rows per tile in the per-cluster matmul/propagation
+
+
+def _threshold_components_min(ids: np.ndarray, m: np.ndarray,
+                              threshold: float) -> np.ndarray:
+    """Survivor mask for one cluster: min-label propagation over the
+    cosine>threshold graph, with every n x n intermediate built in
+    CHUNK x n tiles so peak temp memory is bounded by ~CHUNK*n*8 bytes
+    (the n x n bool adjacency, n/8 bytes/row, is the only full-size
+    allocation). ids must be sorted ascending; survivors are each
+    component's first (min-id) row."""
+    n = ids.size
+    adj = np.empty((n, n), bool)
+    for s in range(0, n, _SEMDEDUP_CHUNK):
+        adj[s:s + _SEMDEDUP_CHUNK] = \
+            (m[s:s + _SEMDEDUP_CHUNK] @ m.T) > threshold
+    lab = np.arange(n)
+    new = np.empty_like(lab)
+    while True:
+        for s in range(0, n, _SEMDEDUP_CHUNK):
+            blk = adj[s:s + _SEMDEDUP_CHUNK]
+            new[s:s + _SEMDEDUP_CHUNK] = \
+                np.where(blk, lab[None, :], n).min(axis=1)
+        if (new == lab).all():
+            break
+        lab, new = new, lab  # buffer swap; next pass overwrites `new` fully
+    return lab == np.arange(n)
 
 
 def semdedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
              k: int = 8, iters: int = 5, threshold: float = 0.95,
              sample_limit: int = 5000, seed: int = 0,
-             max_cluster_rows: int = 100_000, n_buckets: int = 16):
+             max_cluster_rows: int = 20_000, n_buckets: int = 16):
     """SemDeDup (Abbas et al. 2023, public): semantic dedup of an
     embedding corpus — k-means cluster, then WITHIN each cluster drop all
     but one of every near-identical group (cosine > threshold), keeping
@@ -780,30 +816,18 @@ def semdedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
     work is confined to clusters (the method's point: no global
     all-pairs); rows cross ONE exchange keyed by cluster. Partitioning
     assumption: one cluster's rows fit a reducer — raises above
-    ``max_cluster_rows`` (at corpus scale, raise k until clusters fit;
-    the reference implementation makes the same assumption). Returns a
-    (id, cluster) Dataset of SURVIVORS."""
+    ``max_cluster_rows`` (default 20k: a 400 MB bool adjacency + tiled
+    float temps; at corpus scale, raise k until clusters fit — the
+    reference implementation makes the same assumption). The input is
+    materialized ONCE here and shared with the k-means rounds and the
+    labeling map (no upstream re-execution). Returns a (id, cluster)
+    Dataset of SURVIVORS."""
     from .relational import keyed_exchange_apply
 
-    _labeled, cents = kmeans_cluster(
+    ds = ds.materialize()
+    labeled, _cents = kmeans_cluster(
         ds, id_col=id_col, emb_col=emb_col, k=k, iters=iters,
-        sample_limit=sample_limit, seed=seed)
-    cref = ray.put(cents)
-
-    def label_with_vec(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        if batch.num_rows == 0:
-            return pa.table({id_col: batch[id_col],
-                             "cluster": pa.array([], pa.int32()),
-                             emb_col: batch[emb_col]})
-        m = _normalize(_to_matrix(batch[emb_col]))
-        return pa.table({
-            id_col: batch[id_col],
-            "cluster": pa.array(np.argmax(m @ c.T, axis=1)
-                                .astype(np.int32), pa.int32()),
-            emb_col: batch[emb_col]})
-
-    labeled = ds.map_batches(label_with_vec, batch_format="pyarrow")
+        sample_limit=sample_limit, seed=seed, keep_emb=True)
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -819,16 +843,7 @@ def semdedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
                     f"{max_cluster_rows}; increase k")
             order = np.argsort(ids, kind="stable")
             ids, m = ids[order], m_all[sel][order]
-            adj = (m @ m.T) > threshold  # includes self (diag True)
-            # min-label propagation over the threshold graph: converges in
-            # <= component-diameter rounds; survivors are components' min ids
-            lab = np.arange(ids.size)
-            while True:
-                new = np.where(adj, lab[None, :], ids.size).min(axis=1)
-                if (new == lab).all():
-                    break
-                lab = new
-            surv = lab == np.arange(ids.size)
+            surv = _threshold_components_min(ids, m, threshold)
             keep_ids.append(ids[surv])
             keep_cl.append(np.full(int(surv.sum()), cl, np.int32))
         if not keep_ids:

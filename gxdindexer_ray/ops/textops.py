@@ -646,6 +646,9 @@ def frequent_terms(ds, *, text_col: str = "text", k: int = 20,
     agg = (ds.map_batches(recount, batch_format="pyarrow")
            .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
            .to_pandas())
+    if agg.empty:  # every batch hit the nb==0 early return: no sentinel row
+        raise ValueError(
+            "frequent_terms: corpus has no tokens (empty/null text column)")
     total = int(agg.loc[agg["term"] == _FT_TOTAL_SENTINEL, "cnt"].iloc[0])
     out = (agg[agg["term"] != _FT_TOTAL_SENTINEL]
            .sort_values(["cnt", "term"], ascending=[False, True],

@@ -2431,3 +2431,84 @@ def test_bloom_semi_join_exact_and_compact(ray_session):
     assert hit[members].all()  # no false negatives
     fp = hit[~members].mean()
     assert fp < 0.05  # bitmap prunes >95% of non-members pre-verify
+
+
+def test_kmeans_multiblock_matches_single_block(ray_session):
+    """Round partials from MANY blocks coalesce into one iter batch with
+    repeated cluster ids — the driver merge must accumulate all of them
+    (np.add.at), so a 16-block run is bit-identical to a 1-block run."""
+    import ray.data as rd
+    from gxdindexer_ray.ops.similarity import _normalize, kmeans_cluster
+
+    rng = np.random.default_rng(5)
+    centers = _normalize(rng.normal(size=(4, 16)))
+    vecs = np.stack([centers[i % 4] + 0.05 * rng.normal(size=16)
+                     for i in range(600)])
+    df = pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist()
+                                     for v in vecs]})
+    one, c1 = kmeans_cluster(rd.from_pandas(df), k=4, iters=6,
+                             sample_limit=600, seed=0)
+    # preserve row order under repartition by re-sorting on vec_id later
+    many, c16 = kmeans_cluster(rd.from_pandas(df).repartition(16), k=4,
+                               iters=6, sample_limit=600, seed=0)
+    # float partial-sum ORDER differs across block layouts (~1e-16); the
+    # pre-fix dropped-partials bug measured 2.7e-2 here
+    assert np.abs(c1 - c16).max() < 1e-12
+    g1 = one.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    g16 = many.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    assert (g1 == g16).all()
+
+
+def test_semdedup_chunked_propagation_matches_dense(monkeypatch):
+    """_threshold_components_min with a tiny tile size (forcing many
+    partial tiles and ragged boundaries) == the dense n x n one-shot."""
+    from gxdindexer_ray.ops import similarity as sim
+
+    rng = np.random.default_rng(9)
+    base = sim._normalize(rng.normal(size=(12, 8)))
+    # chains of near-dups: rows 3i..3i+2 are mutual dups
+    m = sim._normalize(np.repeat(base, 3, axis=0)
+                       + 1e-5 * rng.normal(size=(36, 8)))
+    ids = np.arange(36, dtype=np.int64)
+
+    def dense(ids, m, threshold):
+        adj = (m @ m.T) > threshold
+        lab = np.arange(ids.size)
+        while True:
+            new = np.where(adj, lab[None, :], ids.size).min(axis=1)
+            if (new == lab).all():
+                return lab == np.arange(ids.size)
+            lab = new
+
+    expect = dense(ids, m, 0.999)
+    monkeypatch.setattr(sim, "_SEMDEDUP_CHUNK", 5)  # ragged 36/5 tiling
+    got = sim._threshold_components_min(ids, m, 0.999)
+    assert (got == expect).all()
+    assert got.sum() == 12  # one survivor per planted group
+
+
+def test_bloom_bits_validation(ray_session):
+    """Non-multiple-of-8 bitmap sizes raise up front instead of
+    crashing inside np.bitwise_or.at with an index error."""
+    import pytest as _pt
+    import ray.data as rd
+    from gxdindexer_ray.ops.relational import bloom_build, bloom_semi_join
+
+    keys = rd.from_items([{"id": i} for i in range(10)])
+    with _pt.raises(ValueError, match="multiple of 8"):
+        bloom_build(keys, "id", bits=100)
+    with _pt.raises(ValueError, match="multiple of 8"):
+        bloom_semi_join(keys, keys, "id", bits=0)
+
+
+def test_frequent_terms_empty_corpus(ray_session):
+    """An all-empty text column raises a clear 'no tokens' error, not an
+    IndexError from the missing total-sentinel row."""
+    import pytest as _pt
+    import ray.data as rd
+    from gxdindexer_ray.ops.textops import frequent_terms
+
+    ds = rd.from_items([{"doc_id": i, "text": ""} for i in range(5)])
+    with _pt.raises(ValueError, match="no tokens"):
+        frequent_terms(ds, k=5, capacity=64)
