@@ -1180,6 +1180,10 @@ def distributed_topk(ds, by: list[str], ascending: list[bool], k: int) -> pd.Dat
         return batch.sort_values(by, ascending=ascending, kind="mergesort").head(k)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty and not set(by) <= set(parts.columns):
+        # Dataset.to_pandas() drops COLUMNS (not just rows) when every
+        # block is empty — rebuild the empty frame from the block schema
+        parts = ds.schema().base_schema.empty_table().to_pandas()
     return (
         parts.sort_values(by, ascending=ascending, kind="mergesort").head(k).reset_index(drop=True)
     )
@@ -1277,3 +1281,75 @@ def bloom_semi_join(ds, ids_ds, id_col: str, *, ids_col: str | None = None,
 
     pre = ds.map_batches(prefilter, batch_format="pyarrow")
     return ranged_id_filter(pre, ids_ds, id_col, ids_col=ids_col, keep=True)
+
+
+# ---------------------------------------------------------------------------
+# arg-max dedup and grouped normalization
+# ---------------------------------------------------------------------------
+
+def best_per_key(ds, keys: list[str], *, value_col: str, tiebreak_col: str,
+                 maximize: bool = True, n_buckets: int = 64):
+    """Arg-max dedup: keep each key group's single BEST row (max/min
+    ``value_col``, ties broken by min ``tiebreak_col``) with all its
+    columns — the "keep the best version of each page" curation rule
+    (vs dedup_first's keep-the-first).
+
+    One keyed exchange; the per-batch local pre-reduce keeps one row per
+    key per batch, so the exchange carries O(keys x batches) rows, never
+    the dataset. Null keys form their own group (SQL GROUP BY semantics,
+    same contract as dedup_first)."""
+    asc = [True] * len(keys) + [not maximize, True]
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*keys, value_col, tiebreak_col], ascending=asc,
+                            kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(1)
+
+    return keyed_exchange_apply(ds, keys, best, n_buckets, local=best)
+
+
+def grouped_zscore(ds, keys: list[str], value_col: str, *,
+                   out_col: str = "z", n_buckets: int = 64):
+    """Per-group z-score normalization (population std): TWO passes, no
+    group-sized shuffle — pass 1 is a tiny (n, sum, sum-of-squares)
+    pre-aggregate per group; pass 2 maps the (mean, std) lookup back over
+    the stream. The lookup is one row per group — broadcast-by-closure
+    here; swap to ray.put + index_in for group cardinalities that dwarf a
+    task heap. std == 0 groups emit z = 0 (matches the SQL oracle's CASE).
+    Output fixed-point rounded to 6 dp."""
+    import pyarrow.compute as pc
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.float64())
+        return batch.append_column("__v2", pc.multiply(v, v)) \
+                    .append_column("__v", v)
+
+    stats = pre_aggregate(ds.map_batches(add_sq, batch_format="pyarrow"),
+                          keys, sums={"s": "__v", "s2": "__v2"}, counts="n",
+                          driver_final=True)
+    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
+    var = np.maximum(stats["s2"].to_numpy() / stats["n"].to_numpy()
+                     - mean * mean, 0.0)
+    std = np.sqrt(var)
+    def _canon(x):
+        # null keys: the driver-final frame spells them NaN/NaT, Arrow
+        # batches spell them None — fold both to None so lookups line up
+        return None if (x is None or x != x) else x
+
+    key_index = {tuple(map(_canon, r)): i for i, r in
+                 enumerate(stats[keys].itertuples(index=False, name=None))}
+    mean_arr, std_arr = mean, std
+
+    def apply(batch: pa.Table) -> pa.Table:
+        cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        idx = np.fromiter((key_index[tuple(map(_canon, t))]
+                           for t in zip(*cols)),
+                          np.int64, batch.num_rows)
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        m, s = mean_arr[idx], std_arr[idx]
+        z = np.where(s == 0.0, 0.0, (v - m) / np.where(s == 0.0, 1.0, s))
+        return batch.append_column(
+            out_col, pa.array(np.floor(z * 1e6 + 0.5) / 1e6, pa.float64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

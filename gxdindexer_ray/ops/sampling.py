@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .relational import _splitmix64, keyed_exchange_apply, mod_exchange_apply
 
@@ -191,5 +192,36 @@ def source_mix(ds, *, key_col: str = "source", id_col: str = "doc_id",
             if batch.num_rows else np.empty(0, np.float64)
         hv = _id_hashes(batch[id_col].to_numpy(zero_copy_only=False), seed)
         return batch.filter(pa.array(hv.astype(np.float64) < t))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, key_col: str, id_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      seed: int = 0):
+    """Per-stratum deterministic Bernoulli sample: a row is kept iff
+    ``splitmix64(id ^ seed) < rates[stratum] * 2^64`` — hash_sample with
+    the rate looked up per row from a tiny stratum table (rides the task
+    closure; it is |strata| floats). Map-side only: like every hash
+    sampler here the selection is a pure function of (id, stratum), stable
+    across runs, block splits and cluster sizes, and composes with
+    hash_split without leakage. Strata absent from ``rates`` use
+    ``default_rate``. Rates must be in [0, 1); use a plain filter for
+    keep-everything strata (the saturated-threshold edge hash_sample
+    short-circuits)."""
+    for r in (*rates.values(), default_rate):
+        if not 0.0 <= r < 1.0:
+            raise ValueError("stratum rates must be in [0, 1)")
+    names = list(rates)
+    thr = np.array([int(r * 2.0 ** 64) for r in rates.values()]
+                   + [int(default_rate * 2.0 ** 64)], dtype=np.uint64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[key_col], pa.array(names, pa.string()))
+        idx = pc.fill_null(idx, len(names)).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = _id_hashes(ids, seed) < thr[idx]
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -768,3 +768,225 @@ def pmi_collocations(ds, *, text_col: str = "text", k: int = 20,
            .head(k).reset_index(drop=True))
     out["pmi"] = np.floor(out["pmi"].to_numpy() * 1e6 + 0.5) / 1e6
     return out[["x", "y", "cnt", "pmi"]]
+
+
+# ---------------------------------------------------------------------------
+# n-gram corpus analysis (boilerplate catalog, duplicated-substring signal)
+# ---------------------------------------------------------------------------
+
+def boilerplate_ngrams(ds, *, text_col: str = "text", n: int = 5,
+                       min_docs: int = 5, k: int = 20, n_buckets: int = 64):
+    """Boilerplate catalog (the CCNet/C4 frequent-line rule at token-n-gram
+    granularity — these docs carry no newlines): token n-grams appearing in
+    at least ``min_docs`` DISTINCT documents, top-k by document frequency
+    (ties broken by gram string).
+
+    Distributed shape: map-side per-doc DISTINCT grams (dictionary encode +
+    composite-key unique — a doc's text is one row, so per-batch distinct IS
+    per-doc distinct), ONE gram-keyed exchange whose reducer owns each gram
+    completely (df = its group size) and emits only its bucket's qualifying
+    top-k; the driver merges k rows per bucket. Nothing vocabulary-sized is
+    broadcast or collected."""
+    from ..text.tokenize import doc_ngrams
+    from .relational import keyed_exchange_apply, distributed_topk
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        grams, gdoc = doc_ngrams(batch[text_col], n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        dic = pc.dictionary_encode(grams)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(dic.dictionary)
+        uniq = np.unique(gdoc * nv + codes)      # distinct (doc, gram)
+        return pa.table(
+            {"gram": dic.dictionary.take(pa.array(uniq % nv, pa.int64()))})
+
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        # rows are distinct (doc, gram) pairs; df = per-gram row count
+        dic = pc.dictionary_encode(tbl["gram"].combine_chunks())
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(codes)
+        keep = np.flatnonzero(df >= min_docs)
+        if keep.size == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        grams = dic.dictionary.take(pa.array(keep, pa.int64()))
+        out = pa.table({"gram": grams,
+                        "df": pa.array(df[keep], pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("df", "descending"),
+                                                ("gram", "ascending")])
+        return out.take(order.slice(0, k))
+
+    cands = keyed_exchange_apply(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        ["gram"], bucket_topk, n_buckets,
+        batch_format="pyarrow", local_arrow=lambda t: t)
+    return distributed_topk(cands, ["df", "gram"], [False, True], k)
+
+
+def dup_gram_fraction(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 8, n_buckets: int = 64,
+                      out_col: str = "dup_frac"):
+    """Per-document duplicated-substring fraction at token-n-gram
+    granularity (the Lee et al. 2022 exact-substring-dedup signal reduced
+    to fixed-width windows so it is exactly SQL-oracle-able): the share of
+    a doc's n-gram OCCURRENCES whose gram occurs >= 2 times corpus-wide
+    (anywhere — another doc or a repeat within the same doc).
+
+    Same skeleton as unigram_logprob_score: map-side distinct
+    (doc, gram, tf) rows; ONE gram-keyed exchange where a bucket owns each
+    gram completely (corpus count = the gram group's tf sum) and emits
+    skinny per-(doc, bucket) partials; a doc-keyed exchange sums them.
+    Docs with fewer than n tokens emit no rows (mirrors the SQL oracle).
+    Output fixed-point rounded to 6 dp."""
+    from ..text.tokenize import doc_ngrams
+    from .relational import keyed_exchange_apply
+
+    def gram_tf_rows(batch: pa.Table) -> pa.Table:
+        grams, gdoc = doc_ngrams(batch[text_col], n)
+        id_type = batch.schema.field(id_col).type
+        if len(grams) == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "gram": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        dic = pc.dictionary_encode(grams)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(dic.dictionary)
+        uniq, tf = np.unique(gdoc * nv + codes, return_counts=True)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(uniq // nv, pa.int64())),
+            "gram": dic.dictionary.take(pa.array(uniq % nv, pa.int64())),
+            "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+    def bucket_partials(tbl: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(tbl["gram"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes, weights=tf)          # corpus-wide per gram
+        dup = np.where(cnt[codes] >= 2.0, tf, 0.0)
+        docs = tbl[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uniq, tbl.schema.field(id_col).type),
+            "dup": pa.array(np.bincount(inv, weights=dup).astype(np.int64),
+                            pa.int64()),
+            "tot": pa.array(np.bincount(inv, weights=tf).astype(np.int64),
+                            pa.int64())})
+
+    partials = keyed_exchange_apply(
+        ds.map_batches(gram_tf_rows, batch_format="pyarrow"),
+        ["gram"], bucket_partials, n_buckets,
+        batch_format="pyarrow", local_arrow=lambda t: t)
+
+    def sum_and_finish(tbl: pa.Table) -> pa.Table:
+        docs = tbl[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        dup = np.bincount(inv, weights=tbl["dup"].to_numpy(zero_copy_only=False))
+        tot = np.bincount(inv, weights=tbl["tot"].to_numpy(zero_copy_only=False))
+        v = np.floor(dup / tot * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: pa.array(uniq, tbl.schema.field(id_col).type),
+                         out_col: pa.array(v, pa.float64())})
+
+    return keyed_exchange_apply(partials, [id_col], sum_and_finish,
+                                n_buckets, batch_format="pyarrow",
+                                local_arrow=lambda t: t)
+
+
+def dsir_importance(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    domain_col: str = "lang", target_value: str = "en",
+                    n_buckets: int = 64, out_col: str = "dsir_w"):
+    """DSIR importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", reduced to unigram features
+    so it is exactly SQL-oracle-able): per-token log-likelihood ratio of
+    the doc under the TARGET domain's add-one-smoothed unigram LM vs the
+    raw corpus's,
+
+        w = (1/L) * sum_t tf_t * [ln(cnt_target_t + 1) - ln(cnt_t + 1)]
+            + ln(T + V) - ln(T_target + V)
+
+    (V = corpus distinct-term count; the +ln terms fold the smoothed
+    denominators out of the per-term sum). High w = doc looks like the
+    target domain — the public importance-resampling selection signal.
+
+    Distributed shape: ONE term-keyed exchange computes cnt_t and
+    cnt_target_t together (a bucket owns each term completely) and emits
+    per-(doc, bucket) partials carrying (s, L, L_target) plus ONE
+    vocab-count row per bucket under a sentinel id; a doc-keyed exchange
+    sums partials; the three scalars (T, T_target, V) come off the skinny
+    materialized per-doc table, never a corpus pass."""
+    from .relational import keyed_exchange_apply
+
+    SENTINEL = np.int64(-(2 ** 62))
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        vocab, doc_idx, codes, tf = doc_term_counts(batch[text_col])
+        take = pa.array(doc_idx, pa.int64())
+        is_t = pc.equal(batch[domain_col], target_value).take(take)
+        return pa.table({
+            id_col: batch[id_col].take(take),
+            "term": (vocab.take(pa.array(codes, pa.int64()))
+                     if len(vocab) else pa.array([], pa.string())),
+            "tf": pa.array(tf, pa.int64()),
+            "is_t": pc.fill_null(is_t, False)})
+
+    def bucket_partials(tbl: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(tbl["term"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = int(codes.max()) + 1 if codes.size else 0
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        is_t = tbl["is_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes, weights=tf, minlength=nv)
+        cnt_t = np.bincount(codes, weights=tf * is_t, minlength=nv)
+        contrib = tf * (np.log(cnt_t[codes] + 1.0) - np.log(cnt[codes] + 1.0))
+        docs = tbl[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        id_type = tbl.schema.field(id_col).type
+        out = pa.table({
+            id_col: pa.array(uniq, id_type),
+            "s": pa.array(np.bincount(inv, weights=contrib), pa.float64()),
+            "L": pa.array(np.bincount(inv, weights=tf).astype(np.int64),
+                          pa.int64()),
+            "Lt": pa.array(np.bincount(inv, weights=tf * is_t)
+                           .astype(np.int64), pa.int64()),
+            "v": pa.array(np.zeros(uniq.size, np.int64), pa.int64())})
+        sent = pa.table({id_col: pa.array([SENTINEL], id_type),
+                         "s": pa.array([0.0], pa.float64()),
+                         "L": pa.array([0], pa.int64()),
+                         "Lt": pa.array([0], pa.int64()),
+                         "v": pa.array([nv], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    partials = keyed_exchange_apply(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        ["term"], bucket_partials, n_buckets,
+        batch_format="pyarrow", local_arrow=lambda t: t)
+
+    def sum_bucket(tbl: pa.Table) -> pa.Table:
+        docs = tbl[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        cols = {id_col: pa.array(uniq, tbl.schema.field(id_col).type)}
+        for c, t in (("s", pa.float64()), ("L", pa.int64()),
+                     ("Lt", pa.int64()), ("v", pa.int64())):
+            w = np.bincount(inv, weights=tbl[c].to_numpy(zero_copy_only=False))
+            cols[c] = pa.array(w if c == "s" else w.astype(np.int64), t)
+        return pa.table(cols)
+
+    per_doc = keyed_exchange_apply(partials, [id_col], sum_bucket, n_buckets,
+                                   batch_format="pyarrow",
+                                   local_arrow=lambda t: t).materialize()
+    total = float(per_doc.sum("L"))
+    total_t = float(per_doc.sum("Lt"))
+    vocab_n = float(per_doc.sum("v"))
+    shift = float(np.log(total + vocab_n) - np.log(total_t + vocab_n))
+
+    def finish(t: pa.Table) -> pa.Table:
+        docs = t[id_col].to_numpy(zero_copy_only=False)
+        keep = docs != SENTINEL
+        s = t["s"].to_numpy(zero_copy_only=False)[keep]
+        ln = t["L"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        v = np.floor((s / ln + shift) * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: pa.array(docs[keep],
+                                          t.schema.field(id_col).type),
+                         out_col: pa.array(v, pa.float64())})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

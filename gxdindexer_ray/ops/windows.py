@@ -141,3 +141,42 @@ def running_aggregate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return keyed_exchange_apply(ds, [key_col], per_bucket, n_buckets,
                                 local=local)
+
+
+def session_funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                   tiebreak_col: str = "event_id",
+                   type_col: str = "event_type",
+                   first: str = "view", then: str = "purchase",
+                   gap_minutes: int = 30, n_buckets: int = 64):
+    """Session funnel: sessionize per user (fixed inactivity gap, same rule
+    as ``sessionize``), then per user count total sessions and CONVERTED
+    sessions — a session converts when it contains a ``first``-type event
+    strictly earlier (by timestamp) than a ``then``-type event, i.e.
+    ``min(ts | type=first) < max(ts | type=then)``. The strict-< on raw
+    timestamps makes the result independent of how ties are ordered, so
+    one SQL oracle pins it exactly.
+
+    One user-hash exchange; the in-bucket body is a vectorized sorted scan
+    (cumsum session ids + two masked groupby aggregates) — no per-user or
+    per-session Python. Output (user_col, n_sessions, n_converted)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        new_user = df[user_col].ne(df[user_col].shift())
+        new_session = new_user | (df[ts_col].diff() > gap)
+        sess = new_session.cumsum()              # globally unique in bucket
+        ts = df[ts_col]
+        mv = ts.where(df[type_col].eq(first)).groupby(sess).transform("min")
+        mp = ts.where(df[type_col].eq(then)).groupby(sess).transform("max")
+        firsts = new_session.to_numpy()          # one row per session
+        conv = (mv < mp).to_numpy()[firsts]
+        users = df[user_col].to_numpy()[firsts]
+        out = pd.DataFrame({user_col: users, "__c": conv.astype(np.int64)})
+        g = out.groupby(user_col, sort=False)["__c"]
+        return pd.DataFrame({user_col: np.fromiter(g.groups, dtype=np.int64),
+                             "n_sessions": g.size().to_numpy(),
+                             "n_converted": g.sum().to_numpy()})
+
+    return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)

@@ -2562,6 +2562,293 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# round-5 extension pack (q91-q100): n-gram corpus analysis, arg-max dedup,
+# stratified sampling, normalization, rollup/pivot, BPE training, DSIR,
+# session funnels
+# ---------------------------------------------------------------------------
+
+
+def q91_boilerplate_ngrams(sf: str):
+    """Boilerplate n-gram catalog (the CCNet/C4 frequent-line rule at
+    token-5-gram granularity): top-20 grams by DISTINCT-document frequency
+    among grams in >= 2 docs. Per-doc-distinct map partials, one gram-keyed
+    exchange (bucket owns its grams; df = group size), per-bucket top-k,
+    tiny driver merge (ops/textops.py::boilerplate_ngrams)."""
+    ds = read_table(sf, "documents", columns=["text"])
+    return textops.boilerplate_ngrams(ds, n=5, min_docs=2, k=20)
+
+
+SQL_Q91 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(list_slice(ts, 1, len(ts) - 4),
+               (x, i) -> x || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                 || ' ' || ts[i + 3] || ' ' || ts[i + 4])) AS gram
+      FROM arr WHERE len(ts) >= 5),
+dfq AS (SELECT gram, count(*)::BIGINT AS df FROM g GROUP BY gram),
+rk AS (SELECT gram, df, row_number() OVER (ORDER BY df DESC, gram) AS rn
+       FROM dfq WHERE df >= 2)
+SELECT gram, df FROM rk WHERE rn <= 20
+"""
+
+
+def q92_dup_gram_fraction(sf: str):
+    """Per-doc duplicated-substring fraction at token-8-gram granularity
+    (the Lee et al. 2022 exact-substring-dedup signal, fixed-width form):
+    share of a doc's gram occurrences whose gram occurs >= 2 times
+    corpus-wide. Gram-keyed + doc-keyed exchanges, skinny partials only
+    (ops/textops.py::dup_gram_fraction)."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.dup_gram_fraction(ds, n=8)
+
+
+SQL_Q92 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(list_slice(ts, 1, len(ts) - 7),
+               (x, i) -> x || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                 || ' ' || ts[i + 3] || ' ' || ts[i + 4] || ' ' || ts[i + 5]
+                 || ' ' || ts[i + 6] || ' ' || ts[i + 7])) AS gram
+      FROM arr WHERE len(ts) >= 8),
+tfq AS (SELECT doc_id, gram, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+cnt AS (SELECT gram, sum(tf)::BIGINT AS c FROM tfq GROUP BY gram),
+agg AS (SELECT t.doc_id,
+               sum(CASE WHEN c.c >= 2 THEN t.tf ELSE 0 END)::DOUBLE AS dup,
+               sum(t.tf)::DOUBLE AS tot
+        FROM tfq t JOIN cnt c USING (gram) GROUP BY t.doc_id)
+SELECT doc_id, floor(dup / tot * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM agg
+"""
+
+
+def q93_best_doc_per_source(sf: str):
+    """Arg-max dedup (keep the best version per key): the single longest
+    doc per (source, lang), ties to the smallest doc_id — one keyed
+    exchange with per-batch one-row-per-key pre-reduce
+    (ops/relational.py::best_per_key)."""
+    from ..ops.relational import best_per_key
+
+    ds = read_table(sf, "documents",
+                    columns=["doc_id", "source", "lang", "n_chars"])
+    return best_per_key(ds, ["source", "lang"], value_col="n_chars",
+                        tiebreak_col="doc_id")
+
+
+SQL_Q93 = """
+WITH rk AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, lang, n_chars FROM rk WHERE rn = 1
+"""
+
+
+def q94_stratified_sample(sf: str):
+    """Per-stratum deterministic Bernoulli sample (rebalancing: keep 20%
+    of the dominant 'en', 60% of everything else) — map-side splitmix64
+    threshold per row, rate looked up from a |strata|-sized closure table
+    (ops/sampling.py::stratified_sample)."""
+    from ..ops.sampling import stratified_sample
+
+    ds = read_table(sf, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, key_col="lang", id_col="doc_id",
+                             rates={"en": 0.2}, default_rate=0.6)
+
+
+_Q94_THR_EN = int(0.2 * 2.0 ** 64)
+_Q94_THR_DEF = int(0.6 * 2.0 ** 64)
+SQL_Q94 = _sql_splitmix(
+    "SELECT doc_id, lang FROM documents", "doc_id, lang", "doc_id"
+) + f"""
+SELECT doc_id, lang FROM hashed
+WHERE hv < CASE WHEN lang = 'en' THEN {_Q94_THR_EN}::UBIGINT
+               ELSE {_Q94_THR_DEF}::UBIGINT END
+"""
+
+
+def q95_zscore_normalize(sf: str):
+    """Per-language z-score normalization of doc length: one tiny
+    (n, sum, sumsq) aggregate broadcast back into a map — two streaming
+    passes, nothing group-sized shuffled
+    (ops/relational.py::grouped_zscore)."""
+    from ..ops.relational import grouped_zscore
+
+    ds = read_table(sf, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_zscore(ds, ["lang"], "n_chars")
+
+
+SQL_Q95 = """
+SELECT doc_id, lang, n_chars,
+       floor(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) = 0
+                  THEN 0.0
+                  ELSE (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                       / stddev_pop(n_chars) OVER (PARTITION BY lang)
+             END * 1000000 + 0.5) / 1000000 AS z
+FROM documents
+"""
+
+
+def q96_rollup_counts(sf: str):
+    """ROLLUP aggregate (lang, source) -> (lang) -> () in ONE distributed
+    pass: the fine-level pre-aggregate is the only thing that touches the
+    data; the coarser levels re-aggregate its (small) result locally —
+    the standard distributed-rollup shape."""
+    fine = pre_aggregate(
+        read_table(sf, "documents", columns=["lang", "source", "n_chars"]),
+        ["lang", "source"], counts="n", sums={"total_chars": "n_chars"},
+        driver_final=True)
+    lang = fine.groupby("lang", as_index=False)[["n", "total_chars"]].sum()
+    lang["source"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "n": [fine["n"].sum()],
+                          "total_chars": [fine["total_chars"].sum()]})
+    out = pd.concat([fine, lang, total], ignore_index=True)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "source", "n", "total_chars"]]
+
+
+SQL_Q96 = """
+SELECT lang, source, count(*)::BIGINT AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q97_event_pivot(sf: str):
+    """Pivot (long -> wide): per user cohort (user_id % 10), one count
+    column per event type plus purchase revenue — map-side one-hot
+    derivation feeding a single grouped pre-aggregate, so the pivot costs
+    one streaming pass and the exchange carries cohort-sized partials."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_table(sf, "events", columns=["user_id", "event_type", "value"])
+
+    def onehot(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        cols = {"cohort": pa.array(uid % 10, pa.int64())}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty),
+                                      pa.int64())
+        cols["purchase_value"] = pc.if_else(
+            pc.equal(t["event_type"], "purchase"),
+            t["value"], pa.scalar(0.0, pa.float64()))
+        return pa.table(cols)
+
+    out = pre_aggregate(
+        ds.map_batches(onehot, batch_format="pyarrow"), ["cohort"],
+        sums={**{f"n_{ty}": f"n_{ty}" for ty in types},
+              "purchase_value": "purchase_value"},
+        driver_final=True)
+    out["purchase_value"] = out["purchase_value"].round(2)
+    return out
+
+
+SQL_Q97 = """
+SELECT (user_id % 10)::BIGINT AS cohort,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+           AS purchase_value
+FROM events GROUP BY 1
+"""
+
+
+def q98_bpe_train(sf: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn 8
+    merges from the documents corpus. Word-frequency table via one
+    word-keyed exchange; each merge round is one pass over the DISTINCT
+    vocabulary emitting pair-count partials, a tiny driver argmax, and a
+    map-side merge apply (ops/bpe.py). Iterative — no SQL oracle; the
+    exactness contract vs a pure-Python reference BPE lives in
+    tests/test_ops.py::test_bpe_train_matches_reference."""
+    from ..ops.bpe import bpe_train
+
+    ds = read_table(sf, "documents", columns=["text"])
+    return bpe_train(ds, n_merges=8)
+
+
+def q99_dsir_importance(sf: str):
+    """DSIR importance weights (Xie et al. 2023) with unigram features:
+    per-token log-likelihood ratio of each doc under the 'en' subcorpus's
+    add-one-smoothed unigram LM vs the full corpus's. One term-keyed
+    exchange owns both counts; skinny per-(doc, bucket) partials
+    (ops/textops.py::dsir_importance)."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
+    return textops.dsir_importance(ds, domain_col="lang", target_value="en")
+
+
+SQL_Q99 = """
+WITH arr AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, lang, unnest(ts) AS term FROM arr),
+tfq AS (SELECT doc_id, lang, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY 1, 2, 3),
+cnt AS (SELECT term, sum(tf)::DOUBLE AS c,
+               sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)::DOUBLE AS ce
+        FROM tfq GROUP BY term),
+tot AS (SELECT sum(c) AS t, sum(ce) AS te, count(*)::DOUBLE AS v FROM cnt),
+sc AS (SELECT f.doc_id,
+              sum(f.tf * (ln(c.ce + 1) - ln(c.c + 1)))::DOUBLE AS s,
+              sum(f.tf)::DOUBLE AS l
+       FROM tfq f JOIN cnt c USING (term) GROUP BY f.doc_id)
+SELECT doc_id,
+       floor((s / l + ln((SELECT t + v FROM tot))
+              - ln((SELECT te + v FROM tot))) * 1000000 + 0.5) / 1000000
+           AS dsir_w
+FROM sc
+"""
+
+
+def q100_session_funnel(sf: str):
+    """Session funnel: sessionize the events log per user (30-min gap),
+    count total and CONVERTED sessions (a 'view' strictly before a
+    'purchase' within the session) — one user-hash exchange, vectorized
+    in-bucket scan (ops/windows.py::session_funnel)."""
+    ds = read_table(sf, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return win_ops.session_funnel(ds)
+
+
+SQL_Q100 = """
+WITH l AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_id
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM l),
+agg AS (
+  SELECT user_id, sess,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS mv,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+  FROM s GROUP BY user_id, sess)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN mv IS NOT NULL AND mp IS NOT NULL AND mv < mp
+                THEN 1 ELSE 0 END)::BIGINT AS n_converted
+FROM agg GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -2656,6 +2943,16 @@ CATALOG: dict[str, tuple] = {
     "q88_semdedup": (q88_semdedup, None),
     "q89_collocations": (q89_collocations, SQL_Q89),
     "q90_bloom_semi_join": (q90_bloom_semi_join, SQL_Q90),
+    "q91_boilerplate_ngrams": (q91_boilerplate_ngrams, SQL_Q91),
+    "q92_dup_gram_fraction": (q92_dup_gram_fraction, SQL_Q92),
+    "q93_best_doc_per_source": (q93_best_doc_per_source, SQL_Q93),
+    "q94_stratified_sample": (q94_stratified_sample, SQL_Q94),
+    "q95_zscore_normalize": (q95_zscore_normalize, SQL_Q95),
+    "q96_rollup_counts": (q96_rollup_counts, SQL_Q96),
+    "q97_event_pivot": (q97_event_pivot, SQL_Q97),
+    "q98_bpe_train": (q98_bpe_train, None),
+    "q99_dsir_importance": (q99_dsir_importance, SQL_Q99),
+    "q100_session_funnel": (q100_session_funnel, SQL_Q100),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2666,7 +2963,12 @@ CATALOG: dict[str, tuple] = {
 # the window — at 90 entries the sweep covers q51-q90 + q01-q10. The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
-_ROTATED = [n for n in CATALOG if n >= "q51"] + [n for n in CATALOG if n < "q51"]
+def _qnum(name: str) -> int:
+    return int(name[1:].split("_", 1)[0])
+
+
+_ROTATED = ([n for n in CATALOG if _qnum(n) >= 51]
+            + [n for n in CATALOG if _qnum(n) < 51])
 CATALOG = {n: CATALOG[n] for n in _ROTATED}
 
 
@@ -2675,12 +2977,15 @@ CATALOG = {n: CATALOG[n] for n in _ROTATED}
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90)}],
+                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90)}]
+    + ["q93_best_doc_per_source", "q95_zscore_normalize",
+       "q96_rollup_counts", "q97_event_pivot"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
-                "q61_hopping_window", "q78_running_sum"],
+                "q61_hopping_window", "q78_running_sum",
+                "q100_session_funnel"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key",
                  "q66_train_test_split", "q81_shuffle_shard",
-                 "q85_source_mix"],
+                 "q85_source_mix", "q94_stratified_sample"],
     "multimodal": ["q32_blob_meta", "q69_image_decode_meta",
                    "q76_audio_decode_meta", "q77_video_frame_sample"],
     "sketches": ["q37_approx_distinct"],
@@ -2690,10 +2995,13 @@ GROUPS: dict[str, list[str]] = {
              "q72_normalize_text", "q73_pii_redact",
              "q75_repetition_ratio", "q80_chunk_tokens",
              "q82_keyword_extract", "q83_lm_score",
-             "q86_frequent_terms", "q89_collocations"],
+             "q86_frequent_terms", "q89_collocations",
+             "q91_boilerplate_ngrams", "q98_bpe_train",
+             "q99_dsir_importance"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
-              "q79_decontaminate", "q88_semdedup"],
+              "q79_decontaminate", "q88_semdedup",
+              "q92_dup_gram_fraction"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

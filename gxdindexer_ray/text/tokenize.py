@@ -107,3 +107,30 @@ def doc_term_counts(
     key = doc_idx * nvocab + codes
     uniq, counts = np.unique(key, return_counts=True)
     return vocab, uniq // nvocab, uniq % nvocab, counts.astype(np.int64)
+
+
+def doc_ngrams(
+    text_col: pa.Array | pa.ChunkedArray, n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """All token ``n``-grams per row, vectorized.
+
+    Returns ``(grams, doc_idx)``: grams are the n consecutive tokens joined
+    with single spaces (byte-identical to the SQL oracle's
+    ``list_transform(list_slice(ts, 1, len(ts)-n+1), ...)`` join), doc_idx
+    the source row per gram, in token order with multiplicity. Rows with
+    fewer than ``n`` tokens emit nothing. The join runs through
+    ``pc.binary_join_element_wise`` over n shifted slices of the flat token
+    stream — no per-row Python."""
+    flat, doc_idx = tokenize_column(text_col)
+    ntok = len(flat)
+    if ntok < n:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    starts = ntok - n + 1
+    # an n-gram is valid iff its first and last token share a source row
+    valid = doc_idx[:starts] == doc_idx[n - 1:]
+    parts = [flat.slice(i, starts) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    mask = pa.array(valid)
+    return grams.filter(mask), doc_idx[:starts][valid]

@@ -2512,3 +2512,187 @@ def test_frequent_terms_empty_corpus(ray_session):
     ds = rd.from_items([{"doc_id": i, "text": ""} for i in range(5)])
     with _pt.raises(ValueError, match="no tokens"):
         frequent_terms(ds, k=5, capacity=64)
+
+
+# ---------------------------------------------------------------------------
+# round-5 extension pack (q91-q100 operator contracts)
+# ---------------------------------------------------------------------------
+
+class TestNgramOps:
+    def test_doc_ngrams_respects_row_boundaries(self):
+        from gxdindexer_ray.text.tokenize import doc_ngrams
+
+        col = pa.array(["a b c d", "x y", None, "", "p q r"])
+        g, d = doc_ngrams(col, 3)
+        assert g.to_pylist() == ["a b c", "b c d", "p q r"]
+        assert d.tolist() == [0, 0, 4]
+        g2, d2 = doc_ngrams(pa.array([None, ""]), 2)
+        assert len(g2) == 0 and len(d2) == 0
+
+    def test_dup_gram_fraction_counts_within_doc_repeats(self, ray_session):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.textops import dup_gram_fraction
+
+        # doc 1 repeats its own bigram ("a b" twice) -> those occurrences
+        # are duplicated even though no other doc shares them; doc 2 and 3
+        # share one bigram; doc 4 is all-unique
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c a b", "p q r", "z p q", "u v w"]})
+        out = dup_gram_fraction(rd.from_pandas(df), n=2) \
+            .to_pandas().set_index("doc_id")["dup_frac"]
+        # doc 1 bigrams: [a b, b c, c a, a b] -> 2/4 duplicated
+        assert out[1] == 0.5
+        # doc 2: [p q, q r] -> p q shared with doc 3 -> 1/2
+        assert out[2] == 0.5
+        assert out[3] == 0.5
+        assert out[4] == 0.0
+
+    def test_boilerplate_ngrams_empty_result_keeps_schema(self, ray_session):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.textops import boilerplate_ngrams
+
+        df = pd.DataFrame({"text": ["one two three four five six"]})
+        out = boilerplate_ngrams(rd.from_pandas(df), n=5, min_docs=99, k=5)
+        assert list(out.columns) == ["gram", "df"]
+        assert len(out) == 0
+
+
+class TestBestPerKey:
+    def test_ties_null_keys_and_minimize(self, ray_session):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.relational import best_per_key
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "b", "b", "b", None, None],
+            "v": [1, 5, 2, 2, 0, 7, 9],
+            "id": [10, 3, 2, 1, 5, 9, 4]})
+        out = best_per_key(rd.from_pandas(df), ["k"], value_col="v",
+                           tiebreak_col="id").to_pandas()
+        got = {r["k"]: (r["v"], r["id"]) for _, r in out.iterrows()}
+        assert got["a"] == (5, 3)
+        assert got["b"] == (2, 1)          # tie on v=2 -> min id wins
+        assert got[None] == (9, 4)         # null keys form one group
+        lo = best_per_key(rd.from_pandas(df), ["k"], value_col="v",
+                          tiebreak_col="id", maximize=False).to_pandas()
+        got_lo = {r["k"]: (r["v"], r["id"]) for _, r in lo.iterrows()}
+        assert got_lo["b"] == (0, 5)
+
+
+class TestStratifiedSample:
+    def test_rates_and_batching_invariance(self, ray_session):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.sampling import stratified_sample
+
+        df = pd.DataFrame({"lang": ["en"] * 4000 + ["de"] * 1000,
+                           "doc_id": range(5000)})
+        kw = dict(key_col="lang", id_col="doc_id",
+                  rates={"en": 0.25}, default_rate=0.75)
+        a = stratified_sample(rd.from_pandas(df), **kw).to_pandas()
+        b = stratified_sample(
+            rd.from_pandas(df).repartition(13), **kw).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        frac = a.groupby("lang").size() / df.groupby("lang").size()
+        assert abs(frac["en"] - 0.25) < 0.05
+        assert abs(frac["de"] - 0.75) < 0.05
+
+    def test_rejects_saturating_rate(self, ray_session):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.sampling import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(rd.from_pandas(pd.DataFrame({"k": [], "i": []})),
+                              key_col="k", id_col="i", rates={"x": 1.0})
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """q98 exactness contract: the distributed trainer reproduces a plain
+    single-process BPE (count-desc, lexicographic tie-break) merge list."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.bpe import bpe_train
+
+    rng = np.random.default_rng(7)
+    words = ["lower", "lowest", "newer", "newest", "wider", "widest",
+             "low", "new", "wide", "data", "database", "databases"]
+    texts = [" ".join(rng.choice(words, size=12)) for _ in range(200)]
+
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(re.findall("[a-z0-9]+", t.lower()))
+    vocab = {w: list(w) for w in wc}
+    ref = []
+    for r in range(6):
+        pcnt: Counter = Counter()
+        for w, f in wc.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pcnt[(s[i], s[i + 1])] += f
+        if not pcnt:
+            break
+        (l, rt), c = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((r, l, rt, c))
+        for w in vocab:
+            s, acc, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == rt:
+                    acc.append(l + rt)
+                    i += 2
+                else:
+                    acc.append(s[i])
+                    i += 1
+            vocab[w] = acc
+
+    got = bpe_train(rd.from_pandas(pd.DataFrame({"text": texts}))
+                    .repartition(8), n_merges=6)
+    assert [tuple(x) for x in got.itertuples(index=False)] == ref
+
+
+def test_session_funnel_semantics(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.windows import session_funnel
+
+    T = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: converted session, then a purchase-only session
+        (1, T, "view", 1), (1, T + 5 * m, "purchase", 2),
+        (1, T + pd.Timedelta(hours=5), "purchase", 3),
+        # user 2: purchase BEFORE view in one session -> not converted
+        (2, T, "purchase", 4), (2, T + m, "view", 5),
+        # user 3: simultaneous view/purchase -> strict < -> not converted
+        (3, T, "view", 6), (3, T, "purchase", 7),
+        # user 4: view and purchase in SEPARATE sessions -> not converted
+        (4, T, "view", 8), (4, T + pd.Timedelta(hours=2), "purchase", 9),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type",
+                                     "event_id"])
+    out = session_funnel(rd.from_pandas(df)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_converted"] == 1
+    assert out.loc[2, "n_sessions"] == 1 and out.loc[2, "n_converted"] == 0
+    assert out.loc[3, "n_converted"] == 0
+    assert out.loc[4, "n_sessions"] == 2 and out.loc[4, "n_converted"] == 0
+
+
+def test_grouped_zscore_null_keys_and_zero_std(ray_session):
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import grouped_zscore
+
+    df = pd.DataFrame({"k": ["a", "a", "c", "c", None],
+                       "v": [1.0, 3.0, 5.0, 5.0, 2.0]})
+    out = grouped_zscore(rd.from_pandas(df), ["k"], "v").to_pandas()
+    za = sorted(out[out["k"] == "a"]["z"])
+    assert za == [-1.0, 1.0]
+    assert (out[out["k"] == "c"]["z"] == 0.0).all()   # zero std -> 0
+    assert (out[out["k"].isna()]["z"] == 0.0).all()   # singleton null group
