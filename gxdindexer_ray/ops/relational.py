@@ -1339,12 +1339,30 @@ def grouped_zscore(ds, keys: list[str], value_col: str, *,
     key_index = {tuple(map(_canon, r)): i for i, r in
                  enumerate(stats[keys].itertuples(index=False, name=None))}
     mean_arr, std_arr = mean, std
+    single = keys[0] if len(keys) == 1 else None
+    if single is not None:
+        # vectorized row->group mapping for the common single-key case:
+        # index_in against the non-null stats keys, with a trailing
+        # position-map slot routing null keys to their own stats row
+        # (index_in propagates null inputs as null, so null never
+        # collides with a real value)
+        skeys = [t[0] for t in key_index]
+        null_pos = skeys.index(None) if None in skeys else 0
+        nn = [(v, i) for i, v in enumerate(skeys) if v is not None]
+        key_list = pa.array([v for v, _ in nn])
+        pos_map = np.array([i for _, i in nn] + [null_pos], dtype=np.int64)
 
     def apply(batch: pa.Table) -> pa.Table:
-        cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
-        idx = np.fromiter((key_index[tuple(map(_canon, t))]
-                           for t in zip(*cols)),
-                          np.int64, batch.num_rows)
+        if single is not None:
+            pos = pc.index_in(batch[single], key_list)
+            filled = pc.fill_null(pos, len(nn)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = pos_map[filled]
+        else:
+            cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+            idx = np.fromiter((key_index[tuple(map(_canon, t))]
+                               for t in zip(*cols)),
+                              np.int64, batch.num_rows)
         v = pc.cast(batch[value_col], pa.float64()).to_numpy(
             zero_copy_only=False)
         m, s = mean_arr[idx], std_arr[idx]

@@ -175,8 +175,9 @@ def session_funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         users = df[user_col].to_numpy()[firsts]
         out = pd.DataFrame({user_col: users, "__c": conv.astype(np.int64)})
         g = out.groupby(user_col, sort=False)["__c"]
-        return pd.DataFrame({user_col: np.fromiter(g.groups, dtype=np.int64),
-                             "n_sessions": g.size().to_numpy(),
+        sizes = g.size()
+        return pd.DataFrame({user_col: sizes.index.to_numpy(),
+                             "n_sessions": sizes.to_numpy(),
                              "n_converted": g.sum().to_numpy()})
 
     return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)

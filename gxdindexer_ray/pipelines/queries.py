@@ -2706,7 +2706,7 @@ def q96_rollup_counts(sf: str):
         read_table(sf, "documents", columns=["lang", "source", "n_chars"]),
         ["lang", "source"], counts="n", sums={"total_chars": "n_chars"},
         driver_final=True)
-    lang = fine.groupby("lang", as_index=False)[["n", "total_chars"]].sum()
+    lang = fine.groupby("lang", as_index=False, dropna=False)[["n", "total_chars"]].sum()
     lang["source"] = None
     total = pd.DataFrame({"lang": [None], "source": [None],
                           "n": [fine["n"].sum()],
