@@ -130,10 +130,10 @@ def bpe_train(ds, *, text_col: str = "text", n_merges: int = 8,
             break
         agg = parts.groupby(["left", "right"], sort=False)["c"].sum() \
             .reset_index()
-        agg = agg.sort_values(["c", "left", "right"],
-                              ascending=[False, True, True],
-                              kind="mergesort")
-        best = agg.iloc[0]
+        # linear argmax (count desc, then lexicographic pair) — no full
+        # sort of the pair table per round
+        top = agg[agg["c"] == agg["c"].max()]
+        best = top.sort_values(["left", "right"], kind="mergesort").iloc[0]
         merges.append((rank, str(best["left"]), str(best["right"]),
                        int(best["c"])))
         table = table.map_batches(

@@ -1324,20 +1324,33 @@ def grouped_zscore(ds, keys: list[str], value_col: str, *,
         return batch.append_column("__v2", pc.multiply(v, v)) \
                     .append_column("__v", v)
 
-    stats = pre_aggregate(ds.map_batches(add_sq, batch_format="pyarrow"),
-                          keys, sums={"s": "__v", "s2": "__v2"}, counts="n",
-                          driver_final=True)
-    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
-    var = np.maximum(stats["s2"].to_numpy() / stats["n"].to_numpy()
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "__v": batch["__v"], "__v2": batch["__v2"]})
+        g = pa.TableGroupBy(t, keys).aggregate(
+            [("__v", "sum"), ("__v2", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [*keys, "s", "s2", "n"])
+
+    # keep the tiny stats table ARROW end to end: a pandas driver-final
+    # frame would promote int64 keys to float64 when any null key is
+    # present, rounding keys > 2^53 and merging distinct groups (the same
+    # hazard guarded in keyed_exchange_apply / the join paths)
+    parts = ds.map_batches(add_sq, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow",
+                                batch_size=None)))
+    stats = pa.TableGroupBy(merged, keys).aggregate(
+        [("s", "sum"), ("s2", "sum"), ("n", "sum")]).rename_columns(
+        [*keys, "s", "s2", "n"])
+    n = stats["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = stats["s"].to_numpy(zero_copy_only=False) / n
+    var = np.maximum(stats["s2"].to_numpy(zero_copy_only=False) / n
                      - mean * mean, 0.0)
     std = np.sqrt(var)
-    def _canon(x):
-        # null keys: the driver-final frame spells them NaN/NaT, Arrow
-        # batches spell them None — fold both to None so lookups line up
-        return None if (x is None or x != x) else x
-
-    key_index = {tuple(map(_canon, r)): i for i, r in
-                 enumerate(stats[keys].itertuples(index=False, name=None))}
+    key_index = {t: i for i, t in enumerate(
+        zip(*(stats[k].to_pylist() for k in keys)))}
     mean_arr, std_arr = mean, std
     single = keys[0] if len(keys) == 1 else None
     if single is not None:
@@ -1359,9 +1372,10 @@ def grouped_zscore(ds, keys: list[str], value_col: str, *,
                 zero_copy_only=False).astype(np.int64)
             idx = pos_map[filled]
         else:
-            cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
-            idx = np.fromiter((key_index[tuple(map(_canon, t))]
-                               for t in zip(*cols)),
+            # multi-key fallback: to_pylist keeps ints exact and nulls as
+            # None, matching the Arrow-built key_index
+            cols = [batch[k].to_pylist() for k in keys]
+            idx = np.fromiter((key_index[t] for t in zip(*cols)),
                               np.int64, batch.num_rows)
         v = pc.cast(batch[value_col], pa.float64()).to_numpy(
             zero_copy_only=False)

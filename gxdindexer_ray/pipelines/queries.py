@@ -2959,8 +2959,8 @@ CATALOG: dict[str, tuple] = {
 # FIRST 50 entries of queries() (observed: CORRECTNESS_r03/r04 both stop at
 # exactly 50 rows while all registered queries number more). q51+ (never
 # driver-checked before round 5, or brand new) rotate to the front; q01-q50
-# (all driver-green in r03 AND r04) follow in order and fill the rest of
-# the window — at 90 entries the sweep covers q51-q90 + q01-q10. The
+# (all driver-green across r01-r04) follow in order — at 100 entries the
+# window covers q51-q100 exactly. Numeric compare, not string (q100). The
 # rotation only changes dict ORDER — names, callables and oracles are
 # untouched, so CLI/group/test lookups are unaffected.
 def _qnum(name: str) -> int:
@@ -2976,8 +2976,8 @@ CATALOG = {n: CATALOG[n] for n in _ROTATED}
 # (Main.java:48-86: 'all', 'gxd', 'gxdht' expand to indexer lists). A group
 # name anywhere a pipeline name is accepted expands to its members.
 GROUPS: dict[str, list[str]] = {
-    "relational": [n for n in CATALOG if n[:3] in
-                   {f"q{i:02d}" for i in (*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90)}]
+    "relational": [n for n in CATALOG if _qnum(n) in
+                   {*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90}]
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
        "q96_rollup_counts", "q97_event_pivot"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
@@ -3006,8 +3006,8 @@ GROUPS: dict[str, list[str]] = {
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",
                    "q87_kmeans_cluster"],
-    "serving": [n for n in CATALOG if n[:3] in
-                {"q33", "q36", "q38", "q42", "q46"} | {f"q{i}" for i in range(49, 57)}],
+    "serving": [n for n in CATALOG if _qnum(n) in
+                {33, 36, 38, 42, 46, *range(49, 57)}],
 }
 
 

@@ -68,15 +68,10 @@ def events(n_users, per_user=20):
         uid = np.repeat(ids, per_user)
         k = np.tile(np.arange(per_user, dtype=np.int64), len(ids))
         eid = uid * per_user + k
-        # inter-event gaps 0-59 min -> multiple sessions per user
+        # deterministic per-event minute offsets 1-40 -> multiple
+        # sessions per user (gaps over the 30-min rule appear regularly)
         gap_min = (_splitmix64(eid.view(np.uint64)) % np.uint64(60)) \
             .astype(np.int64)
-        ts = (np.int64(1_700_000_000_000_000)
-              + (uid % 97) * np.int64(3_600_000_000)
-              + np.cumsum(gap_min * np.int64(60_000_000))
-              - gap_min * np.int64(60_000_000) * 0)
-        # cumsum crosses users; make ts per-user by subtracting each
-        # user's base: simpler — deterministic per-event offset instead
         ts = (np.int64(1_700_000_000_000_000)
               + k * np.int64(60_000_000) * (1 + gap_min % 40))
         ty = np.where(_splitmix64((eid + 7).view(np.uint64))
@@ -112,7 +107,7 @@ for n_docs in (200_000, 400_000):
     dt = time.time() - t0
     print(f"dup_gram_fraction(8): {dt:.1f}s  {n_docs/dt:,.0f} docs/s  "
           f"{n_grams/dt:,.0f} grams/s  docs-with-dup-mass={planted:,} "
-          f"(planted {n_docs // 11 + 1:,} headered)")
+          f"(planted {(n_docs + 10) // 11:,} headered)")
 
     t0 = time.time()
     w = dsir_importance(docs, domain_col="lang", target_value="en")

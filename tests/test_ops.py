@@ -2696,3 +2696,34 @@ def test_grouped_zscore_null_keys_and_zero_std(ray_session):
     assert za == [-1.0, 1.0]
     assert (out[out["k"] == "c"]["z"] == 0.0).all()   # zero std -> 0
     assert (out[out["k"].isna()]["z"] == 0.0).all()   # singleton null group
+
+
+def test_groups_do_not_prefix_leak():
+    """q100 must not leak into GROUPS['relational'] via the old 3-char
+    prefix match ('q100'[:3] == 'q10')."""
+    from gxdindexer_ray.pipelines.queries import CATALOG, GROUPS
+
+    assert "q100_session_funnel" not in GROUPS["relational"]
+    assert "q100_session_funnel" in GROUPS["windows"]
+    covered = {m for v in GROUPS.values() for m in v}
+    assert covered == set(CATALOG)
+
+
+def test_grouped_zscore_big_int64_keys_with_null(ray_session):
+    """Stats stay Arrow end to end: int64 keys > 2^53 must keep distinct
+    group statistics even when a null key forces the old pandas path to
+    float64."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import grouped_zscore
+
+    big = 2 ** 60 + 1
+    t = pa.table({"k": pa.array([big, big, big + 2, None], pa.int64()),
+                  "v": pa.array([1.0, 3.0, 7.0, 5.0])})
+    out = pa.concat_tables(list(
+        grouped_zscore(rd.from_arrow(t), ["k"], "v")
+        .iter_batches(batch_format="pyarrow")))
+    z = dict(zip(out["k"].to_pylist(), out["z"].to_pylist()))
+    assert z[big + 2] == 0.0 and z[None] == 0.0
+    got = sorted(out["z"].to_pylist()[:2])
+    assert got == [-1.0, 1.0]
