@@ -2727,3 +2727,26 @@ def test_grouped_zscore_big_int64_keys_with_null(ray_session):
     assert z[big + 2] == 0.0 and z[None] == 0.0
     got = sorted(out["z"].to_pylist()[:2])
     assert got == [-1.0, 1.0]
+
+
+def test_dup_gram_fraction_hashed_matches_string(ray_session):
+    """hash_grams=True (the 100-TB exchange shape: 128-bit hash-pair keys,
+    zero-copy int bucket path) must reproduce the exact string-gram result
+    on a corpus with real duplicated mass."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import dup_gram_fraction
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(120)]
+    texts = ["h0 h1 h2 h3 h4 h5 h6 h7 " + t if i % 5 == 0 else t
+             for i, t in enumerate(texts)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(9)
+    a = dup_gram_fraction(ds, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dup_gram_fraction(ds, n=8, hash_grams=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert (a[a["doc_id"] % 5 == 0]["dup_frac"] > 0).all()
