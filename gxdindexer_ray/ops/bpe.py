@@ -141,3 +141,59 @@ def bpe_train(ds, *, text_col: str = "text", n_merges: int = 8,
             batch_format="pyarrow").materialize()
     return pd.DataFrame(merges,
                         columns=["rank", "left", "right", "count"])
+
+
+def bpe_encode(ds, merges: pd.DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", out_col: str = "n_bpe_tokens"):
+    """Apply a learned merge list (``bpe_train`` output) to a corpus and
+    count the resulting subword tokens per document — the tokenizer-apply
+    side of the BPE pair. Merges apply in RANK order (the standard greedy
+    scheme every public BPE implementation uses).
+
+    Map-side only: the merge list is a tiny closure table; each batch
+    encodes its DISTINCT words once (dictionary encode) and recovers
+    per-doc totals from the code stream, so the per-word sequential merge
+    scan pays per vocabulary entry, not per corpus token."""
+    ranked = [(str(l), str(r)) for l, r in
+              zip(merges["left"], merges["right"])]
+
+    def encode_word(word: str) -> int:
+        syms = list(word)
+        for left, right in ranked:
+            i, out = 0, []
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return len(syms)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..text.tokenize import tokenize_column
+        import pyarrow.compute as pc
+
+        flat, doc_idx = tokenize_column(batch[text_col])
+        n_rows = batch.num_rows
+        if len(flat) == 0:
+            return pa.table({id_col: batch[id_col],
+                             out_col: pa.array(np.zeros(n_rows, np.int64),
+                                               pa.int64())})
+        dic = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        per_word = np.array([encode_word(w)
+                             for w in dic.dictionary.to_pylist()],
+                            dtype=np.int64)
+        totals = np.zeros(n_rows, np.int64)
+        np.add.at(totals, doc_idx, per_word[codes])
+        return pa.table({id_col: batch[id_col],
+                         out_col: pa.array(totals, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

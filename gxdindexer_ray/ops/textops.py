@@ -1067,3 +1067,118 @@ def dsir_importance(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          out_col: pa.array(v, pa.float64())})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 8,
+                           min_count: int = 2, n_buckets: int = 64):
+    """EXACT duplicate-span REMOVAL (the cleanup mode of the Lee et al.
+    2022 exact-substring-dedup family, fixed-width form): delete every
+    token covered by any n-gram occurring >= ``min_count`` times
+    corpus-wide. Output is one row per input doc:
+    ``(id_col, clean_text, n_removed)`` where clean_text is the SPACE-JOIN
+    of the surviving normalized tokens (tokenizer spec v1) in order.
+
+    Three stages, nothing corpus-sized on the driver or broadcast:
+    1. map: per-occurrence (doc, gram, pos) rows off the shared n-gram
+       kernel;
+    2. ONE gram-keyed exchange — a bucket owns each gram completely, so
+       the corpus occurrence count is the group size; occurrences of
+       duplicated grams come back as skinny (doc, pos) rows;
+    3. ONE doc-keyed TWO-SIDED exchange (dup starts + the docs
+       themselves, same splitmix bucket fn) whose reducer rebuilds each
+       doc: coverage via a diff array over the bucket's token stream
+       (spans never cross doc boundaries by construction), surviving
+       tokens re-joined with a vectorized ListArray binary_join — no
+       per-token Python."""
+    from .relational import (_exchange_sides, _splitmix64,
+                             keyed_exchange_apply)
+    from ..text.tokenize import doc_ngrams_pos, tokenize_column
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        grams, gdoc, pos = doc_ngrams_pos(batch[text_col], n)
+        id_type = batch.schema.field(id_col).type
+        if len(grams) == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "gram": pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(gdoc, pa.int64())),
+            "gram": grams,
+            "pos": pa.array(pos, pa.int64())})
+
+    def dup_starts(tbl: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(tbl["gram"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes) if codes.size else np.empty(0, np.int64)
+        keep = cnt[codes] >= min_count if codes.size else codes.astype(bool)
+        return pa.table({
+            id_col: tbl[id_col].filter(pa.array(keep)),
+            "pos": tbl["pos"].filter(pa.array(keep))})
+
+    dups = keyed_exchange_apply(
+        ds.map_batches(occ_rows, batch_format="pyarrow"),
+        ["gram"], dup_starts, n_buckets,
+        batch_format="pyarrow", local_arrow=lambda t: t)
+
+    def bucket_of(tbl: pa.Table) -> pa.Array:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_splitmix64(ids.view(np.uint64)) % np.uint64(n_buckets))
+        return pa.array(b.astype(np.int32))
+
+    def pre_dups(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: tbl[id_col],
+            "pos": tbl["pos"].cast(pa.int64()),
+            text_col: pa.nulls(tbl.num_rows, pa.string()),
+            "__bucket": bucket_of(tbl)})
+
+    def pre_docs(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: tbl[id_col],
+            "pos": pa.nulls(tbl.num_rows, pa.int64()),
+            text_col: tbl[text_col],
+            "__bucket": bucket_of(tbl)})
+
+    def rebuild(tbl: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(tbl[text_col])
+        docs = tbl.filter(is_doc)
+        marks = tbl.filter(pc.invert(is_doc))
+        id_type = tbl.schema.field(id_col).type
+        doc_ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        docs = docs.take(pa.array(order, pa.int64()))
+        doc_ids = doc_ids[order]
+        flat, tok_row = tokenize_column(docs[text_col])
+        ntok = len(flat)
+        n_tokens = np.bincount(tok_row, minlength=docs.num_rows) \
+            .astype(np.int64) if ntok else np.zeros(docs.num_rows, np.int64)
+        first = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
+        cover = np.zeros(ntok + 1, np.int64)
+        m_ids = marks[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m_pos = marks["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.searchsorted(doc_ids, m_ids)
+        starts = first[rows] + m_pos
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, starts + n, -1)   # <= doc end by construction
+        kept = np.cumsum(cover[:-1]) == 0
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kept_toks = flat.filter(pa.array(kept))
+        kept_per_doc = np.bincount(tok_row[kept], minlength=docs.num_rows) \
+            .astype(np.int64) if ntok else np.zeros(docs.num_rows, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_toks)
+        clean = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: pa.array(doc_ids, id_type),
+            "clean_text": pc.fill_null(clean, ""),
+            "n_removed": pa.array(n_tokens - kept_per_doc, pa.int64())})
+
+    docs_only = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    return _exchange_sides(
+        [(dups.to_arrow_refs(), pre_dups),
+         (docs_only.to_arrow_refs(), pre_docs)],
+        "__bucket", rebuild, batch_format="pyarrow")

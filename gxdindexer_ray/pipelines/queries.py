@@ -2848,6 +2848,62 @@ FROM agg GROUP BY user_id
 """
 
 
+def q101_remove_dup_spans(sf: str):
+    """Exact duplicate-span REMOVAL (cleanup mode of the Lee et al. 2022
+    family, fixed-width 8-gram form): delete every token covered by an
+    n-gram occurring >= 2 times corpus-wide; output the rebuilt text per
+    doc (ops/textops.py::remove_duplicate_spans — gram-keyed exchange for
+    duplicated starts, TWO-SIDED doc-keyed exchange to rebuild, coverage
+    via a diff array, vectorized ListArray re-join). Registered past the
+    driver's 50-entry window — gated by the local oracle sweep."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return textops.remove_duplicate_spans(ds, n=8)
+
+
+SQL_Q101 = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, unnest(list_transform(ts, (x, i) -> {'p': i, 't': x}),
+                              recursive := true)
+        FROM arr),
+g AS (SELECT doc_id,
+             unnest(list_transform(list_slice(ts, 1, len(ts) - 7),
+               (x, i) -> {'s': i, 'g': x || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                 || ' ' || ts[i + 3] || ' ' || ts[i + 4] || ' ' || ts[i + 5]
+                 || ' ' || ts[i + 6] || ' ' || ts[i + 7]}), recursive := true)
+      FROM arr WHERE len(ts) >= 8),
+cnt AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY g),
+dup AS (SELECT doc_id, s FROM g JOIN cnt USING (g) WHERE c >= 2),
+kept AS (SELECT t.doc_id, t.p, t.t FROM tok t
+         WHERE NOT EXISTS (SELECT 1 FROM dup d
+                           WHERE d.doc_id = t.doc_id
+                             AND t.p BETWEEN d.s AND d.s + 7)),
+ka AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS ct,
+              count(*)::BIGINT AS nk
+       FROM kept GROUP BY doc_id)
+SELECT a.doc_id, coalesce(k.ct, '') AS clean_text,
+       (len(a.ts) - coalesce(k.nk, 0))::BIGINT AS n_removed
+FROM arr a LEFT JOIN ka k USING (doc_id)
+"""
+
+
+def q102_bpe_encode(sf: str):
+    """Tokenizer APPLY: learn 8 BPE merges from the corpus, then encode
+    the corpus with them and count subword tokens per doc (ops/bpe.py::
+    bpe_encode — merges broadcast by closure, per-DISTINCT-word encoding,
+    per-doc totals off the code stream). Iterative training feeds it —
+    no SQL oracle; parity + compression contracts in
+    tests/test_ops.py::test_bpe_encode_counts."""
+    from ..ops.bpe import bpe_encode, bpe_train
+
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=8)
+    return bpe_encode(ds, merges)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2953,6 +3009,8 @@ CATALOG: dict[str, tuple] = {
     "q98_bpe_train": (q98_bpe_train, None),
     "q99_dsir_importance": (q99_dsir_importance, SQL_Q99),
     "q100_session_funnel": (q100_session_funnel, SQL_Q100),
+    "q101_remove_dup_spans": (q101_remove_dup_spans, SQL_Q101),
+    "q102_bpe_encode": (q102_bpe_encode, None),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -2997,11 +3055,11 @@ GROUPS: dict[str, list[str]] = {
              "q82_keyword_extract", "q83_lm_score",
              "q86_frequent_terms", "q89_collocations",
              "q91_boilerplate_ngrams", "q98_bpe_train",
-             "q99_dsir_importance"],
+             "q99_dsir_importance", "q102_bpe_encode"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate", "q88_semdedup",
-              "q92_dup_gram_fraction"],
+              "q92_dup_gram_fraction", "q101_remove_dup_spans"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

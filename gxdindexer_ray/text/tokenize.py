@@ -134,3 +134,29 @@ def doc_ngrams(
     grams = pc.binary_join_element_wise(*parts, " ")
     mask = pa.array(valid)
     return grams.filter(mask), doc_idx[:starts][valid]
+
+
+def doc_ngrams_pos(
+    text_col: pa.Array | pa.ChunkedArray, n: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """``doc_ngrams`` plus each gram's 0-based START TOKEN position within
+    its document — the occurrence-level view span-removal needs.
+    Returns ``(grams, doc_idx, pos)``."""
+    flat, doc_idx = tokenize_column(text_col)
+    ntok = len(flat)
+    empty = (pa.array([], type=pa.string()), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    if ntok < n:
+        return empty
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    starts = ntok - n + 1
+    valid = doc_idx[:starts] == doc_idx[n - 1:]
+    parts = [flat.slice(i, starts) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(valid))
+    gdoc = doc_idx[:starts][valid]
+    gidx = np.flatnonzero(valid)
+    # doc_idx is non-decreasing (tokens in row order), so each doc's first
+    # token index is a searchsorted lookup
+    pos = gidx - np.searchsorted(doc_idx, gdoc, side="left")
+    return grams, gdoc, pos

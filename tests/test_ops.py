@@ -2750,3 +2750,74 @@ def test_dup_gram_fraction_hashed_matches_string(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert (a[a["doc_id"] % 5 == 0]["dup_frac"] > 0).all()
+
+
+def test_remove_duplicate_spans_planted_header(ray_session):
+    """q101 contract: a planted shared header is stripped from every doc
+    carrying it; unique docs come back byte-identical (normalized join);
+    short docs (< n tokens) are untouched."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import remove_duplicate_spans
+
+    rng = np.random.default_rng(5)
+    words = [f"u{i}" for i in range(5000)]   # big vocab -> bodies unique
+    bodies = [" ".join(rng.choice(words, size=20, replace=False))
+              for _ in range(40)]
+    header = "h0 h1 h2 h3 h4 h5 h6 h7"
+    texts = [header + " " + b if i % 2 == 0 else b
+             for i, b in enumerate(bodies)]
+    texts.append("tiny doc")                 # < 8 tokens
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = remove_duplicate_spans(rd.from_pandas(df).repartition(5), n=8) \
+        .to_pandas().set_index("doc_id").sort_index()
+    for i, b in enumerate(bodies):
+        if i % 2 == 0:
+            assert out.loc[i, "clean_text"] == b
+            assert out.loc[i, "n_removed"] == 8
+        else:
+            assert out.loc[i, "clean_text"] == b
+            assert out.loc[i, "n_removed"] == 0
+    assert out.loc[len(texts) - 1, "clean_text"] == "tiny doc"
+    assert out.loc[len(texts) - 1, "n_removed"] == 0
+
+
+def test_bpe_encode_counts(ray_session):
+    """q102 contract: encoding with learned merges matches a scalar
+    reference application (greedy, rank order) and compresses vs chars."""
+    import re
+
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.bpe import bpe_encode, bpe_train
+
+    texts = ["the cat sat on the mat", "the hat and the bat",
+             "that cat that hat"] * 5
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)),
+                                      "text": texts}))
+    merges = bpe_train(ds, n_merges=5)
+    out = bpe_encode(ds, merges).to_pandas().set_index("doc_id")
+
+    ranked = [(str(l), str(r)) for l, r in
+              zip(merges["left"], merges["right"])]
+
+    def ref_encode(word):
+        syms = list(word)
+        for left, right in ranked:
+            i, acc = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    acc.append(left + right)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            syms = acc
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        words = re.findall("[a-z0-9]+", t.lower())
+        expect = sum(ref_encode(w) for w in words)
+        assert out.loc[i, "n_bpe_tokens"] == expect
+        assert expect < sum(len(w) for w in words)
