@@ -191,8 +191,8 @@ def bpe_encode(ds, merges: pd.DataFrame, *, id_col: str = "doc_id",
         per_word = np.array([encode_word(w)
                              for w in dic.dictionary.to_pylist()],
                             dtype=np.int64)
-        totals = np.zeros(n_rows, np.int64)
-        np.add.at(totals, doc_idx, per_word[codes])
+        totals = np.bincount(doc_idx, weights=per_word[codes],
+                             minlength=n_rows).astype(np.int64)
         return pa.table({id_col: batch[id_col],
                          out_col: pa.array(totals, pa.int64())})
 

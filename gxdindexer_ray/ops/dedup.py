@@ -54,6 +54,30 @@ def _token_hashes_flat(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return uh[idx]
 
 
+def _token_hash_pairs_flat(
+        flat: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """TWO independent blake2b-64 streams per token (one 128-bit digest
+    split in half), hashing each UNIQUE token once (dictionary-encode).
+    The pair gives genuinely independent collision behavior — deriving
+    the second stream from the first would reduce the combined key to
+    the first stream's 64 bits."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    dic = pc.dictionary_encode(flat)
+    strings = dic.dictionary.to_pylist()
+    h1 = np.empty(len(strings), np.uint64)
+    h2 = np.empty(len(strings), np.uint64)
+    from hashlib import blake2b as b2b
+    for i, t in enumerate(strings):
+        d = b2b(t.encode(), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big")
+    idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return h1[idx], h2[idx]
+
+
 _MASK64 = (1 << 64) - 1
 
 

@@ -826,7 +826,6 @@ def boilerplate_ngrams(ds, *, text_col: str = "text", n: int = 5,
 
 _GH_M1 = np.uint64(0x9E3779B97F4A7C15)   # odd polynomial multipliers for
 _GH_M2 = np.uint64(0xC2B2AE3D27D4EB4F)   # the two independent gram streams
-_GH_SALT = np.uint64(0xA5A5A5A55A5A5A5A)
 
 
 def dup_gram_fraction(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -847,13 +846,15 @@ def dup_gram_fraction(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Output fixed-point rounded to 6 dp.
 
     ``hash_grams=True`` is the 100-TB exchange shape: grams are keyed by a
-    128-bit hash pair (two independent polynomial streams over per-token
-    blake2b hashes — token hashing pays per DISTINCT token per batch)
-    instead of the joined string, cutting exchange bytes ~4x at n=8 and
-    taking the zero-copy all-int bucket path. Collision odds at 5e13
-    grams are ~1e-11 (vs ~7e7 expected collisions for a single 64-bit
-    key, which is why the pair). Default stays the exact string form —
-    it is what the SQL oracle gates."""
+    128-bit hash pair (two polynomial streams over the two INDEPENDENT
+    halves of a per-token blake2b-128 digest — token hashing pays per
+    DISTINCT token per batch, via dedup._token_hash_pairs_flat) instead
+    of the joined string, cutting exchange bytes ~4x at n=8 and taking
+    the zero-copy all-int bucket path. Collision odds at 5e13 grams are
+    ~1e-11 (a single 64-bit key would expect ~7e7 collisions there; a
+    second stream DERIVED from the first would collapse back to 64-bit
+    behavior, hence the split digest). Default stays the exact string
+    form — it is what the SQL oracle gates."""
     from ..text.tokenize import doc_ngrams, tokenize_column
     from .relational import keyed_exchange_apply
 
@@ -883,14 +884,8 @@ def dup_gram_fraction(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ntok = len(flat)
         if ntok < n:
             return empty
-        dic = pc.dictionary_encode(
-            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
-            else flat)
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vh = _token_hashes(dic.dictionary.to_pylist())   # distinct tokens only
-        th1 = vh[codes]
-        from .relational import _splitmix64
-        th2 = _splitmix64(th1 ^ _GH_SALT)
+        from .dedup import _token_hash_pairs_flat
+        th1, th2 = _token_hash_pairs_flat(flat)
         starts = ntok - n + 1
         h1 = np.zeros(starts, np.uint64)
         h2 = np.zeros(starts, np.uint64)
@@ -921,6 +916,14 @@ def dup_gram_fraction(ds, *, id_col: str = "doc_id", text_col: str = "text",
         if hash_grams:
             g1 = tbl["g1"].to_numpy(zero_copy_only=False)
             g2 = tbl["g2"].to_numpy(zero_copy_only=False)
+            if g1.size == 0:
+                # empty-exchange path (every doc shorter than n): the
+                # string branch handles this via dictionary_encode; the
+                # lexsort/change path would IndexError on size 0
+                return pa.table({
+                    id_col: tbl[id_col],
+                    "dup": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64())})
             order = np.lexsort((g2, g1))
             change = np.empty(order.size, bool)
             change[0] = True
@@ -1086,13 +1089,15 @@ def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
        the corpus occurrence count is the group size; occurrences of
        duplicated grams come back as skinny (doc, pos) rows;
     3. ONE doc-keyed TWO-SIDED exchange (dup starts + the docs
-       themselves, same splitmix bucket fn) whose reducer rebuilds each
-       doc: coverage via a diff array over the bucket's token stream
-       (spans never cross doc boundaries by construction), surviving
-       tokens re-joined with a vectorized ListArray binary_join — no
-       per-token Python."""
+       themselves, same id-bucket fn) whose reducer rebuilds each doc:
+       coverage via a diff array over the bucket's token stream (spans
+       never cross doc boundaries by construction), surviving tokens
+       re-joined with a vectorized LargeListArray binary_join — no
+       per-token Python. Sides carry an explicit ``__side`` flag (a
+       null-text sentinel would misclassify legitimate null-text docs).
+       Null-text docs come back as ('', 0) like empty ones."""
     from .relational import (_exchange_sides, _splitmix64,
-                             keyed_exchange_apply)
+                             keyed_exchange_apply, stable_bucket_ids)
     from ..text.tokenize import doc_ngrams_pos, tokenize_column
 
     def occ_rows(batch: pa.Table) -> pa.Table:
@@ -1122,15 +1127,24 @@ def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
         batch_format="pyarrow", local_arrow=lambda t: t)
 
     def bucket_of(tbl: pa.Table) -> pa.Array:
-        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (_splitmix64(ids.view(np.uint64)) % np.uint64(n_buckets))
-        return pa.array(b.astype(np.int32))
+        # int ids take the zero-copy splitmix path; anything else routes
+        # through the deterministic string hasher (same contract as
+        # keyed_exchange_apply)
+        if pa.types.is_integer(tbl.schema.field(id_col).type):
+            ids = tbl[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            b = _splitmix64(ids.view(np.uint64)) % np.uint64(n_buckets)
+            return pa.array(b.astype(np.int32))
+        kdf = pd.DataFrame({id_col: tbl[id_col].to_numpy(
+            zero_copy_only=False)})
+        return pa.array(stable_bucket_ids(kdf, [id_col], n_buckets))
 
     def pre_dups(tbl: pa.Table) -> pa.Table:
         return pa.table({
             id_col: tbl[id_col],
             "pos": tbl["pos"].cast(pa.int64()),
             text_col: pa.nulls(tbl.num_rows, pa.string()),
+            "__side": pa.array(np.zeros(tbl.num_rows, np.int8)),
             "__bucket": bucket_of(tbl)})
 
     def pre_docs(tbl: pa.Table) -> pa.Table:
@@ -1138,29 +1152,27 @@ def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
             id_col: tbl[id_col],
             "pos": pa.nulls(tbl.num_rows, pa.int64()),
             text_col: tbl[text_col],
+            "__side": pa.array(np.ones(tbl.num_rows, np.int8)),
             "__bucket": bucket_of(tbl)})
 
     def rebuild(tbl: pa.Table) -> pa.Table:
-        is_doc = pc.is_valid(tbl[text_col])
+        is_doc = pc.equal(tbl["__side"], pa.scalar(1, pa.int8()))
         docs = tbl.filter(is_doc)
         marks = tbl.filter(pc.invert(is_doc))
-        id_type = tbl.schema.field(id_col).type
-        doc_ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(doc_ids, kind="stable")
-        docs = docs.take(pa.array(order, pa.int64()))
-        doc_ids = doc_ids[order]
+        order = pc.sort_indices(docs[id_col])       # id-type generic
+        docs = docs.take(order)
         flat, tok_row = tokenize_column(docs[text_col])
         ntok = len(flat)
         n_tokens = np.bincount(tok_row, minlength=docs.num_rows) \
             .astype(np.int64) if ntok else np.zeros(docs.num_rows, np.int64)
         first = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
-        cover = np.zeros(ntok + 1, np.int64)
-        m_ids = marks[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = pc.index_in(marks[id_col], docs[id_col].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         m_pos = marks["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rows = np.searchsorted(doc_ids, m_ids)
         starts = first[rows] + m_pos
-        np.add.at(cover, starts, 1)
-        np.add.at(cover, starts + n, -1)   # <= doc end by construction
+        cover = (np.bincount(starts, minlength=ntok + 1)
+                 - np.bincount(starts + n, minlength=ntok + 1)) \
+            if starts.size else np.zeros(ntok + 1, np.int64)
         kept = np.cumsum(cover[:-1]) == 0
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
@@ -1168,11 +1180,11 @@ def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
         kept_per_doc = np.bincount(tok_row[kept], minlength=docs.num_rows) \
             .astype(np.int64) if ntok else np.zeros(docs.num_rows, np.int64)
         offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), kept_toks)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_toks)
         clean = pc.binary_join(lists, " ")
         return pa.table({
-            id_col: pa.array(doc_ids, id_type),
+            id_col: docs[id_col],
             "clean_text": pc.fill_null(clean, ""),
             "n_removed": pa.array(n_tokens - kept_per_doc, pa.int64())})
 

@@ -2821,3 +2821,45 @@ def test_bpe_encode_counts(ray_session):
         expect = sum(ref_encode(w) for w in words)
         assert out.loc[i, "n_bpe_tokens"] == expect
         assert expect < sum(len(w) for w in words)
+
+
+def test_remove_duplicate_spans_null_text_and_string_ids(ray_session):
+    """Review regression: null-text docs must not be misclassified as
+    dup-mark rows (explicit __side flag, not a null-text sentinel), and
+    non-integer ids route through the string bucket hasher."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import remove_duplicate_spans
+
+    df = pd.DataFrame({
+        "doc_id": ["u1", "u2", "u3", "u4"],
+        "text": ["h0 h1 h2 a b c", "h0 h1 h2 d e f", None, ""]})
+    out = remove_duplicate_spans(rd.from_pandas(df).repartition(3), n=3) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc["u1", "clean_text"] == "a b c"
+    assert out.loc["u2", "clean_text"] == "d e f"
+    assert out.loc["u3", "clean_text"] == "" and out.loc["u3", "n_removed"] == 0
+    assert out.loc["u4", "clean_text"] == "" and out.loc["u4", "n_removed"] == 0
+
+
+def test_dup_gram_fraction_hashed_empty_and_independent_streams(ray_session):
+    """Review regressions: the hashed path must survive an all-short-docs
+    corpus (empty exchange), and its two hash streams come from the two
+    independent halves of one blake2b-128 digest."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.dedup import _token_hash_pairs_flat
+    from gxdindexer_ray.ops.textops import dup_gram_fraction
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c"]})
+    out = dup_gram_fraction(rd.from_pandas(df), n=8,
+                            hash_grams=True).to_pandas()
+    assert len(out) == 0
+
+    h1, h2 = _token_hash_pairs_flat(pa.array(["x", "y", "x"]))
+    assert h1[0] == h1[2] and h2[0] == h2[2]       # same token, same pair
+    assert h1[0] != h2[0]                          # halves differ
+    import hashlib
+    d = hashlib.blake2b(b"x", digest_size=16).digest()
+    assert h1[0] == int.from_bytes(d[:8], "big")
+    assert h2[0] == int.from_bytes(d[8:], "big")
