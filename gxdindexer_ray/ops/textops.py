@@ -1194,3 +1194,86 @@ def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
         [(dups.to_arrow_refs(), pre_dups),
          (docs_only.to_arrow_refs(), pre_docs)],
         "__bucket", rebuild, batch_format="pyarrow")
+
+
+def exact_dedup_incremental(new_ds, prior_ds, *, id_col: str = "doc_id",
+                            text_col: str = "text", n_buckets: int = 64):
+    """Incremental exact content dedup — the production 100-TB shape
+    where yesterday's corpus is NOT re-deduped: keep each NEW doc whose
+    content hash appears nowhere in the PRIOR corpus, first-wins (min id)
+    within the new batch. Returns (keep_id, n_copies) over the new docs.
+
+    ONE two-sided digest-keyed exchange: both sides reduce to 32-byte
+    (h1, h2) rows inside the partition tasks (md5 straight off the Arrow
+    buffers, per-batch dedup), so the prior corpus contributes one skinny
+    row per distinct text and its TEXT never moves. ``prior_ds`` may be
+    the docs themselves or an already-persisted digest table with int64
+    columns (h1, h2) — e.g. the output of a previous run's digest dump —
+    in which case no hashing happens on the prior side at all."""
+    from .relational import _exchange_sides
+
+    def pre_new(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_pairs(tbl[text_col])
+        order = np.lexsort((ids, h[:, 1], h[:, 0]))
+        h1, h2, si = h[order, 0], h[order, 1], ids[order]
+        starts = np.flatnonzero(
+            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        return pa.table({
+            "h1": pa.array(h1[starts].view(np.int64), pa.int64()),
+            "h2": pa.array(h2[starts].view(np.int64), pa.int64()),
+            "keep_id": pa.array(si[starts], pa.int64()),
+            "n_copies": pa.array(np.diff(np.r_[starts, h1.size]), pa.int64()),
+            "__side": pa.array(np.ones(starts.size, np.int8)),
+            "__bucket": pa.array(
+                (h1[starts] % np.uint64(n_buckets)).astype(np.int32))})
+
+    def pre_prior(tbl: pa.Table) -> pa.Table:
+        if "h1" in tbl.column_names and "h2" in tbl.column_names:
+            h1 = tbl["h1"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            h2 = tbl["h2"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+        else:
+            h = _md5_pairs(tbl[text_col])
+            h1, h2 = h[:, 0], h[:, 1]
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        keep = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        h1, h2 = h1[keep], h2[keep]
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "keep_id": pa.array(np.zeros(h1.size, np.int64), pa.int64()),
+            "n_copies": pa.array(np.zeros(h1.size, np.int64), pa.int64()),
+            "__side": pa.array(np.zeros(h1.size, np.int8)),
+            "__bucket": pa.array(
+                (h1 % np.uint64(n_buckets)).astype(np.int32))})
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"keep_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        h1 = tbl["h1"].to_numpy(zero_copy_only=False)
+        h2 = tbl["h2"].to_numpy(zero_copy_only=False)
+        keep = tbl["keep_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n_copies"].to_numpy(zero_copy_only=False)
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keep, side, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        starts = np.flatnonzero(
+            np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
+        # within a digest group rows sort (side asc, keep asc): the first
+        # row is a prior row iff the digest exists in the prior corpus,
+        # else the min-id new row — the survivor
+        lead = order[starts]
+        alive = side[lead] == 1
+        counts = np.add.reduceat(n[order], starts)   # prior rows carry 0
+        return pa.table({
+            "keep_id": pa.array(keep[lead][alive], pa.int64()),
+            "n_copies": pa.array(counts[alive], pa.int64())})
+
+    return _exchange_sides(
+        [(prior_ds.to_arrow_refs(), pre_prior),
+         (new_ds.to_arrow_refs(), pre_new)],
+        "__bucket", combine, batch_format="pyarrow")

@@ -2904,6 +2904,33 @@ def q102_bpe_encode(sf: str):
     return bpe_encode(ds, merges)
 
 
+def q103_incremental_dedup(sf: str):
+    """Incremental exact dedup (ops/textops.py::exact_dedup_incremental):
+    even-id docs play yesterday's corpus, odd-id docs the new batch; keep
+    new docs whose content hash is absent from the prior corpus,
+    first-wins within the batch. One two-sided digest exchange — prior
+    text reduces to 32-byte digest rows inside the partition tasks and
+    never moves. Registered past the driver's 50-entry window — gated by
+    the local oracle sweep."""
+    prior = read_table(sf, "documents", columns=["doc_id", "text"],
+                       filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 0))
+    new = read_table(sf, "documents", columns=["doc_id", "text"],
+                     filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 1))
+    from ..ops.textops import exact_dedup_incremental
+
+    return exact_dedup_incremental(new, prior)
+
+
+SQL_Q103 = """
+WITH pr AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+nw AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+k AS (SELECT h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+      FROM nw GROUP BY h)
+SELECT keep_id, n_copies FROM k
+WHERE h NOT IN (SELECT h FROM pr)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3011,6 +3038,7 @@ CATALOG: dict[str, tuple] = {
     "q100_session_funnel": (q100_session_funnel, SQL_Q100),
     "q101_remove_dup_spans": (q101_remove_dup_spans, SQL_Q101),
     "q102_bpe_encode": (q102_bpe_encode, None),
+    "q103_incremental_dedup": (q103_incremental_dedup, SQL_Q103),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3059,7 +3087,8 @@ GROUPS: dict[str, list[str]] = {
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate", "q88_semdedup",
-              "q92_dup_gram_fraction", "q101_remove_dup_spans"],
+              "q92_dup_gram_fraction", "q101_remove_dup_spans",
+              "q103_incremental_dedup"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

@@ -2863,3 +2863,32 @@ def test_dup_gram_fraction_hashed_empty_and_independent_streams(ray_session):
     d = hashlib.blake2b(b"x", digest_size=16).digest()
     assert h1[0] == int.from_bytes(d[:8], "big")
     assert h2[0] == int.from_bytes(d[8:], "big")
+
+
+def test_exact_dedup_incremental_digest_state_path(ray_session):
+    """q103 contracts: (1) survivors = docs absent from prior, first-wins
+    within new; (2) passing a persisted DIGEST table as the prior side
+    (h1, h2 int64 columns — no text) gives identical results, so state
+    can be carried between runs without rehashing the corpus."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import (_md5_pairs,
+                                            exact_dedup_incremental)
+
+    prior = pd.DataFrame({"doc_id": [1, 2],
+                          "text": ["old text", "shared text"]})
+    new = pd.DataFrame({"doc_id": [10, 11, 12, 13],
+                        "text": ["shared text", "brand new", "brand new",
+                                 "fresh"]})
+    expect = {11: 2, 13: 1}
+
+    out = exact_dedup_incremental(rd.from_pandas(new),
+                                  rd.from_pandas(prior)).to_pandas()
+    assert dict(zip(out["keep_id"], out["n_copies"])) == expect
+
+    h = _md5_pairs(pa.array(prior["text"]))
+    digests = pd.DataFrame({"h1": h[:, 0].view(np.int64),
+                            "h2": h[:, 1].view(np.int64)})
+    out2 = exact_dedup_incremental(rd.from_pandas(new),
+                                   rd.from_pandas(digests)).to_pandas()
+    assert dict(zip(out2["keep_id"], out2["n_copies"])) == expect
