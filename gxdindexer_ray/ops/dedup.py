@@ -279,11 +279,13 @@ def minhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(sigs, batch_format="pyarrow")
 
 
-def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                           n_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                           seed: int = 7):
-    """Candidate near-dup pairs via banded MinHash-LSH. Returns a Dataset of
-    (a, b) candidate pairs (a < b), deduplicated."""
+def band_signature_rows(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", n_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3, seed: int = 7):
+    """(band, bhash, doc) LSH band-fingerprint rows for a corpus — the
+    shared signature stage of ``minhash_lsh_candidates`` and the
+    incremental near-dup probe (identical parameters => identical
+    fingerprints, so two corpora hashed separately band-match exactly)."""
     assert n_perm % bands == 0
     rows_per_band = n_perm // bands
     a_p, b_p = _perm_params(n_perm, seed)
@@ -318,7 +320,17 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
             "doc": pa.array(doc_ids, pa.int64()),
         })
 
-    sig_ds = ds.map_batches(sigs, batch_format="pyarrow")
+    return ds.map_batches(sigs, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                           n_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                           seed: int = 7):
+    """Candidate near-dup pairs via banded MinHash-LSH. Returns a Dataset of
+    (a, b) candidate pairs (a < b), deduplicated."""
+    sig_ds = band_signature_rows(ds, id_col=id_col, text_col=text_col,
+                                 n_perm=n_perm, bands=bands,
+                                 shingle_k=shingle_k, seed=seed)
     return band_bucket_pairs(sig_ds)
 
 
@@ -809,3 +821,94 @@ def simhash_near_dup(ds, *, max_hamming: int = 3, bands: int = 4,
     if out.empty:
         return pd.DataFrame(columns=["a", "b", "hamming"]).astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype(np.int64)
+
+
+def band_bucket_cross_pairs(sig_ds, n_buckets: int = 64,
+                            max_group: int = 512):
+    """CROSS-SIDE LSH candidate generation: (band, bhash, doc, side) rows
+    -> deduplicated (a, b) pairs where a is a side-0 (prior) doc and b a
+    side-1 (new) doc sharing a band fingerprint. Same one-exchange shape
+    and hot-bucket discipline as ``band_bucket_pairs``: a group whose
+    prior x new cross product exceeds ``max_group`` pairs emits each new
+    doc against the MINIMUM prior doc only (one representative candidate
+    per new doc — a bucket that degenerate is one near-dup cluster, so
+    the representative's verify outcome stands in for the group's)."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out: list[np.ndarray] = []
+        capped = 0
+        for (_, _), grp in group.groupby(["band", "bhash"], sort=False):
+            side = grp["side"].to_numpy()
+            prior = np.sort(grp["doc"].to_numpy()[side == 0])
+            new = np.unique(grp["doc"].to_numpy()[side == 1])
+            prior = np.unique(prior)
+            if prior.size == 0 or new.size == 0:
+                continue
+            if prior.size * new.size > max_group:
+                capped += 1
+                a = np.full(new.size, prior[0])
+                b = new
+            else:
+                a = np.repeat(prior, new.size)
+                b = np.tile(new, prior.size)
+            out.append(np.stack([a, b]).astype(np.int64))
+        if capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "band_bucket_cross_pairs: capped %d group(s) above "
+                "max_group=%d to representative pairing", capped, max_group)
+        if not out:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        ab = np.concatenate(out, axis=1)
+        return pd.DataFrame({"a": ab[0], "b": ab[1]}).astype(np.int64)
+
+    from .relational import dedup_first, mod_exchange_apply
+
+    cand = mod_exchange_apply(sig_ds, "bhash", pairs, n_buckets)
+    return dedup_first(cand, ["a", "b"], ["a", "b"])
+
+
+def incremental_near_dup(new_ds, prior_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.5,
+                         n_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 3, seed: int = 7):
+    """Incremental NEAR-dedup — the MinHash analog of
+    textops.exact_dedup_incremental: flag each NEW doc whose exact n-gram
+    Jaccard against ANY PRIOR doc reaches ``threshold``. Yesterday's
+    corpus is never re-paired with itself: both sides produce band
+    fingerprints with IDENTICAL parameters, one cross-side exchange emits
+    only prior x new candidates, and the distributed exact-Jaccard verify
+    reads just the candidate docs (ranged id filter — no broadcast).
+    Returns a Dataset of flagged new-doc ids (id_col), deduplicated."""
+    from .relational import dedup_first
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return f
+
+    kw = dict(id_col=id_col, text_col=text_col, n_perm=n_perm, bands=bands,
+              shingle_k=shingle_k, seed=seed)
+    sig = band_signature_rows(prior_ds, **kw) \
+        .map_batches(tag(0), batch_format="pyarrow") \
+        .union(band_signature_rows(new_ds, **kw)
+               .map_batches(tag(1), batch_format="pyarrow"))
+    cand = band_bucket_cross_pairs(sig)
+    docs = prior_ds.union(new_ds)
+    verified = verify_pairs_jaccard(docs, cand, id_col=id_col,
+                                    text_col=text_col, k=shingle_k,
+                                    threshold=threshold)
+
+    if isinstance(verified, pd.DataFrame):
+        # verify_pairs_jaccard returns a driver frame (pair counts are
+        # candidate-sized, not corpus-sized)
+        return pd.DataFrame({id_col: np.unique(
+            verified["b"].to_numpy().astype(np.int64))})
+
+    def new_side(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["b"]})
+
+    flagged = verified.map_batches(new_side, batch_format="pyarrow")
+    return dedup_first(flagged, [id_col], [id_col])

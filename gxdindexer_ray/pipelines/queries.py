@@ -2931,6 +2931,33 @@ WHERE h NOT IN (SELECT h FROM pr)
 """
 
 
+def q104_incremental_neardup(sf: str):
+    """Incremental NEAR-dedup (ops/dedup.py::incremental_near_dup): even
+    ids play yesterday's corpus, odd ids the new batch; flag each new doc
+    whose exact trigram Jaccard against ANY prior doc reaches 0.5. Both
+    sides band-fingerprint with identical parameters, ONE cross-side
+    exchange emits only prior x new candidates (the prior corpus is never
+    re-paired with itself), distributed exact-Jaccard verify. Equality
+    with the SQL oracle holds for the same recall argument as q26 (corpus
+    near-dups sit at j>=0.9). Registered past the driver's 50-entry
+    window — gated by the local oracle sweep."""
+    from ..ops.dedup import incremental_near_dup
+
+    prior = read_table(sf, "documents", columns=["doc_id", "text"],
+                       filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 0))
+    new = read_table(sf, "documents", columns=["doc_id", "text"],
+                     filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 1))
+    out = incremental_near_dup(new, prior, threshold=0.5)
+    return out if isinstance(out, pd.DataFrame) else out
+
+
+SQL_Q104 = f"""
+WITH {_SQL_SHINGLE_CTES}
+SELECT DISTINCT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+FROM jac WHERE jaccard >= 0.5 AND (a % 2) <> (b % 2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3039,6 +3066,7 @@ CATALOG: dict[str, tuple] = {
     "q101_remove_dup_spans": (q101_remove_dup_spans, SQL_Q101),
     "q102_bpe_encode": (q102_bpe_encode, None),
     "q103_incremental_dedup": (q103_incremental_dedup, SQL_Q103),
+    "q104_incremental_neardup": (q104_incremental_neardup, SQL_Q104),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3088,7 +3116,7 @@ GROUPS: dict[str, list[str]] = {
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate", "q88_semdedup",
               "q92_dup_gram_fraction", "q101_remove_dup_spans",
-              "q103_incremental_dedup"],
+              "q103_incremental_dedup", "q104_incremental_neardup"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

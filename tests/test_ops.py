@@ -2892,3 +2892,29 @@ def test_exact_dedup_incremental_digest_state_path(ray_session):
     out2 = exact_dedup_incremental(rd.from_pandas(new),
                                    rd.from_pandas(digests)).to_pandas()
     assert dict(zip(out2["keep_id"], out2["n_copies"])) == expect
+
+
+def test_incremental_near_dup_cross_side_only(ray_session):
+    """q104 contracts: flags new docs near-matching prior docs; near-dup
+    pairs WITHIN the new batch alone do not flag (the op answers 'seen
+    before?', not 'self-duplicated?'); prior-side pairs never pair with
+    each other (cross-side candidates only)."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.dedup import incremental_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog"
+    prior = pd.DataFrame({
+        "doc_id": [2, 4],
+        "text": [base + " today", "databases are structured collections"]})
+    new = pd.DataFrame({
+        "doc_id": [1, 3, 5, 7],
+        "text": [base + " now",                       # near-dup of prior 2
+                 "totally novel words appear here",   # clean
+                 "totally novel words appear here!",  # dup of 3 (new-only)
+                 "databases are structured collections"]})  # == prior 4
+    out = incremental_near_dup(rd.from_pandas(new), rd.from_pandas(prior),
+                               threshold=0.5)
+    got = sorted(out["doc_id"]) if isinstance(out, pd.DataFrame) else \
+        sorted(out.to_pandas()["doc_id"])
+    assert got == [1, 7]
