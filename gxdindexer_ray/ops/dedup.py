@@ -828,26 +828,32 @@ def band_bucket_cross_pairs(sig_ds, n_buckets: int = 64,
     """CROSS-SIDE LSH candidate generation: (band, bhash, doc, side) rows
     -> deduplicated (a, b) pairs where a is a side-0 (prior) doc and b a
     side-1 (new) doc sharing a band fingerprint. Same one-exchange shape
-    and hot-bucket discipline as ``band_bucket_pairs``: a group whose
-    prior x new cross product exceeds ``max_group`` pairs emits each new
-    doc against the MINIMUM prior doc only (one representative candidate
-    per new doc — a bucket that degenerate is one near-dup cluster, so
-    the representative's verify outcome stands in for the group's)."""
+    and hot-bucket discipline as ``band_bucket_pairs``: when a group's
+    prior x new cross product exceeds ``max_group`` pairs, each new doc
+    is paired with ``max(1, max_group // n_new)`` smallest prior docs
+    instead of all of them — bounded ~max_group + n_new pairs per group,
+    and every new doc keeps MULTIPLE prior representatives so a bucket
+    holding more than one near-dup cluster still gives most new docs a
+    same-cluster verify partner (a single-representative cap would turn
+    every mixed bucket into silent false negatives). Residual risk: a
+    new doc whose true match is outside its R representatives is missed;
+    capped groups are counted and logged so a crawl-scale run can see
+    when to raise max_group."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         out: list[np.ndarray] = []
         capped = 0
         for (_, _), grp in group.groupby(["band", "bhash"], sort=False):
             side = grp["side"].to_numpy()
-            prior = np.sort(grp["doc"].to_numpy()[side == 0])
+            prior = np.unique(grp["doc"].to_numpy()[side == 0])
             new = np.unique(grp["doc"].to_numpy()[side == 1])
-            prior = np.unique(prior)
             if prior.size == 0 or new.size == 0:
                 continue
             if prior.size * new.size > max_group:
                 capped += 1
-                a = np.full(new.size, prior[0])
-                b = new
+                reps = min(prior.size, max(1, max_group // new.size))
+                a = np.repeat(prior[:reps], new.size)
+                b = np.tile(new, reps)
             else:
                 a = np.repeat(prior, new.size)
                 b = np.tile(new, prior.size)
@@ -872,7 +878,8 @@ def band_bucket_cross_pairs(sig_ds, n_buckets: int = 64,
 def incremental_near_dup(new_ds, prior_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", threshold: float = 0.5,
                          n_perm: int = 64, bands: int = 16,
-                         shingle_k: int = 3, seed: int = 7):
+                         shingle_k: int = 3, seed: int = 7,
+                         prior_sig_ds=None):
     """Incremental NEAR-dedup — the MinHash analog of
     textops.exact_dedup_incremental: flag each NEW doc whose exact n-gram
     Jaccard against ANY PRIOR doc reaches ``threshold``. Yesterday's
@@ -880,35 +887,54 @@ def incremental_near_dup(new_ds, prior_ds, *, id_col: str = "doc_id",
     fingerprints with IDENTICAL parameters, one cross-side exchange emits
     only prior x new candidates, and the distributed exact-Jaccard verify
     reads just the candidate docs (ranged id filter — no broadcast).
-    Returns a Dataset of flagged new-doc ids (id_col), deduplicated."""
+    Returns a Dataset of flagged new-doc ids (id_col), deduplicated.
+
+    Overlapping doc ids between the sides are SAFE (the re-crawl case —
+    same id, new text): ids are internally remapped into disjoint
+    even/odd namespaces before pairing/verify, so a pair (prior i, new i)
+    verifies prior-text-vs-new-text, never a side against itself.
+    ``prior_sig_ds`` carries persisted (band, bhash, doc) signature rows
+    from a previous ``band_signature_rows`` dump so daily runs skip
+    re-MinHashing the prior corpus (its dominant cost); ``prior_ds`` text
+    is still read — but only for the candidate docs — during verify."""
     from .relational import dedup_first
 
-    def tag(side: int):
+    def enc(side: int):
+        # disjoint id namespaces: prior -> 2*id, new -> 2*id + 1
         def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+            ids = t["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.set_column(
+                t.schema.get_field_index("doc"), "doc",
+                pa.array(ids * 2 + side, pa.int64())) \
+                .append_column(
+                    "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return f
+
+    def enc_docs(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.set_column(
+                t.schema.get_field_index(id_col), id_col,
+                pa.array(ids * 2 + side, pa.int64()))
         return f
 
     kw = dict(id_col=id_col, text_col=text_col, n_perm=n_perm, bands=bands,
               shingle_k=shingle_k, seed=seed)
-    sig = band_signature_rows(prior_ds, **kw) \
-        .map_batches(tag(0), batch_format="pyarrow") \
+    prior_sig = (prior_sig_ds if prior_sig_ds is not None
+                 else band_signature_rows(prior_ds, **kw))
+    sig = prior_sig.map_batches(enc(0), batch_format="pyarrow") \
         .union(band_signature_rows(new_ds, **kw)
-               .map_batches(tag(1), batch_format="pyarrow"))
+               .map_batches(enc(1), batch_format="pyarrow"))
     cand = band_bucket_cross_pairs(sig)
-    docs = prior_ds.union(new_ds)
+    docs = prior_ds.map_batches(enc_docs(0), batch_format="pyarrow") \
+        .union(new_ds.map_batches(enc_docs(1), batch_format="pyarrow"))
     verified = verify_pairs_jaccard(docs, cand, id_col=id_col,
                                     text_col=text_col, k=shingle_k,
-                                    threshold=threshold)
-
-    if isinstance(verified, pd.DataFrame):
-        # verify_pairs_jaccard returns a driver frame (pair counts are
-        # candidate-sized, not corpus-sized)
-        return pd.DataFrame({id_col: np.unique(
-            verified["b"].to_numpy().astype(np.int64))})
+                                    threshold=threshold, as_dataset=True)
 
     def new_side(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: t["b"]})
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(b // 2, pa.int64())})
 
     flagged = verified.map_batches(new_side, batch_format="pyarrow")
     return dedup_first(flagged, [id_col], [id_col])

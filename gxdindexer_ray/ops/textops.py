@@ -202,6 +202,22 @@ def _md5_pairs(col) -> np.ndarray:
     return out
 
 
+def _digest_partial(tbl: pa.Table, id_col: str, text_col: str):
+    """Per-batch exact-dedup partial shared by exact_text_dedup and
+    exact_dedup_incremental: md5 pairs straight off the Arrow buffers,
+    one lexsort, per-distinct-digest (h1, h2, min_id, n_copies) arrays.
+    Both callers MUST keep identical run-boundary/tie-break math — that
+    is why there is exactly one copy of it."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = _md5_pairs(tbl[text_col])
+    order = np.lexsort((ids, h[:, 1], h[:, 0]))
+    h1, h2, si = h[order, 0], h[order, 1], ids[order]
+    starts = np.flatnonzero(
+        np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+    return (h1[starts], h2[starts], si[starts],
+            np.diff(np.r_[starts, h1.size]))
+
+
 def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64):
     """Group by content hash; keep min id per distinct text. Returns
     (keep_id, n_copies). Arrow/numpy end-to-end: md5 runs on zero-copy
@@ -214,18 +230,13 @@ def exact_text_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_bucke
     from .relational import hash_exchange_apply
 
     def pre(tbl: pa.Table) -> pa.Table:
-        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _md5_pairs(tbl[text_col])
-        order = np.lexsort((ids, h[:, 1], h[:, 0]))
-        h1, h2, si = h[order, 0], h[order, 1], ids[order]
-        starts = np.flatnonzero(
-            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        h1, h2, keep, n = _digest_partial(tbl, id_col, text_col)
         return pa.table({
-            "__h1": pa.array(h1[starts].view(np.int64), pa.int64()),
-            "__h2": pa.array(h2[starts].view(np.int64), pa.int64()),
-            "keep_id": pa.array(si[starts], pa.int64()),  # ids sorted in-group
-            "n_copies": pa.array(np.diff(np.r_[starts, h1.size]), pa.int64()),
-            "__bucket": pa.array((h1[starts] % np.uint64(n_buckets)).astype(np.int32)),
+            "__h1": pa.array(h1.view(np.int64), pa.int64()),
+            "__h2": pa.array(h2.view(np.int64), pa.int64()),
+            "keep_id": pa.array(keep, pa.int64()),  # ids sorted in-group
+            "n_copies": pa.array(n, pa.int64()),
+            "__bucket": pa.array((h1 % np.uint64(n_buckets)).astype(np.int32)),
         })
 
     def combine(tbl: pa.Table) -> pa.Table:
@@ -1213,20 +1224,15 @@ def exact_dedup_incremental(new_ds, prior_ds, *, id_col: str = "doc_id",
     from .relational import _exchange_sides
 
     def pre_new(tbl: pa.Table) -> pa.Table:
-        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _md5_pairs(tbl[text_col])
-        order = np.lexsort((ids, h[:, 1], h[:, 0]))
-        h1, h2, si = h[order, 0], h[order, 1], ids[order]
-        starts = np.flatnonzero(
-            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        h1, h2, keep, n = _digest_partial(tbl, id_col, text_col)
         return pa.table({
-            "h1": pa.array(h1[starts].view(np.int64), pa.int64()),
-            "h2": pa.array(h2[starts].view(np.int64), pa.int64()),
-            "keep_id": pa.array(si[starts], pa.int64()),
-            "n_copies": pa.array(np.diff(np.r_[starts, h1.size]), pa.int64()),
-            "__side": pa.array(np.ones(starts.size, np.int8)),
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "keep_id": pa.array(keep, pa.int64()),
+            "n_copies": pa.array(n, pa.int64()),
+            "__side": pa.array(np.ones(h1.size, np.int8)),
             "__bucket": pa.array(
-                (h1[starts] % np.uint64(n_buckets)).astype(np.int32))})
+                (h1 % np.uint64(n_buckets)).astype(np.int32))})
 
     def pre_prior(tbl: pa.Table) -> pa.Table:
         if "h1" in tbl.column_names and "h2" in tbl.column_names:

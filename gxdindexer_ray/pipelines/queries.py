@@ -2927,7 +2927,7 @@ nw AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
 k AS (SELECT h, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
       FROM nw GROUP BY h)
 SELECT keep_id, n_copies FROM k
-WHERE h NOT IN (SELECT h FROM pr)
+WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.h IS NOT DISTINCT FROM k.h)
 """
 
 
@@ -2947,8 +2947,7 @@ def q104_incremental_neardup(sf: str):
                        filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 0))
     new = read_table(sf, "documents", columns=["doc_id", "text"],
                      filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 1))
-    out = incremental_near_dup(new, prior, threshold=0.5)
-    return out if isinstance(out, pd.DataFrame) else out
+    return incremental_near_dup(new, prior, threshold=0.5)
 
 
 SQL_Q104 = f"""

@@ -2918,3 +2918,59 @@ def test_incremental_near_dup_cross_side_only(ray_session):
     got = sorted(out["doc_id"]) if isinstance(out, pd.DataFrame) else \
         sorted(out.to_pandas()["doc_id"])
     assert got == [1, 7]
+
+
+def test_incremental_near_dup_overlapping_ids_and_sig_state(ray_session):
+    """Review regressions: (1) a re-crawled doc (same id on both sides,
+    UNRELATED new text) must NOT be flagged — ids are remapped into
+    disjoint namespaces so a side never verifies against itself; (2) a
+    persisted band-signature table for the prior side gives identical
+    flags without re-MinHashing the prior corpus."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.dedup import (band_signature_rows,
+                                          incremental_near_dup)
+
+    base = "the quick brown fox jumps over the lazy dog"
+    prior = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [base + " today", "databases are structured collections"]})
+    new = pd.DataFrame({
+        "doc_id": [1, 3],
+        "text": ["entirely unrelated replacement content here",  # re-crawl
+                 base + " now"]})                                # matches 1
+    out = incremental_near_dup(rd.from_pandas(new), rd.from_pandas(prior),
+                               threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [3]
+
+    sig = band_signature_rows(rd.from_pandas(prior)).materialize()
+    out2 = incremental_near_dup(rd.from_pandas(new), rd.from_pandas(prior),
+                                threshold=0.5,
+                                prior_sig_ds=sig).to_pandas()
+    assert sorted(out2["doc_id"]) == [3]
+
+
+def test_band_bucket_cross_pairs_cap_keeps_multiple_reps(ray_session):
+    """Review regression: a capped hot bucket pairs each new doc with
+    MULTIPLE smallest priors (max_group // n_new), bounded total, never a
+    single representative for the whole group."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.dedup import band_bucket_cross_pairs
+
+    n_prior, n_new = 100, 20            # 2000 cross pairs > max_group=512
+    rows = pd.DataFrame({
+        "band": np.zeros(n_prior + n_new, np.int32),
+        "bhash": np.full(n_prior + n_new, 7, np.int64),
+        "doc": np.concatenate([np.arange(n_prior),
+                               np.arange(1000, 1000 + n_new)]),
+        "side": np.concatenate([np.zeros(n_prior, np.int8),
+                                np.ones(n_new, np.int8)])})
+    out = band_bucket_cross_pairs(rd.from_pandas(rows),
+                                  max_group=512).to_pandas()
+    reps = 512 // n_new                  # 25 smallest priors
+    assert len(out) == reps * n_new
+    per_new = out.groupby("b")["a"].apply(set)
+    expect = set(range(reps))
+    for b, priors in per_new.items():
+        assert priors == expect          # every new doc sees all reps
