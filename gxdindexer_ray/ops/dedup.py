@@ -334,6 +334,40 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
     return band_bucket_pairs(sig_ds)
 
 
+def _band_group_bounds(group: pd.DataFrame, with_side: bool):
+    """Shared preamble of the two pair generators: lexsort by
+    (band, bhash[, side], doc), drop consecutive duplicate rows, return
+    the sorted arrays plus (band, bhash)-group start offsets and sizes.
+    Returns None on EMPTY input — _exchange_sides probes fn with a typed
+    empty frame (_apply_empty), and a boolean mask built via np.r_[True,
+    ...] would be length 1 against length-0 arrays."""
+    band = group["band"].to_numpy()
+    bhash = group["bhash"].to_numpy()
+    doc = group["doc"].to_numpy().astype(np.int64)
+    if doc.size == 0:
+        return None
+    if with_side:
+        side = group["side"].to_numpy().astype(np.int8)
+        order = np.lexsort((doc, side, bhash, band))
+    else:
+        side = None
+        order = np.lexsort((doc, bhash, band))
+    band, bhash, doc = band[order], bhash[order], doc[order]
+    keep = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1]) \
+        | (doc[1:] != doc[:-1])
+    if with_side:
+        side = side[order]
+        keep = keep | (side[1:] != side[:-1])
+    keep = np.r_[True, keep]
+    band, bhash, doc = band[keep], bhash[keep], doc[keep]
+    if with_side:
+        side = side[keep]
+    gb = np.flatnonzero(np.r_[True, (band[1:] != band[:-1])
+                              | (bhash[1:] != bhash[:-1])])
+    cnt = np.diff(np.r_[gb, band.size])
+    return doc, side, gb, cnt
+
+
 def band_bucket_pairs(sig_ds, n_buckets: int = 64, max_group: int = 512):
     """Shared LSH candidate generation: (band, bhash, doc) signature rows
     -> deduplicated (a, b) candidate pairs (a < b). One bhash-keyed
@@ -356,31 +390,29 @@ def band_bucket_pairs(sig_ds, n_buckets: int = 64, max_group: int = 512):
         # per-group Python loop costs more than all the real pair math
         # (A/B at 200k docs / 3.2M signature rows: 27s -> <2s per stage)
         empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        band = group["band"].to_numpy()
-        bhash = group["bhash"].to_numpy()
-        doc = group["doc"].to_numpy().astype(np.int64)
-        order = np.lexsort((doc, bhash, band))
-        band, bhash, doc = band[order], bhash[order], doc[order]
-        keep = np.r_[True, (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
-                     | (doc[1:] != doc[:-1])]
-        band, bhash, doc = band[keep], bhash[keep], doc[keep]
-        if doc.size == 0:
+        bounds = _band_group_bounds(group, with_side=False)
+        if bounds is None:
             return empty
-        gb = np.flatnonzero(np.r_[True, (band[1:] != band[:-1])
-                                  | (bhash[1:] != bhash[:-1])])
-        cnt = np.diff(np.r_[gb, band.size])
+        doc, _, gb, cnt = bounds
         parts_a: list[np.ndarray] = []
         parts_b: list[np.ndarray] = []
         small = (cnt >= 2) & (cnt <= max_group)
         if small.any():
+            # exact-size upper-triangle emission (never the n*n grid):
+            # one repeat level expands groups into rows (i), a second
+            # expands each row into its n-1-i partners (j > i)
             s_start, s_n = gb[small], cnt[small]
-            sq = s_n * s_n
-            gid = np.repeat(np.arange(s_n.size), sq)
-            w = np.arange(int(sq.sum())) - np.repeat(np.cumsum(sq) - sq, sq)
-            i, j = w // s_n[gid], w % s_n[gid]
-            m = i < j                      # upper triangle of each group
-            parts_a.append(doc[s_start[gid[m]] + i[m]])
-            parts_b.append(doc[s_start[gid[m]] + j[m]])
+            rows = int(s_n.sum())
+            gid_r = np.repeat(np.arange(s_n.size), s_n)
+            i_r = np.arange(rows) - np.repeat(np.cumsum(s_n) - s_n, s_n)
+            rcount = s_n[gid_r] - 1 - i_r
+            total = int(rcount.sum())
+            rid = np.repeat(np.arange(rows), rcount)
+            w = np.arange(total) - np.repeat(np.cumsum(rcount) - rcount,
+                                             rcount)
+            base = s_start[gid_r[rid]]
+            parts_a.append(doc[base + i_r[rid]])
+            parts_b.append(doc[base + i_r[rid] + 1 + w])
         big = cnt > max_group
         capped = int(big.sum())
         if capped:
@@ -876,21 +908,10 @@ def band_bucket_cross_pairs(sig_ds, n_buckets: int = 64,
         # capped groups emit the first `reps` priors against every new
         # doc, all groups in one pass
         empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        band = group["band"].to_numpy()
-        bhash = group["bhash"].to_numpy()
-        doc = group["doc"].to_numpy().astype(np.int64)
-        side = group["side"].to_numpy().astype(np.int8)
-        order = np.lexsort((doc, side, bhash, band))
-        band, bhash = band[order], bhash[order]
-        doc, side = doc[order], side[order]
-        keep = np.r_[True, (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
-                     | (side[1:] != side[:-1]) | (doc[1:] != doc[:-1])]
-        band, bhash, doc, side = band[keep], bhash[keep], doc[keep], side[keep]
-        if doc.size == 0:
+        bounds = _band_group_bounds(group, with_side=True)
+        if bounds is None:
             return empty
-        gb = np.flatnonzero(np.r_[True, (band[1:] != band[:-1])
-                                  | (bhash[1:] != bhash[:-1])])
-        cnt = np.diff(np.r_[gb, band.size])
+        doc, side, gb, cnt = bounds
         p = np.add.reduceat((side == 0).astype(np.int64), gb)
         q = cnt - p
         valid = (p > 0) & (q > 0)
