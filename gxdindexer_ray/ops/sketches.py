@@ -337,3 +337,58 @@ def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
 
     return keyed_exchange_apply(ds, [key_col], per_bucket, n_buckets,
                                 local=local).to_pandas()
+
+
+def global_rank(ds, value_col: str, tiebreak_col: str, *,
+                out_col: str = "rank", n_ranges: int = 64,
+                n_buckets: int = 64):
+    """Distributed total-order position assignment — SQL
+    ``row_number() OVER (ORDER BY value, tiebreak)`` — WITHOUT a global
+    sort: the all-to-all a ``ds.sort`` would cost is replaced by
+    range partitioning on exact order-statistic cutpoints.
+
+    1. exact_quantiles picks ~n_ranges distinct value cutpoints (log-pass
+       histogram bracketing, no sort);
+    2. one pre-aggregate counts rows per value-range (driver sees
+       n_ranges numbers and prefix-sums them into offsets);
+    3. one range-keyed exchange lexsorts each range locally and adds its
+       offset — every row gets its EXACT 1-indexed global rank.
+
+    All rows sharing a value land in one range (cutpoints are distinct
+    observed values, searchsorted side='left'), so ties order purely by
+    the in-range (value, tiebreak) lexsort — identical to the SQL window.
+    Value skew bound: one range holds at least each distinct value's full
+    tie group (the same bound any order-statistic partitioning has)."""
+    from .relational import keyed_exchange_apply, pre_aggregate
+
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    cuts = np.unique(exact_quantiles(ds, value_col, qs)["value"].to_numpy())
+
+    def add_range(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = np.searchsorted(cuts, v, side="left").astype(np.int64)
+        return t.append_column("__range", pa.array(r, pa.int64()))
+
+    ranged = ds.map_batches(add_range, batch_format="pyarrow")
+    counts = pre_aggregate(ranged, ["__range"], counts="n",
+                           driver_final=True).sort_values("__range")
+    offs = dict(zip(counts["__range"],
+                    np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))))
+
+    def rank_range(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash bucket may hold SEVERAL range values — rank within each
+        # range (vectorized boundary arithmetic), offset per range
+        df = df.sort_values(["__range", value_col, tiebreak_col],
+                            kind="mergesort")
+        rng = df["__range"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, rng[1:] != rng[:-1]])
+        sizes = np.diff(np.r_[starts, rng.size])
+        pos = np.arange(rng.size) - np.repeat(starts, sizes)
+        base = np.fromiter((offs[int(r)] for r in rng[starts]),
+                           np.int64, starts.size)
+        out = df.drop(columns=["__range"]).copy()
+        out[out_col] = np.repeat(base, sizes) + pos + 1
+        return out
+
+    return keyed_exchange_apply(ranged, ["__range"], rank_range,
+                                min(n_buckets, max(1, len(cuts) + 1)))

@@ -2957,6 +2957,27 @@ FROM jac WHERE jaccard >= 0.5 AND (a % 2) <> (b % 2)
 """
 
 
+def q105_global_rank(sf: str):
+    """Distributed total-order position assignment — row_number() over
+    the whole table WITHOUT a global sort (ops/sketches.py::global_rank):
+    exact order-statistic cutpoints (log-pass histograms) range-partition
+    the data, per-range counts prefix-sum into offsets (driver sees
+    n_ranges numbers), one range-keyed exchange lexsorts locally and adds
+    the offset. Registered past the driver's 50-entry window — gated by
+    the local oracle sweep."""
+    from ..ops.sketches import global_rank
+
+    ds = read_table(sf, "documents", columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id")
+
+
+SQL_Q105 = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3066,6 +3087,7 @@ CATALOG: dict[str, tuple] = {
     "q102_bpe_encode": (q102_bpe_encode, None),
     "q103_incremental_dedup": (q103_incremental_dedup, SQL_Q103),
     "q104_incremental_neardup": (q104_incremental_neardup, SQL_Q104),
+    "q105_global_rank": (q105_global_rank, SQL_Q105),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3092,7 +3114,7 @@ GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if _qnum(n) in
                    {*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90}]
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
-       "q96_rollup_counts", "q97_event_pivot"],
+       "q96_rollup_counts", "q97_event_pivot", "q105_global_rank"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel"],

@@ -2974,3 +2974,26 @@ def test_band_bucket_cross_pairs_cap_keeps_multiple_reps(ray_session):
     expect = set(range(reps))
     for b, priors in per_new.items():
         assert priors == expect          # every new doc sees all reps
+
+
+def test_global_rank_exact_with_ties_and_batching(ray_session):
+    """q105 contract: exact 1-indexed row_number() OVER (ORDER BY v, id)
+    under heavy ties, invariant to repartitioning; hash buckets holding
+    several value ranges rank each range independently."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.sketches import global_rank
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"doc_id": range(4000),
+                       "v": rng.integers(0, 30, 4000)})
+    exp = df.sort_values(["v", "doc_id"], kind="mergesort") \
+        .reset_index(drop=True)
+    exp["rank"] = np.arange(1, len(exp) + 1)
+    for parts in (3, 17):
+        got = global_rank(rd.from_pandas(df).repartition(parts),
+                          "v", "doc_id").to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["doc_id", "v", "rank"]],
+                                      exp[["doc_id", "v", "rank"]],
+                                      check_dtype=False)
