@@ -1385,3 +1385,170 @@ def grouped_zscore(ds, keys: list[str], value_col: str, *,
             out_col, pa.array(np.floor(z * 1e6 + 0.5) / 1e6, pa.float64()))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def interval_overlap_join(left, right, *, left_cols: tuple[str, str],
+                          right_cols: tuple[str, str],
+                          key_cols: list[str] | None = None,
+                          n_ranges: int = 64, n_buckets: int = 64,
+                          suffix: str = "_r"):
+    """Interval x interval OVERLAP join (``a.start < b.end AND b.start <
+    a.end``, half-open), optionally equi-keyed — the two-sided-range
+    class that asof_join (point vs last-before) and range_band_join
+    (point vs fixed bands) do not cover.
+
+    Scale shape: the time axis is cut into ``n_ranges`` spans on sampled
+    interval starts; each interval REPLICATES to every span it overlaps
+    (bounded by interval length / span width), and a span-keyed exchange
+    joins locally — but a pair is EMITTED only by the span containing
+    ``max(a.start, b.start)`` (the owner-range rule), so no global
+    dedup pass is needed. In-span matching is vectorized: rights sorted
+    by start, per-left candidate window via searchsorted, emission
+    through repeat/cumsum index arithmetic. Equi-keys ride inside the
+    span groups (matched with a lexsort key, not a Python loop)."""
+    import pyarrow.compute as pc
+
+    ls, le = left_cols
+    rs, re_ = right_cols
+    key_cols = key_cols or []
+
+    # axis cutpoints: sample starts from both sides (driver-tiny)
+    def sample(ds, col):
+        def f(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            step = max(1, v.size // 64)
+            return pa.table({"s": pa.array(np.sort(v)[::step], pa.int64())})
+        return ds.map_batches(f, batch_format="pyarrow").to_pandas()["s"]
+
+    allstarts = np.sort(np.concatenate([
+        sample(left, ls).to_numpy(), sample(right, rs).to_numpy()]))
+    if allstarts.size == 0:
+        cuts = np.array([], np.int64)
+    else:
+        idx = np.linspace(0, allstarts.size - 1, n_ranges + 1)[1:-1]
+        cuts = np.unique(allstarts[idx.astype(np.int64)])
+
+    # both sides must reach the exchange with ONE schema: the union of
+    # left columns and (suffixed-on-collision) right columns, absent side
+    # filled with nulls
+    def _arrow_schema(ds):
+        sch = ds.schema().base_schema
+        if not isinstance(sch, pa.Schema):   # pandas-block datasets
+            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+            sch = ds.schema().base_schema
+        return ds, sch
+
+    left, l_schema = _arrow_schema(left)
+    right, r_schema = _arrow_schema(right)
+    l_names = [f.name for f in l_schema]
+    r_rename = {c: (c + suffix if (c in l_names and c not in key_cols)
+                    else c) for c in r_schema.names}
+    l_types = {f.name: f.type for f in l_schema}
+    r_types = {r_rename[f.name]: f.type for f in r_schema}
+    all_cols = list(dict.fromkeys(
+        [*l_names, *[r_rename[c] for c in r_schema.names]]))
+    all_types = {**r_types, **l_types}
+    rs2, re2 = r_rename[rs], r_rename[re_]
+
+    def replicate(side: int, scol: str, ecol: str, rename: dict):
+        def f(t: pa.Table) -> pa.Table:
+            s = t[scol].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = t[ecol].to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = np.searchsorted(cuts, s, side="right")
+            hi = np.searchsorted(cuts, e, side="left")  # half-open end
+            reps = hi - lo + 1
+            rid = np.repeat(np.arange(t.num_rows), reps)
+            w = np.arange(int(reps.sum())) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            rng = lo[rid] + w
+            rep = t.take(pa.array(rid, pa.int64()))
+            cols = {}
+            for c in all_cols:
+                src = None
+                for orig, new_name in rename.items():
+                    if new_name == c:
+                        src = orig
+                        break
+                if src is not None and src in t.column_names:
+                    cols[c] = rep[src]
+                else:
+                    cols[c] = pa.nulls(len(rid), all_types[c])
+            cols["__rng"] = pa.array(rng, pa.int64())
+            cols["__side"] = pa.array(np.full(len(rid), side, np.int8))
+            return pa.table(cols)
+        return f
+
+    def join_span(df: pd.DataFrame) -> pd.DataFrame:
+        out_frames = []
+        for rng_val, grp in df.groupby("__rng", sort=False):
+            lf = grp[grp["__side"] == 0]
+            rf = grp[grp["__side"] == 1]
+            if lf.empty or rf.empty:
+                continue
+            # sort rights by (keys, start); per-left candidate window via
+            # searchsorted over the composite ordering
+            if key_cols:
+                rf = rf.sort_values([*key_cols, rs2], kind="mergesort")
+            else:
+                rf = rf.sort_values(rs2, kind="mergesort")
+            r_start = rf[rs2].to_numpy().astype(np.int64)
+            r_end = rf[re2].to_numpy().astype(np.int64)
+            l_start = lf[ls].to_numpy().astype(np.int64)
+            l_end = lf[le].to_numpy().astype(np.int64)
+            if key_cols:
+                # composite ordering: factorize key tuples jointly; the
+                # axis component is min-normalized with a DYNAMIC shift
+                # (a fixed one silently clips epoch-microsecond starts)
+                kl = pd.MultiIndex.from_frame(lf[key_cols]) if len(key_cols) > 1 \
+                    else pd.Index(lf[key_cols[0]])
+                kr = pd.MultiIndex.from_frame(rf[key_cols]) if len(key_cols) > 1 \
+                    else pd.Index(rf[key_cols[0]])
+                codes_all, uniq = pd.factorize(kr.append(kl), sort=True)
+                rc = codes_all[:len(kr)].astype(np.int64)
+                lc = codes_all[len(kr):].astype(np.int64)
+                axis_min = min(int(r_start.min()), int(l_end.min())) - 1
+                span = max(int(r_start.max()), int(l_end.max())) - axis_min + 2
+                shift_bits = max(1, int(span - 1).bit_length())
+                if (len(uniq) + 1) << shift_bits >= (1 << 63):
+                    raise ValueError(
+                        "interval_overlap_join: key cardinality x axis "
+                        "span exceeds the 63-bit composite ordering")
+                SHIFT = np.int64(1) << np.int64(shift_bits)
+                r_key = rc * SHIFT + (r_start - axis_min)
+                lo = np.searchsorted(r_key, lc * SHIFT)
+                hi = np.searchsorted(r_key, lc * SHIFT + (l_end - axis_min),
+                                     side="left")
+            else:
+                lo = np.zeros(len(lf), np.int64)
+                hi = np.searchsorted(r_start, l_end, side="left")
+            counts = hi - lo
+            m = counts > 0
+            if not m.any():
+                continue
+            lidx = np.repeat(np.flatnonzero(m), counts[m])
+            w = np.arange(int(counts[m].sum())) - np.repeat(
+                np.cumsum(counts[m]) - counts[m], counts[m])
+            ridx = lo[lidx] + w
+            keep = r_end[ridx] > l_start[lidx]
+            # owner-range rule: emit only where max(starts) falls in rng
+            ms = np.maximum(l_start[lidx], r_start[ridx])
+            own_lo = np.searchsorted(cuts, ms, side="right")
+            keep &= own_lo == rng_val
+            if not keep.any():
+                continue
+            l_keep = [c for c in l_names]
+            r_keep = [r_rename[c] for c in r_schema.names
+                      if c not in key_cols]
+            lrows = lf.iloc[lidx[keep]][l_keep].reset_index(drop=True)
+            rcols = rf.iloc[ridx[keep]][r_keep].reset_index(drop=True)
+            out_frames.append(pd.concat([lrows, rcols], axis=1))
+        if not out_frames:
+            return pd.DataFrame()
+        return pd.concat(out_frames, ignore_index=True)
+
+    id_map = {c: c for c in l_names}
+    tagged = left.map_batches(replicate(0, ls, le, id_map),
+                              batch_format="pyarrow") \
+        .union(right.map_batches(replicate(1, rs, re_, r_rename),
+                                 batch_format="pyarrow"))
+    return keyed_exchange_apply(tagged, ["__rng"], join_span, n_buckets)

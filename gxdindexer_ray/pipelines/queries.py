@@ -2978,6 +2978,47 @@ FROM documents
 """
 
 
+def q106_interval_join(sf: str):
+    """Interval x interval overlap join
+    (ops/relational.py::interval_overlap_join): per user, 20-minute
+    'view' windows overlapping 20-minute 'click' windows, counted per
+    user. Axis cut on sampled starts; intervals replicate to overlapped
+    spans; the owner-range rule (span containing max(starts)) emits each
+    pair exactly once — no dedup pass. Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    from ..ops.relational import interval_overlap_join
+
+    W = 1_200_000_000  # 20 min in us
+
+    def win(ty):
+        def f(t: pa.Table) -> pa.Table:
+            s = t["ts"].cast(pa.int64())
+            return pa.table({
+                "user_id": t["user_id"], "s": s,
+                "e": pc.add(s, pa.scalar(W, pa.int64()))})
+        return read_table(sf, "events", columns=["user_id", "ts",
+                                                 "event_type"],
+                          filter=(pc.field("event_type") == ty)) \
+            .map_batches(f, batch_format="pyarrow")
+
+    joined = interval_overlap_join(win("view"), win("click"),
+                                   left_cols=("s", "e"),
+                                   right_cols=("s", "e"),
+                                   key_cols=["user_id"])
+    return pre_aggregate(joined, ["user_id"], counts="n_overlaps")
+
+
+SQL_Q106 = """
+WITH v AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1200000000 AS e
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1200000000 AS e
+      FROM events WHERE event_type = 'click')
+SELECT v.user_id, count(*)::BIGINT AS n_overlaps
+FROM v JOIN c ON c.user_id = v.user_id AND c.s < v.e AND c.e > v.s
+GROUP BY v.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3088,6 +3129,7 @@ CATALOG: dict[str, tuple] = {
     "q103_incremental_dedup": (q103_incremental_dedup, SQL_Q103),
     "q104_incremental_neardup": (q104_incremental_neardup, SQL_Q104),
     "q105_global_rank": (q105_global_rank, SQL_Q105),
+    "q106_interval_join": (q106_interval_join, SQL_Q106),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3114,7 +3156,8 @@ GROUPS: dict[str, list[str]] = {
     "relational": [n for n in CATALOG if _qnum(n) in
                    {*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90}]
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
-       "q96_rollup_counts", "q97_event_pivot", "q105_global_rank"],
+       "q96_rollup_counts", "q97_event_pivot", "q105_global_rank",
+       "q106_interval_join"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel"],

@@ -2997,3 +2997,41 @@ def test_global_rank_exact_with_ties_and_batching(ray_session):
         pd.testing.assert_frame_equal(got[["doc_id", "v", "rank"]],
                                       exp[["doc_id", "v", "rank"]],
                                       check_dtype=False)
+
+
+def test_interval_overlap_join_exact(ray_session):
+    """q106 contract: keyed and unkeyed interval overlap joins reproduce
+    the brute-force pair set exactly, including epoch-microsecond-scale
+    axis values (the dynamic composite shift) and repartitioned inputs."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import interval_overlap_join
+
+    rng = np.random.default_rng(12)
+    n = 400
+    base = 1_700_000_000_000_000            # epoch-us scale
+    L = pd.DataFrame({"k": rng.integers(0, 4, n),
+                      "a": base + rng.integers(0, 10 ** 10, n)})
+    L["b"] = L["a"] + rng.integers(1, 10 ** 8, n)
+    L["lid"] = range(n)
+    R = pd.DataFrame({"k": rng.integers(0, 4, n),
+                      "a": base + rng.integers(0, 10 ** 10, n)})
+    R["b"] = R["a"] + rng.integers(1, 10 ** 8, n)
+    R["rid"] = range(n)
+    out = interval_overlap_join(
+        rd.from_pandas(L).repartition(6), rd.from_pandas(R).repartition(5),
+        left_cols=("a", "b"), right_cols=("a", "b"),
+        key_cols=["k"]).to_pandas()
+    got = set(zip(out["lid"], out["rid"]))
+    exp = set()
+    for _, l in L.iterrows():
+        m = R[(R["k"] == l["k"]) & (R["a"] < l["b"]) & (R["b"] > l["a"])]
+        exp.update((l["lid"], r) for r in m["rid"])
+    assert got == exp
+    out2 = interval_overlap_join(
+        rd.from_pandas(L), rd.from_pandas(R),
+        left_cols=("a", "b"), right_cols=("a", "b")).to_pandas()
+    exp2 = sum(1 for _, l in L.iterrows()
+               for _, r in R.iterrows()
+               if r["a"] < l["b"] and r["b"] > l["a"])
+    assert len(out2) == exp2
