@@ -3019,6 +3019,38 @@ GROUP BY v.user_id
 """
 
 
+def q107_cube_counts(sf: str):
+    """CUBE aggregate (lang, source) -> all four grouping sets in ONE
+    distributed pass: like q96's ROLLUP, the fine-level pre-aggregate is
+    the only thing that touches the data; the three coarser grouping
+    sets re-aggregate its small result locally. Registered past the
+    driver's 50-entry window — gated by the local oracle sweep."""
+    fine = pre_aggregate(
+        read_table(sf, "documents", columns=["lang", "source", "n_chars"]),
+        ["lang", "source"], counts="n", sums={"total_chars": "n_chars"},
+        driver_final=True)
+    lang = fine.groupby("lang", as_index=False, dropna=False)[
+        ["n", "total_chars"]].sum()
+    lang["source"] = None
+    src = fine.groupby("source", as_index=False, dropna=False)[
+        ["n", "total_chars"]].sum()
+    src["lang"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "n": [fine["n"].sum()],
+                          "total_chars": [fine["total_chars"].sum()]})
+    out = pd.concat([fine, lang, src, total], ignore_index=True)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "source", "n", "total_chars"]]
+
+
+SQL_Q107 = """
+SELECT lang, source, count(*)::BIGINT AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3130,6 +3162,7 @@ CATALOG: dict[str, tuple] = {
     "q104_incremental_neardup": (q104_incremental_neardup, SQL_Q104),
     "q105_global_rank": (q105_global_rank, SQL_Q105),
     "q106_interval_join": (q106_interval_join, SQL_Q106),
+    "q107_cube_counts": (q107_cube_counts, SQL_Q107),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3157,7 +3190,7 @@ GROUPS: dict[str, list[str]] = {
                    {*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90}]
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
        "q96_rollup_counts", "q97_event_pivot", "q105_global_rank",
-       "q106_interval_join"],
+       "q106_interval_join", "q107_cube_counts"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel"],
