@@ -1412,13 +1412,15 @@ def interval_overlap_join(left, right, *, left_cols: tuple[str, str],
     rs, re_ = right_cols
     key_cols = key_cols or []
 
-    # axis cutpoints: sample starts from both sides (driver-tiny)
+    # axis cutpoints: sample starts from both sides (driver-tiny; pruned
+    # to the start column so the sampling pass moves one int64 column)
     def sample(ds, col):
         def f(t: pa.Table) -> pa.Table:
             v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
             step = max(1, v.size // 64)
             return pa.table({"s": pa.array(np.sort(v)[::step], pa.int64())})
-        return ds.map_batches(f, batch_format="pyarrow").to_pandas()["s"]
+        return ds.select_columns([col]) \
+            .map_batches(f, batch_format="pyarrow").to_pandas()["s"]
 
     allstarts = np.sort(np.concatenate([
         sample(left, ls).to_numpy(), sample(right, rs).to_numpy()]))
@@ -1452,11 +1454,24 @@ def interval_overlap_join(left, right, *, left_cols: tuple[str, str],
 
     def replicate(side: int, scol: str, ecol: str, rename: dict):
         def f(t: pa.Table) -> pa.Table:
+            if key_cols:
+                # SQL equi-join semantics: a NULL key matches nothing —
+                # drop those rows map-side (they would also break the
+                # in-span composite ordering, where factorize codes NaN
+                # as -1 while the sort puts it last)
+                for k in key_cols:
+                    t = t.filter(pc.is_valid(t[k]))
             s = t[scol].to_numpy(zero_copy_only=False).astype(np.int64)
             e = t[ecol].to_numpy(zero_copy_only=False).astype(np.int64)
+            if (s > e).any():
+                raise ValueError(
+                    "interval_overlap_join: interval start > end")
             lo = np.searchsorted(cuts, s, side="right")
             hi = np.searchsorted(cuts, e, side="left")  # half-open end
-            reps = hi - lo + 1
+            # zero-width intervals whose start sits ON a cutpoint would
+            # get hi < lo; they still match the documented predicate, so
+            # pin them to their start's span
+            reps = np.maximum(hi - lo + 1, 1)
             rid = np.repeat(np.arange(t.num_rows), reps)
             w = np.arange(int(reps.sum())) - np.repeat(
                 np.cumsum(reps) - reps, reps)
@@ -1478,77 +1493,100 @@ def interval_overlap_join(left, right, *, left_cols: tuple[str, str],
             return pa.table(cols)
         return f
 
-    def join_span(df: pd.DataFrame) -> pd.DataFrame:
-        out_frames = []
-        for rng_val, grp in df.groupby("__rng", sort=False):
-            lf = grp[grp["__side"] == 0]
-            rf = grp[grp["__side"] == 1]
-            if lf.empty or rf.empty:
-                continue
-            # sort rights by (keys, start); per-left candidate window via
-            # searchsorted over the composite ordering
-            if key_cols:
-                rf = rf.sort_values([*key_cols, rs2], kind="mergesort")
-            else:
-                rf = rf.sort_values(rs2, kind="mergesort")
-            r_start = rf[rs2].to_numpy().astype(np.int64)
-            r_end = rf[re2].to_numpy().astype(np.int64)
-            l_start = lf[ls].to_numpy().astype(np.int64)
-            l_end = lf[le].to_numpy().astype(np.int64)
-            if key_cols:
-                # composite ordering: factorize key tuples jointly; the
-                # axis component is min-normalized with a DYNAMIC shift
-                # (a fixed one silently clips epoch-microsecond starts)
-                kl = pd.MultiIndex.from_frame(lf[key_cols]) if len(key_cols) > 1 \
-                    else pd.Index(lf[key_cols[0]])
-                kr = pd.MultiIndex.from_frame(rf[key_cols]) if len(key_cols) > 1 \
-                    else pd.Index(rf[key_cols[0]])
-                codes_all, uniq = pd.factorize(kr.append(kl), sort=True)
-                rc = codes_all[:len(kr)].astype(np.int64)
-                lc = codes_all[len(kr):].astype(np.int64)
-                axis_min = min(int(r_start.min()), int(l_end.min())) - 1
-                span = max(int(r_start.max()), int(l_end.max())) - axis_min + 2
-                shift_bits = max(1, int(span - 1).bit_length())
-                if (len(uniq) + 1) << shift_bits >= (1 << 63):
-                    raise ValueError(
-                        "interval_overlap_join: key cardinality x axis "
-                        "span exceeds the 63-bit composite ordering")
-                SHIFT = np.int64(1) << np.int64(shift_bits)
-                r_key = rc * SHIFT + (r_start - axis_min)
-                lo = np.searchsorted(r_key, lc * SHIFT)
-                hi = np.searchsorted(r_key, lc * SHIFT + (l_end - axis_min),
-                                     side="left")
-            else:
-                lo = np.zeros(len(lf), np.int64)
-                hi = np.searchsorted(r_start, l_end, side="left")
-            counts = hi - lo
-            m = counts > 0
-            if not m.any():
-                continue
-            lidx = np.repeat(np.flatnonzero(m), counts[m])
-            w = np.arange(int(counts[m].sum())) - np.repeat(
-                np.cumsum(counts[m]) - counts[m], counts[m])
-            ridx = lo[lidx] + w
-            keep = r_end[ridx] > l_start[lidx]
-            # owner-range rule: emit only where max(starts) falls in rng
-            ms = np.maximum(l_start[lidx], r_start[ridx])
-            own_lo = np.searchsorted(cuts, ms, side="right")
-            keep &= own_lo == rng_val
-            if not keep.any():
-                continue
-            l_keep = [c for c in l_names]
-            r_keep = [r_rename[c] for c in r_schema.names
-                      if c not in key_cols]
-            lrows = lf.iloc[lidx[keep]][l_keep].reset_index(drop=True)
-            rcols = rf.iloc[ridx[keep]][r_keep].reset_index(drop=True)
-            out_frames.append(pd.concat([lrows, rcols], axis=1))
-        if not out_frames:
-            return pd.DataFrame()
-        return pd.concat(out_frames, ignore_index=True)
+    l_keep = list(l_names)
+    r_keep = [r_rename[c] for c in r_schema.names if c not in key_cols]
+    out_schema = pa.schema([(c, all_types[c]) for c in (*l_keep, *r_keep)])
+
+    def _key_codes(lf: pa.Table, rf: pa.Table):
+        # joint factorization of the (null-free, map-side-filtered) key
+        # tuples; key columns only — payload columns never touch pandas
+        if len(key_cols) == 1:
+            kl = pd.Index(lf[key_cols[0]].to_numpy(zero_copy_only=False))
+            kr = pd.Index(rf[key_cols[0]].to_numpy(zero_copy_only=False))
+        else:
+            kl = pd.MultiIndex.from_arrays(
+                [lf[k].to_numpy(zero_copy_only=False) for k in key_cols])
+            kr = pd.MultiIndex.from_arrays(
+                [rf[k].to_numpy(zero_copy_only=False) for k in key_cols])
+        codes, uniq = pd.factorize(kr.append(kl), sort=True)
+        return (codes[len(kr):].astype(np.int64),
+                codes[:len(kr)].astype(np.int64), len(uniq))
+
+    def join_span(tbl: pa.Table) -> pa.Table:
+        # ARROW-NATIVE reduce: sides split and re-attached by take() so
+        # the all-null absent-side columns never round-trip int64 payload
+        # through a pandas float64 frame (the >2^53 hazard the join paths
+        # guard against)
+        empty = out_schema.empty_table()
+        if tbl.num_rows == 0:
+            return empty
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lf = tbl.filter(pa.array(lmask))
+        rf = tbl.filter(pa.array(~lmask))
+        if lf.num_rows == 0 or rf.num_rows == 0:
+            return empty
+        l_start = lf[ls].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_end = lf[le].to_numpy(zero_copy_only=False).astype(np.int64)
+        r_start = rf[rs2].to_numpy(zero_copy_only=False).astype(np.int64)
+        r_end = rf[re2].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_rng = lf["__rng"].to_numpy(zero_copy_only=False)
+        r_rng = rf["__rng"].to_numpy(zero_copy_only=False)
+        if key_cols:
+            lc, rc, n_keys = _key_codes(lf, rf)
+        else:
+            lc = np.zeros(l_start.size, np.int64)
+            rc = np.zeros(r_start.size, np.int64)
+            n_keys = 1
+        lo_order = np.lexsort((l_start, lc, l_rng))
+        ro_order = np.lexsort((r_start, rc, r_rng))
+        l_start, l_end = l_start[lo_order], l_end[lo_order]
+        r_start, r_end = r_start[ro_order], r_end[ro_order]
+        lc, rc = lc[lo_order], rc[ro_order]
+        l_rng, r_rng = l_rng[lo_order], r_rng[ro_order]
+        axis_min = min(int(min(r_start.min(), l_start.min())),
+                       int(l_end.min())) - 1
+        span = max(int(r_start.max()), int(l_end.max())) - axis_min + 2
+        shift_bits = max(1, int(span - 1).bit_length())
+        if (int(cuts.size) + 2) * (n_keys + 1) << shift_bits >= (1 << 62):
+            raise ValueError(
+                "interval_overlap_join: ranges x key cardinality x axis "
+                "span exceeds the 62-bit composite ordering")
+        SHIFT = np.int64(1) << np.int64(shift_bits)
+        KSHIFT = np.int64(n_keys + 1)
+        # one composite ordering over (rng, key, start) for BOTH windows:
+        # rights are sorted by exactly this key, so each left's candidate
+        # slice is [lo, hi)
+        r_key = (r_rng * KSHIFT + rc) * SHIFT + (r_start - axis_min)
+        base = (l_rng * KSHIFT + lc) * SHIFT
+        lo = np.searchsorted(r_key, base)
+        hi = np.searchsorted(r_key, base + (l_end - axis_min), side="left")
+        counts = hi - lo
+        m = counts > 0
+        if not m.any():
+            return empty
+        lidx = np.repeat(np.flatnonzero(m), counts[m])
+        w = np.arange(int(counts[m].sum())) - np.repeat(
+            np.cumsum(counts[m]) - counts[m], counts[m])
+        ridx = lo[lidx] + w
+        keep = r_end[ridx] > l_start[lidx]
+        # owner-range rule: emit only where max(starts) falls in this rng
+        ms = np.maximum(l_start[lidx], r_start[ridx])
+        keep &= np.searchsorted(cuts, ms, side="right") == l_rng[lidx]
+        if not keep.any():
+            return empty
+        l_take = pa.array(lo_order[lidx[keep]], pa.int64())
+        r_take = pa.array(ro_order[ridx[keep]], pa.int64())
+        cols = {c: lf[c].take(l_take) for c in l_keep}
+        for c in r_keep:
+            cols[c] = rf[c].take(r_take)
+        return pa.table(cols)
 
     id_map = {c: c for c in l_names}
     tagged = left.map_batches(replicate(0, ls, le, id_map),
                               batch_format="pyarrow") \
         .union(right.map_batches(replicate(1, rs, re_, r_rename),
                                  batch_format="pyarrow"))
-    return keyed_exchange_apply(tagged, ["__rng"], join_span, n_buckets)
+    return keyed_exchange_apply(tagged, ["__rng"], join_span, n_buckets,
+                                batch_format="pyarrow",
+                                local_arrow=lambda t: t)

@@ -2697,24 +2697,41 @@ FROM documents
 """
 
 
-def q96_rollup_counts(sf: str):
-    """ROLLUP aggregate (lang, source) -> (lang) -> () in ONE distributed
-    pass: the fine-level pre-aggregate is the only thing that touches the
-    data; the coarser levels re-aggregate its (small) result locally —
-    the standard distributed-rollup shape."""
+def _doc_grouping_sets(sf: str, sets: list[list[str]]) -> pd.DataFrame:
+    """Shared ROLLUP/CUBE core: ONE distributed fine-level pre-aggregate
+    over (lang, source); every requested grouping set re-aggregates the
+    small fine result locally (margins cost no data pass)."""
     fine = pre_aggregate(
         read_table(sf, "documents", columns=["lang", "source", "n_chars"]),
         ["lang", "source"], counts="n", sums={"total_chars": "n_chars"},
         driver_final=True)
-    lang = fine.groupby("lang", as_index=False, dropna=False)[["n", "total_chars"]].sum()
-    lang["source"] = None
-    total = pd.DataFrame({"lang": [None], "source": [None],
-                          "n": [fine["n"].sum()],
-                          "total_chars": [fine["total_chars"].sum()]})
-    out = pd.concat([fine, lang, total], ignore_index=True)
+    frames = []
+    for keys in sets:
+        if keys == ["lang", "source"]:
+            frames.append(fine)
+            continue
+        if keys:
+            m = fine.groupby(keys, as_index=False,
+                             dropna=False)[["n", "total_chars"]].sum()
+        else:
+            m = pd.DataFrame({"n": [fine["n"].sum()],
+                              "total_chars": [fine["total_chars"].sum()]})
+        for c in ("lang", "source"):
+            if c not in m.columns:
+                m[c] = None
+        frames.append(m)
+    out = pd.concat(frames, ignore_index=True)
     out["total_chars"] = out["total_chars"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out[["lang", "source", "n", "total_chars"]]
+
+
+def q96_rollup_counts(sf: str):
+    """ROLLUP aggregate (lang, source) -> (lang) -> () in ONE distributed
+    pass: the fine-level pre-aggregate is the only thing that touches the
+    data; the coarser levels re-aggregate its (small) result locally —
+    the standard distributed-rollup shape (_doc_grouping_sets)."""
+    return _doc_grouping_sets(sf, [["lang", "source"], ["lang"], []])
 
 
 SQL_Q96 = """
@@ -3025,23 +3042,8 @@ def q107_cube_counts(sf: str):
     the only thing that touches the data; the three coarser grouping
     sets re-aggregate its small result locally. Registered past the
     driver's 50-entry window — gated by the local oracle sweep."""
-    fine = pre_aggregate(
-        read_table(sf, "documents", columns=["lang", "source", "n_chars"]),
-        ["lang", "source"], counts="n", sums={"total_chars": "n_chars"},
-        driver_final=True)
-    lang = fine.groupby("lang", as_index=False, dropna=False)[
-        ["n", "total_chars"]].sum()
-    lang["source"] = None
-    src = fine.groupby("source", as_index=False, dropna=False)[
-        ["n", "total_chars"]].sum()
-    src["lang"] = None
-    total = pd.DataFrame({"lang": [None], "source": [None],
-                          "n": [fine["n"].sum()],
-                          "total_chars": [fine["total_chars"].sum()]})
-    out = pd.concat([fine, lang, src, total], ignore_index=True)
-    out["total_chars"] = out["total_chars"].astype(np.int64)
-    out["n"] = out["n"].astype(np.int64)
-    return out[["lang", "source", "n", "total_chars"]]
+    return _doc_grouping_sets(
+        sf, [["lang", "source"], ["lang"], ["source"], []])
 
 
 SQL_Q107 = """

@@ -3035,3 +3035,38 @@ def test_interval_overlap_join_exact(ray_session):
                for _, r in R.iterrows()
                if r["a"] < l["b"] and r["b"] > l["a"])
     assert len(out2) == exp2
+
+
+def test_interval_overlap_join_null_keys_and_big_payloads(ray_session):
+    """Review regressions: (1) NULL-keyed rows match nothing (SQL
+    equi-join) and never corrupt the composite ordering; (2) int64
+    payloads > 2^53 survive exactly (arrow-native reduce — no pandas
+    float64 round trip); (3) zero-width intervals still match when the
+    predicate admits them; (4) sparse one-sided buckets return typed
+    empty blocks, not schema-less frames."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import interval_overlap_join
+
+    big = 2 ** 60 + 12345
+    L = pa.table({"k": pa.array(["a", None, "b", "c"]),
+                  "a": pa.array([0, 0, 100, 500], pa.int64()),
+                  "b": pa.array([10, 10, 110, 500], pa.int64()),
+                  "pay": pa.array([big, big + 1, big + 2, big + 3],
+                                  pa.int64())})
+    R = pa.table({"k": pa.array(["a", None, "b", "c"]),
+                  "a": pa.array([5, 5, 300, 495], pa.int64()),
+                  "b": pa.array([15, 15, 310, 505], pa.int64()),
+                  "rpay": pa.array([big + 10, big + 11, big + 12, big + 13],
+                                   pa.int64())})
+    out = pa.concat_tables(list(
+        interval_overlap_join(rd.from_arrow(L), rd.from_arrow(R),
+                              left_cols=("a", "b"), right_cols=("a", "b"),
+                              key_cols=["k"])
+        .iter_batches(batch_format="pyarrow")))
+    rows = {(r["k"], r["pay"], r["rpay"]) for r in out.to_pylist()}
+    # 'a' overlaps; null keys match nothing; 'b' disjoint; 'c' zero-width
+    # left [500,500) inside right [495,505) -> matches
+    assert rows == {("a", big, big + 10), ("c", big + 3, big + 13)}
+    assert out.schema.field("pay").type == pa.int64()
+    assert out.schema.field("rpay").type == pa.int64()
