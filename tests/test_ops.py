@@ -3070,3 +3070,27 @@ def test_interval_overlap_join_null_keys_and_big_payloads(ray_session):
     assert rows == {("a", big, big + 10), ("c", big + 3, big + 13)}
     assert out.schema.field("pay").type == pa.int64()
     assert out.schema.field("rpay").type == pa.int64()
+
+
+def test_remove_duplicate_spans_hashed_matches_string(ray_session):
+    """hash_grams=True (128-bit pair exchange keys for the occurrence
+    rows) must reproduce the exact string-gram removal, including the
+    planted-header corpus and short docs."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import remove_duplicate_spans
+
+    rng = np.random.default_rng(13)
+    words = [f"u{i}" for i in range(4000)]
+    bodies = [" ".join(rng.choice(words, size=16, replace=False))
+              for _ in range(60)]
+    texts = ["h0 h1 h2 h3 h4 h5 h6 h7 " + b if i % 3 == 0 else b
+             for i, b in enumerate(bodies)] + ["tiny", ""]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(6)
+    a = remove_duplicate_spans(ds, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = remove_duplicate_spans(ds, n=8, hash_grams=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert (a[a["doc_id"] % 3 == 0]["n_removed"][:20] == 8).all()
