@@ -181,3 +181,46 @@ def session_funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                              "n_converted": g.sum().to_numpy()})
 
     return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)
+
+
+def session_funnel_steps(ds, *, user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         tiebreak_col: str = "event_id",
+                         type_col: str = "event_type",
+                         steps: list[str] | None = None,
+                         gap_minutes: int = 30, n_buckets: int = 64):
+    """N-step ordered session funnel — the greedy-existence semantics
+    (a session converts iff events of the step types occur at strictly
+    increasing timestamps: t1 = first step-1 event, t2 = first step-2
+    event after t1, ...). Greedy matching is exact for the EXISTENCE
+    question, and each step is one vectorized masked groupby-min — no
+    per-session Python. Output (user_col, n_sessions, n_converted)."""
+    steps = steps or ["view", "click", "purchase"]
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        new_user = df[user_col].ne(df[user_col].shift())
+        new_session = new_user | (df[ts_col].diff() > gap)
+        sess = new_session.cumsum()
+        ts = df[ts_col]
+        t_prev = None
+        for step in steps:
+            mask = df[type_col].eq(step)
+            if t_prev is not None:
+                mask &= ts > t_prev
+            t_prev = ts.where(mask).groupby(sess).transform("min")
+        firsts = new_session.to_numpy()
+        conv = t_prev.notna().groupby(sess).transform("max") \
+            .to_numpy()[firsts]
+        users = df[user_col].to_numpy()[firsts]
+        out = pd.DataFrame({user_col: users,
+                            "__c": conv.astype(np.int64)})
+        g = out.groupby(user_col, sort=False)["__c"]
+        sizes = g.size()
+        return pd.DataFrame({user_col: sizes.index.to_numpy(),
+                             "n_sessions": sizes.to_numpy(),
+                             "n_converted": g.sum().to_numpy()})
+
+    return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)

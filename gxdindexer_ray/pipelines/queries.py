@@ -3053,6 +3053,50 @@ FROM documents GROUP BY CUBE (lang, source)
 """
 
 
+def q108_funnel_steps(sf: str):
+    """3-step ordered funnel (view -> click -> purchase at strictly
+    increasing timestamps within a 30-min-gap session) — the N-step
+    generalization of q100, greedy-existence semantics, one user-hash
+    exchange with a masked groupby-min per step
+    (ops/windows.py::session_funnel_steps). Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    ds = read_table(sf, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return win_ops.session_funnel_steps(ds)
+
+
+SQL_Q108 = """
+WITH l AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM l),
+t1 AS (SELECT user_id, sess,
+              min(CASE WHEN event_type = 'view' THEN ts END) AS t
+       FROM s GROUP BY user_id, sess),
+t2 AS (SELECT a.user_id, a.sess, min(s.ts) AS t
+       FROM t1 a JOIN s ON s.user_id = a.user_id AND s.sess = a.sess
+        AND s.event_type = 'click' AND s.ts > a.t
+       GROUP BY a.user_id, a.sess),
+t3 AS (SELECT a.user_id, a.sess, min(s.ts) AS t
+       FROM t2 a JOIN s ON s.user_id = a.user_id AND s.sess = a.sess
+        AND s.event_type = 'purchase' AND s.ts > a.t
+       GROUP BY a.user_id, a.sess),
+agg AS (SELECT u.user_id, u.sess,
+               (t3.t IS NOT NULL)::INT AS conv
+        FROM (SELECT DISTINCT user_id, sess FROM s) u
+        LEFT JOIN t3 ON t3.user_id = u.user_id AND t3.sess = u.sess)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(conv)::BIGINT AS n_converted
+FROM agg GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3165,6 +3209,7 @@ CATALOG: dict[str, tuple] = {
     "q105_global_rank": (q105_global_rank, SQL_Q105),
     "q106_interval_join": (q106_interval_join, SQL_Q106),
     "q107_cube_counts": (q107_cube_counts, SQL_Q107),
+    "q108_funnel_steps": (q108_funnel_steps, SQL_Q108),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3195,7 +3240,7 @@ GROUPS: dict[str, list[str]] = {
        "q106_interval_join", "q107_cube_counts"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
-                "q100_session_funnel"],
+                "q100_session_funnel", "q108_funnel_steps"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key",
                  "q66_train_test_split", "q81_shuffle_shard",
                  "q85_source_mix", "q94_stratified_sample"],

@@ -3094,3 +3094,37 @@ def test_remove_duplicate_spans_hashed_matches_string(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert (a[a["doc_id"] % 3 == 0]["n_removed"][:20] == 8).all()
+
+
+def test_session_funnel_steps_order_semantics(ray_session):
+    """q108 contract: greedy strictly-increasing step matching — out-of-
+    order steps, missing steps, and cross-session splits do not convert;
+    repeated step events use the EARLIEST valid one."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.windows import session_funnel_steps
+
+    T = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, T, "view", 1), (1, T + m, "click", 2),
+        (1, T + 2 * m, "purchase", 3),                    # converts
+        (2, T, "click", 4), (2, T + m, "view", 5),
+        (2, T + 2 * m, "purchase", 6),                    # click before view
+        (3, T, "view", 7), (3, T + m, "purchase", 8),     # no click
+        # user 4: click only in a LATER session -> no conversion
+        (4, T, "view", 9), (4, T + pd.Timedelta(hours=2), "click", 10),
+        (4, T + pd.Timedelta(hours=2) + m, "purchase", 11),
+        # user 5: greedy uses first click after view; purchase after it
+        (5, T, "view", 12), (5, T + m, "click", 13),
+        (5, T + 5 * m, "click", 14), (5, T + 2 * m, "purchase", 15),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type",
+                                     "event_id"])
+    out = session_funnel_steps(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("user_id").sort_index()
+    assert out.loc[1, "n_converted"] == 1
+    assert out.loc[2, "n_converted"] == 0
+    assert out.loc[3, "n_converted"] == 0
+    assert out.loc[4, "n_converted"] == 0 and out.loc[4, "n_sessions"] == 2
+    assert out.loc[5, "n_converted"] == 1
