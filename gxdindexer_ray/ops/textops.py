@@ -1110,9 +1110,10 @@ def remove_duplicate_spans(ds, *, id_col: str = "doc_id",
        Null-text docs come back as ('', 0) like empty ones.
 
     ``hash_grams=True`` keys stage 2 by the same 128-bit blake2b-split
-    hash pair as dup_gram_fraction's scale path (~7x fewer exchange
-    bytes at n=8 for occurrence rows: two int64s replace a ~60-byte
-    string; identical output — pinned by pytest)."""
+    hash pair as dup_gram_fraction's scale path (~3-4x fewer exchange
+    bytes at n=8 for occurrence rows: two int64s replace the ~60-byte
+    gram string in each (id, gram, pos) row; identical output — pinned
+    by pytest)."""
     from .relational import (_exchange_sides, _splitmix64,
                              keyed_exchange_apply, stable_bucket_ids)
     from ..text.tokenize import doc_ngrams_pos, tokenize_column

@@ -148,39 +148,16 @@ def session_funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                    type_col: str = "event_type",
                    first: str = "view", then: str = "purchase",
                    gap_minutes: int = 30, n_buckets: int = 64):
-    """Session funnel: sessionize per user (fixed inactivity gap, same rule
-    as ``sessionize``), then per user count total sessions and CONVERTED
-    sessions — a session converts when it contains a ``first``-type event
-    strictly earlier (by timestamp) than a ``then``-type event, i.e.
-    ``min(ts | type=first) < max(ts | type=then)``. The strict-< on raw
-    timestamps makes the result independent of how ties are ordered, so
-    one SQL oracle pins it exactly.
-
-    One user-hash exchange; the in-bucket body is a vectorized sorted scan
-    (cumsum session ids + two masked groupby aggregates) — no per-user or
-    per-session Python. Output (user_col, n_sessions, n_converted)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([user_col, ts_col, tiebreak_col],
-                            kind="mergesort")
-        new_user = df[user_col].ne(df[user_col].shift())
-        new_session = new_user | (df[ts_col].diff() > gap)
-        sess = new_session.cumsum()              # globally unique in bucket
-        ts = df[ts_col]
-        mv = ts.where(df[type_col].eq(first)).groupby(sess).transform("min")
-        mp = ts.where(df[type_col].eq(then)).groupby(sess).transform("max")
-        firsts = new_session.to_numpy()          # one row per session
-        conv = (mv < mp).to_numpy()[firsts]
-        users = df[user_col].to_numpy()[firsts]
-        out = pd.DataFrame({user_col: users, "__c": conv.astype(np.int64)})
-        g = out.groupby(user_col, sort=False)["__c"]
-        sizes = g.size()
-        return pd.DataFrame({user_col: sizes.index.to_numpy(),
-                             "n_sessions": sizes.to_numpy(),
-                             "n_converted": g.sum().to_numpy()})
-
-    return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)
+    """Two-step session funnel — the ``steps=[first, then]`` special case
+    of ``session_funnel_steps``: ``min(ts | first) < max(ts | then)`` is
+    equivalent to greedy two-step existence (both demand a then-event
+    strictly after the earliest first-event), so this is a named API over
+    the N-step kernel rather than a third copy of the sessionize scan."""
+    return session_funnel_steps(ds, user_col=user_col, ts_col=ts_col,
+                                tiebreak_col=tiebreak_col,
+                                type_col=type_col, steps=[first, then],
+                                gap_minutes=gap_minutes,
+                                n_buckets=n_buckets)
 
 
 def session_funnel_steps(ds, *, user_col: str = "user_id",
@@ -195,7 +172,10 @@ def session_funnel_steps(ds, *, user_col: str = "user_id",
     event after t1, ...). Greedy matching is exact for the EXISTENCE
     question, and each step is one vectorized masked groupby-min — no
     per-session Python. Output (user_col, n_sessions, n_converted)."""
-    steps = steps or ["view", "click", "purchase"]
+    if steps is None:
+        steps = ["view", "click", "purchase"]
+    if not steps:
+        raise ValueError("steps must be a non-empty list")
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

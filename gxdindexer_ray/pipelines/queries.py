@@ -3058,11 +3058,14 @@ def q108_funnel_steps(sf: str):
     increasing timestamps within a 30-min-gap session) — the N-step
     generalization of q100, greedy-existence semantics, one user-hash
     exchange with a masked groupby-min per step
-    (ops/windows.py::session_funnel_steps). Registered past the driver's
+    (ops/windows.py::session_funnel_steps). 24-hour gap so the fixture's
+    sparse per-user event streams actually produce converted sessions —
+    a 30-min gap gave 0 conversions at sf0.001/sf0.01 and the gate
+    pinned nothing about the step logic. Registered past the driver's
     50-entry window — gated by the local oracle sweep."""
     ds = read_table(sf, "events",
                     columns=["user_id", "ts", "event_id", "event_type"])
-    return win_ops.session_funnel_steps(ds)
+    return win_ops.session_funnel_steps(ds, gap_minutes=1440)
 
 
 SQL_Q108 = """
@@ -3072,7 +3075,7 @@ WITH l AS (
   FROM events),
 s AS (
   SELECT user_id, ts, event_type,
-         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 1440 MINUTE
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
   FROM l),
