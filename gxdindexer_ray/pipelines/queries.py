@@ -3100,6 +3100,45 @@ FROM agg GROUP BY user_id
 """
 
 
+def q109_sequence_pack(sf: str):
+    """Token-stream sequence packing (ops/packing.py::pack_token_stream):
+    concatenate all documents' token streams in doc_id order and cut into
+    64-token training sequences — the GPT-style concat-and-chunk layout.
+    Exact global token offsets come from order-statistic range
+    partitioning + per-range prefix sums (driver sees n_ranges numbers);
+    one skinny (doc_id, n_tokens) exchange, text never moves. Registered
+    past the driver's 50-entry window — gated by the local oracle
+    sweep."""
+    from ..ops.packing import pack_token_stream
+
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return pack_token_stream(ds, seq_len=64)
+
+
+SQL_Q109 = """
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS n
+  FROM documents),
+o AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM tok),
+seg AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id
+  FROM o WHERE n > 0)
+SELECT seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(off, seq_id * 64) - seq_id * 64)::BIGINT AS seq_off,
+       (least(off + n, (seq_id + 1) * 64)
+        - greatest(off, seq_id * 64))::BIGINT AS n_tok
+FROM seg
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3213,6 +3252,7 @@ CATALOG: dict[str, tuple] = {
     "q106_interval_join": (q106_interval_join, SQL_Q106),
     "q107_cube_counts": (q107_cube_counts, SQL_Q107),
     "q108_funnel_steps": (q108_funnel_steps, SQL_Q108),
+    "q109_sequence_pack": (q109_sequence_pack, SQL_Q109),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3258,7 +3298,8 @@ GROUPS: dict[str, list[str]] = {
              "q82_keyword_extract", "q83_lm_score",
              "q86_frequent_terms", "q89_collocations",
              "q91_boilerplate_ngrams", "q98_bpe_train",
-             "q99_dsir_importance", "q102_bpe_encode"],
+             "q99_dsir_importance", "q102_bpe_encode",
+             "q109_sequence_pack"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate", "q88_semdedup",

@@ -3128,3 +3128,73 @@ def test_session_funnel_steps_order_semantics(ray_session):
     assert out.loc[3, "n_converted"] == 0
     assert out.loc[4, "n_converted"] == 0 and out.loc[4, "n_sessions"] == 2
     assert out.loc[5, "n_converted"] == 1
+
+
+class TestSequencePacking:
+    """pack_token_stream (q109): concat-and-chunk manifest invariants vs a
+    scalar reference, partition invariance, and boundary splits."""
+
+    def _scalar(self, texts, L):
+        import re
+        off, rows = 0, []
+        for did in sorted(texts):
+            n = len(re.findall("[a-z0-9]+", texts[did].lower()))
+            if n:
+                for s in range(off // L, (off + n - 1) // L + 1):
+                    lo, hi = max(off, s * L), min(off + n, (s + 1) * L)
+                    rows.append((s, did, lo - s * L, hi - lo))
+            off += n
+        return sorted(rows)
+
+    def _run(self, texts, L, parts):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.packing import pack_token_stream
+
+        tbl = pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        })
+        out = pack_token_stream(rd.from_arrow(tbl).repartition(parts),
+                                seq_len=L, n_ranges=4, n_buckets=4).to_pandas()
+        return sorted(map(tuple, out[["seq_id", "doc_id", "seq_off",
+                                      "n_tok"]].itertuples(index=False)))
+
+    def test_matches_scalar_with_splits_and_empties(self, ray_session):
+        rng = np.random.default_rng(7)
+        texts = {}
+        for i in range(60):
+            n = int(rng.integers(0, 30))
+            texts[i * 3 + 1] = " ".join(f"w{j}" for j in range(n))
+        texts[200] = "   "          # zero tokens -> absent from output
+        got = self._run(texts, 16, 5)
+        assert got == self._scalar(texts, 16)
+        # a doc longer than seq_len MUST split across sequences
+        assert any(r[3] == 16 for r in got)
+
+    def test_partition_invariant(self, ray_session):
+        texts = {i: " ".join(["tok"] * (i % 13)) for i in range(1, 40)}
+        assert self._run(texts, 8, 1) == self._run(texts, 8, 7)
+
+    def test_full_coverage(self, ray_session):
+        """Every token lands in exactly one segment: per-doc n_tok sums to
+        the doc's token count; every sequence except the last is full."""
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.packing import pack_token_stream
+
+        texts = {i: " ".join(["x"] * (5 + i % 9)) for i in range(30)}
+        tbl = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                        "text": pa.array([texts[k] for k in sorted(texts)])})
+        out = pack_token_stream(rd.from_arrow(tbl).repartition(3),
+                                seq_len=32, n_ranges=4).to_pandas()
+        per_doc = out.groupby("doc_id")["n_tok"].sum()
+        for did, t in texts.items():
+            assert per_doc.get(did, 0) == len(t.split())
+        per_seq = out.groupby("seq_id")["n_tok"].sum().sort_index()
+        assert (per_seq.iloc[:-1] == 32).all()
+        # segments within one sequence tile it without gap or overlap
+        for _, g in out.groupby("seq_id"):
+            g = g.sort_values("seq_off")
+            assert (g["seq_off"].to_numpy()
+                    == np.r_[0, np.cumsum(g["n_tok"].to_numpy())[:-1]]).all()
