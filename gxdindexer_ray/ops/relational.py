@@ -675,7 +675,11 @@ def _partition_chunk(col: str, pre, *blocks):
             tables.append(tbl)
     if not tables:
         return [], {}
-    tbl = pa.concat_tables(tables).combine_chunks() if len(tables) > 1 else tables[0]
+    # permissive: an upstream all-null block types its columns `null`
+    # (e.g. from_pandas -> repartition with an all-NaN partition); promote
+    # instead of failing the whole exchange on that block
+    tbl = (pa.concat_tables(tables, promote_options="permissive")
+           .combine_chunks() if len(tables) > 1 else tables[0])
     out: dict = {}
     keys: list = []
     order = pc.sort_indices(tbl[col])
@@ -705,7 +709,10 @@ def _reduce_group(fn, batch_format: str, drop_col: str | None, values: list,
     outs = []
     for v in values:
         tables = ray.get([d[v] for d in dicts if v in d])
-        tbl = pa.concat_tables(tables).combine_chunks()
+        # permissive for the same reason as _partition_block: one task's
+        # slice of this bucket may carry null-typed all-null columns
+        tbl = pa.concat_tables(tables,
+                               promote_options="permissive").combine_chunks()
         if drop_col and drop_col in tbl.column_names:
             tbl = tbl.drop_columns([drop_col])
         batch = tbl.to_pandas() if batch_format == "pandas" else tbl
@@ -830,7 +837,8 @@ def _consolidate_bucket(v, dict_refs):
     single pinned Arrow table."""
     dicts = ray.get(list(dict_refs))
     tables = ray.get([d[v] for d in dicts if v in d])
-    return pa.concat_tables(tables).combine_chunks()
+    return pa.concat_tables(tables,
+                            promote_options="permissive").combine_chunks()
 
 
 _CONS_REMOTE = None
@@ -1306,6 +1314,38 @@ def best_per_key(ds, keys: list[str], *, value_col: str, tiebreak_col: str,
         return df.groupby(keys, sort=False, dropna=False).head(1)
 
     return keyed_exchange_apply(ds, keys, best, n_buckets, local=best)
+
+
+def topk_per_key(ds, keys: list[str], *, value_col: str, tiebreak_col: str,
+                 k: int, maximize: bool = True, out_rank: str = "rank",
+                 n_buckets: int = 64):
+    """Top-N rows per key group — SQL ``row_number() OVER (PARTITION BY
+    keys ORDER BY value DESC, tiebreak) <= k`` — the N-generalization of
+    best_per_key (N=1): "keep the k best pages per domain / per source"
+    curation rule, with the 1-indexed in-group ``out_rank`` emitted.
+
+    Same exchange shape as best_per_key: the per-batch local pre-reduce
+    keeps k rows per key per batch, so the exchange carries
+    O(k x keys x batches) rows, never the dataset. Deterministic total
+    order requires (value, tiebreak) to be unique within a group — use a
+    unique id as the tiebreak. Null keys form their own group (SQL GROUP
+    BY semantics)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    asc = [True] * len(keys) + [not maximize, True]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*keys, value_col, tiebreak_col], ascending=asc,
+                            kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = local(df).copy()
+        df[out_rank] = (df.groupby(keys, sort=False, dropna=False).cumcount()
+                        + 1).astype(np.int64)
+        return df
+
+    return keyed_exchange_apply(ds, keys, final, n_buckets, local=local)
 
 
 def grouped_zscore(ds, keys: list[str], value_col: str, *,

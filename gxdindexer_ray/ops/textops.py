@@ -1346,3 +1346,124 @@ def exact_dedup_incremental(new_ds, prior_ds, *, id_col: str = "doc_id",
         [(prior_ds.to_arrow_refs(), pre_prior),
          (new_ds.to_arrow_refs(), pre_new)],
         "__bucket", combine, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (Common-Crawl prep: canonical-url dedup keys,
+# domain rollups)
+# ---------------------------------------------------------------------------
+
+_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+           r"(?P<host>[^/:?#]+)(?P<port>:[0-9]+)?(?P<path>/[^?#]*)?")
+
+
+def canonicalize_urls(ds, *, url_col: str = "url",
+                      canon_col: str = "canon_url",
+                      domain_col: str = "domain"):
+    """Vectorized URL canonicalization — the normalization step before
+    per-url dedup (SURVEY.md §2.8 D3) on a real crawl, where the same
+    page arrives as ``HTTP://WWW.Site.COM:80/x?utm=...#frag`` and
+    ``http://site.com/x``. Rules (all pure Arrow kernels, map-side only):
+
+    - scheme and host lowercased (paths stay case-sensitive per RFC 3986);
+    - a leading ``www.`` dropped from the host;
+    - explicit ``:80`` / ``:443`` ports dropped (any other port kept);
+    - query string and fragment dropped;
+    - empty path -> ``/``; a single trailing slash stripped from non-root
+      paths.
+
+    Appends ``canon_col`` and ``domain_col`` (the canonical host); rows
+    that do not parse as absolute http(s)-style URLs get nulls in both.
+    """
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(batch[url_col], _URL_RE)
+        ok = parts.is_valid() if isinstance(parts, pa.ChunkedArray) \
+            else pc.is_valid(parts)
+        scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+        host = pc.replace_substring_regex(
+            pc.utf8_lower(pc.struct_field(parts, "host")),
+            pattern=r"^www\.", replacement="", max_replacements=1)
+        port = pc.struct_field(parts, "port")
+        port = pc.if_else(pc.is_in(port, value_set=pa.array([":80", ":443"])),
+                          "", port)
+        path = pc.struct_field(parts, "path")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        path = pc.replace_substring_regex(path, pattern=r"^(.+)/$",
+                                          replacement=r"\1",
+                                          max_replacements=1)
+        # NB: binary_join_element_wise's LAST argument is the separator
+        canon = pc.binary_join_element_wise(scheme, "://", host, port,
+                                            path, "")
+        canon = pc.if_else(ok, canon, pa.nulls(batch.num_rows, pa.string()))
+        domain = pc.if_else(ok, host, pa.nulls(batch.num_rows, pa.string()))
+        return batch.append_column(canon_col, canon) \
+                    .append_column(domain_col, domain)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (version comparison for state-carrying pipelines)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(old_ds, new_ds, *, key_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 64):
+    """Diff two corpus versions by key: emit ``(key_col, status)`` rows
+    with status ``added`` (key only in new), ``removed`` (key only in
+    old), ``changed`` (key in both, content differs); unchanged keys emit
+    nothing. The daily-crawl bookkeeping step that tells a state-carrying
+    pipeline (q103/q104 incremental dedup, q46 append/delete) WHICH
+    documents to feed it.
+
+    Scale shape: ONE two-sided id-keyed exchange; both sides reduce to
+    24-byte ``(key, h1, h2)`` md5-digest rows inside the partition tasks
+    (zero-copy off the Arrow buffers), so document text never moves and a
+    bucket holds O(ids/n_buckets) skinny rows. Keys must be unique within
+    each snapshot (it is a keyed corpus, not a multiset); content
+    equality is digest equality (2^-128 collision odds, same contract as
+    exact_text_dedup)."""
+    from .relational import _exchange_sides, _splitmix64
+
+    def mk_pre(side: int):
+        def pre(tbl: pa.Table) -> pa.Table:
+            h = _md5_pairs(tbl[text_col])
+            ids = tbl[key_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            b = (_splitmix64(ids.view(np.uint64))
+                 % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table({
+                key_col: pa.array(ids, pa.int64()),
+                "h1": pa.array(h[:, 0].view(np.int64), pa.int64()),
+                "h2": pa.array(h[:, 1].view(np.int64), pa.int64()),
+                "__side": pa.array(np.full(ids.size, side, np.int8)),
+                "__bucket": pa.array(b)})
+        return pre
+
+    def diff(tbl: pa.Table) -> pa.Table:
+        ids = tbl[key_col].to_numpy(zero_copy_only=False)
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        h1 = tbl["h1"].to_numpy(zero_copy_only=False)
+        h2 = tbl["h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, side, h1, h2 = ids[order], side[order], h1[order], h2[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        sizes = np.diff(np.r_[starts, ids.size])
+        one = sizes == 1
+        # singletons: side 0 -> removed, side 1 -> added
+        s_idx = starts[one]
+        s_status = np.where(side[s_idx] == 0, "removed", "added")
+        # pairs (sorted old-then-new): changed iff digests differ
+        p_idx = starts[~one]
+        p_changed = (h1[p_idx] != h1[p_idx + 1]) | (h2[p_idx] != h2[p_idx + 1])
+        out_ids = np.concatenate([ids[s_idx], ids[p_idx][p_changed]])
+        out_st = np.concatenate([s_status,
+                                 np.full(int(p_changed.sum()), "changed")])
+        return pa.table({key_col: pa.array(out_ids, pa.int64()),
+                         "status": pa.array(out_st.tolist(), pa.string())})
+
+    return _exchange_sides(
+        [(old_ds.to_arrow_refs(), mk_pre(0)),
+         (new_ds.to_arrow_refs(), mk_pre(1))],
+        "__bucket", diff, batch_format="pyarrow")

@@ -3139,6 +3139,207 @@ FROM seg
 """
 
 
+def q110_topk_per_group(sf: str):
+    """Top-3 documents per language by length
+    (ops/relational.py::topk_per_key): the N-generalization of q93's
+    arg-max dedup — SQL row_number() PARTITION BY semantics with the
+    in-group rank emitted. Per-batch k-row pre-reduce, one keyed
+    exchange. Registered past the driver's 50-entry window — gated by
+    the local oracle sweep."""
+    from ..ops.relational import topk_per_key
+
+    ds = read_table(sf, "documents", columns=["doc_id", "lang", "n_chars"])
+    return topk_per_key(ds, ["lang"], value_col="n_chars",
+                        tiebreak_col="doc_id", k=3)
+
+
+SQL_Q110 = """
+WITH rk AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+SELECT doc_id, lang, n_chars, rank::BIGINT AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
+def q111_hybrid_rrf(sf: str):
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+    of the engine's two retrieval halves — BM25 over the inverted index
+    (q33 leg) and exact cosine over the embeddings (q30 leg) — score
+    1/(60+rank) summed across legs, top-50 per leg, top-10 fused.
+    Both legs run distributed (index scoring / brute_knn partial top-k);
+    the fusion itself is serving-time logic over <= 100 (id, rank) rows,
+    like the q49-q56 features. Embedding vec_id is treated as the doc id
+    (the corpus's docs-with-embeddings). Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    from .search import SearchEngine
+
+    ix = _index_for(sf)
+    eng = SearchEngine(ix)
+    hits = eng.topk(_BM25_TERMS, k=1_000_000, method="brute")
+    bm = _hits_to_orig_topk(ix, hits, k=50)
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+
+    ids, mat = _query_vectors(sf, 1)
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    knn = sim_ops.brute_knn(emb, ids, mat, k=50)
+    cos_rank = {int(n): int(r) for n, r in zip(knn["nid"], knn["rank"])}
+
+    rows = []
+    for d in sorted(set(bm_rank) | set(cos_rank)):
+        rrf = ((1.0 / (60 + bm_rank[d]) if d in bm_rank else 0.0)
+               + (1.0 / (60 + cos_rank[d]) if d in cos_rank else 0.0))
+        rows.append((d, math.floor(rrf * 1e9 + 0.5) / 1e9))
+    df = pd.DataFrame(rows, columns=["doc_id", "rrf_r"])
+    df = df.sort_values(["rrf_r", "doc_id"], ascending=[False, True],
+                        kind="mergesort").head(10)
+    return df.reset_index(drop=True).astype({"doc_id": np.int64,
+                                             "rrf_r": np.float64})
+
+
+SQL_Q111 = _SQL_BM25_CTES + """,
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY floor(score * 1000000 + 0.5)
+                                  / 1000000 DESC, doc_id) AS r
+        FROM scores),
+bm AS (SELECT doc_id, r FROM bmr WHERE r <= 50),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(qv.qe::DOUBLE[],
+                                       e.embedding::DOUBLE[]) AS sim
+         FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> 0),
+cr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+       FROM sims),
+cn AS (SELECT doc_id, r FROM cr WHERE r <= 50),
+u AS (SELECT coalesce(bm.doc_id, cn.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + bm.r), 0)
+             + coalesce(1.0 / (60 + cn.r), 0) AS rrf
+      FROM bm FULL OUTER JOIN cn ON bm.doc_id = cn.doc_id)
+SELECT doc_id, floor(rrf * 1000000000 + 0.5) / 1000000000 AS rrf_r
+FROM u ORDER BY rrf_r DESC, doc_id LIMIT 10
+"""
+
+
+def q112_url_canonicalize(sf: str):
+    """URL canonicalization (ops/textops.py::canonicalize_urls): the
+    normalization pass that precedes per-url crawl dedup — lowercase
+    scheme/host, strip www., drop :80/:443 and query/fragment, normalize
+    the path slash. Messy URLs are manufactured deterministically from
+    doc_id (the multimodal-payload pattern: the SQL oracle reproduces
+    both the synthesis and every canonicalization rule in string
+    functions). Map-side only. Registered past the driver's 50-entry
+    window — gated by the local oracle sweep."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        A = np.char.add
+        url = np.array(["http", "HTTPS", "https"])[ids % 3]
+        url = A(url, "://")
+        url = A(url, np.where(ids % 2 == 0, "WWW.", ""))
+        url = A(url, A(A("Site", (ids % 7).astype(str)), ".Example.COM"))
+        url = A(url, np.array([":443", ":8080", "", "", ""])[ids % 5])
+        url = A(url, A("/Dir/", ids.astype(str)))
+        url = A(url, np.where(ids % 4 == 0, "/", ""))
+        url = A(url, np.where(ids % 6 == 0, "?utm_source=feed&ref=1", ""))
+        url = A(url, np.where(ids % 8 == 0, "#Section-2", ""))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(url.tolist(), pa.string())})
+
+    ds = read_table(sf, "documents", columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = textops.canonicalize_urls(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "canon_url", "domain"]),
+        batch_format="pyarrow")
+
+
+SQL_Q112 = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS'
+     ELSE 'https' END)
+    || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Site' || (doc_id % 7)::VARCHAR || '.Example.COM'
+    || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080'
+        ELSE '' END)
+    || '/Dir/' || doc_id::VARCHAR
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=1'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_replace(
+      lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+      '^www\.', '') AS host,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+(:[0-9]+)?', 1) AS port,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+(:[0-9]+)?(/[^?#]*)?', 2)
+      AS path
+  FROM u)
+SELECT doc_id,
+       scheme || '://' || host
+       || (CASE WHEN port IN (':80', ':443') THEN '' ELSE port END)
+       || regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END,
+                         '^(.+)/$', '\1') AS canon_url,
+       host AS domain
+FROM p
+"""
+
+
+def q113_snapshot_diff(sf: str):
+    """Corpus snapshot diff (ops/textops.py::snapshot_diff): added /
+    removed / changed keys between two crawl versions derived
+    deterministically from the documents table (old drops doc_id % 11
+    == 0, new drops % 13 == 0 and rewrites text for % 7 == 0). One
+    two-sided id-keyed digest exchange; text never moves. Registered
+    past the driver's 50-entry window — gated by the local oracle
+    sweep."""
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 11 != 0))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 13 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        edited = pc.binary_join_element_wise(t["text"], " v2", "")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(pa.array(ids % 7 == 0),
+                                            edited, t["text"])})
+
+    base = read_table(sf, "documents", columns=["doc_id", "text"])
+    old_ds = base.map_batches(old_side, batch_format="pyarrow")
+    new_ds = read_table(sf, "documents", columns=["doc_id", "text"]) \
+        .map_batches(new_side, batch_format="pyarrow")
+    return textops.snapshot_diff(old_ds, new_ds)
+
+
+SQL_Q113 = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3253,6 +3454,10 @@ CATALOG: dict[str, tuple] = {
     "q107_cube_counts": (q107_cube_counts, SQL_Q107),
     "q108_funnel_steps": (q108_funnel_steps, SQL_Q108),
     "q109_sequence_pack": (q109_sequence_pack, SQL_Q109),
+    "q110_topk_per_group": (q110_topk_per_group, SQL_Q110),
+    "q111_hybrid_rrf": (q111_hybrid_rrf, SQL_Q111),
+    "q112_url_canonicalize": (q112_url_canonicalize, SQL_Q112),
+    "q113_snapshot_diff": (q113_snapshot_diff, SQL_Q113),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3280,7 +3485,7 @@ GROUPS: dict[str, list[str]] = {
                    {*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90}]
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
        "q96_rollup_counts", "q97_event_pivot", "q105_global_rank",
-       "q106_interval_join", "q107_cube_counts"],
+       "q106_interval_join", "q107_cube_counts", "q110_topk_per_group"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel", "q108_funnel_steps"],
@@ -3299,18 +3504,19 @@ GROUPS: dict[str, list[str]] = {
              "q86_frequent_terms", "q89_collocations",
              "q91_boilerplate_ngrams", "q98_bpe_train",
              "q99_dsir_importance", "q102_bpe_encode",
-             "q109_sequence_pack"],
+             "q109_sequence_pack", "q112_url_canonicalize"],
     "dedup": ["q24_exact_dedup", "q26_minhash_neardup", "q27_simhash",
               "q41_dedup_corpus", "q43_simhash_neardup", "q70_corpus_curation",
               "q79_decontaminate", "q88_semdedup",
               "q92_dup_gram_fraction", "q101_remove_dup_spans",
-              "q103_incremental_dedup", "q104_incremental_neardup"],
+              "q103_incremental_dedup", "q104_incremental_neardup",
+              "q113_snapshot_diff"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",
                    "q87_kmeans_cluster"],
     "serving": [n for n in CATALOG if _qnum(n) in
-                {33, 36, 38, 42, 46, *range(49, 57)}],
+                {33, 36, 38, 42, 46, *range(49, 57), 111}],
 }
 
 

@@ -3198,3 +3198,74 @@ class TestSequencePacking:
             g = g.sort_values("seq_off")
             assert (g["seq_off"].to_numpy()
                     == np.r_[0, np.cumsum(g["n_tok"].to_numpy())[:-1]]).all()
+
+
+class TestTopkPerKey:
+    """topk_per_key (q110): row_number PARTITION BY semantics — ties,
+    short groups, null keys, and pre-reduce correctness across batches."""
+
+    def _run(self, df, k, parts, maximize=True):
+        import ray.data as rd
+
+        from gxdindexer_ray.ops.relational import topk_per_key
+
+        out = topk_per_key(rd.from_pandas(df).repartition(parts), ["g"],
+                           value_col="v", tiebreak_col="id", k=k,
+                           maximize=maximize, n_buckets=4).to_pandas()
+        return out.sort_values(["g", "rank"], na_position="first") \
+                  .reset_index(drop=True)
+
+    def test_matches_window_semantics(self, ray_session):
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"g": rng.integers(0, 5, 200),
+                           "v": rng.integers(0, 9, 200),  # many ties
+                           "id": np.arange(200)})
+        got = self._run(df, 3, 7)
+        exp = df.sort_values(["g", "v", "id"],
+                             ascending=[True, False, True])
+        exp = exp.groupby("g").head(3).copy()
+        exp["rank"] = exp.groupby("g").cumcount() + 1
+        pd.testing.assert_frame_equal(
+            got, exp.reset_index(drop=True)[got.columns.tolist()],
+            check_dtype=False)
+        # spread across 7 partitions the winners cross batch boundaries:
+        # the local k-row pre-reduce must not lose any global winner
+        got1 = self._run(df, 3, 1)
+        pd.testing.assert_frame_equal(got, got1, check_dtype=False)
+
+    def test_short_groups_null_keys_minimize(self, ray_session):
+        df = pd.DataFrame({"g": [1, 1, None, None, None, 2],
+                           "v": [5.0, 3.0, 2.0, 9.0, 4.0, 7.0],
+                           "id": [10, 11, 12, 13, 14, 15]})
+        got = self._run(df, 2, 3, maximize=False)
+        by_g = {(None if pd.isna(g) else g): grp
+                for g, grp in got.groupby("g", dropna=False)}
+        assert list(by_g[1.0]["id"]) == [11, 10]          # asc by v
+        assert list(by_g[None]["id"]) == [12, 14]         # null group kept
+        assert list(by_g[2.0]["id"]) == [15]              # short group
+        assert list(by_g[None]["rank"]) == [1, 2]
+
+
+def test_snapshot_diff_semantics(ray_session):
+    """snapshot_diff (q113): added/removed/changed classification;
+    unchanged keys emit nothing; empty old side -> all added."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["a", "b", "c", "d"])})
+    new = pa.table({"doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+                    "text": pa.array(["b", "C2", "d", "e"])})
+    out = snapshot_diff(rd.from_arrow(old).repartition(2),
+                        rd.from_arrow(new).repartition(3),
+                        n_buckets=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out2 = snapshot_diff(rd.from_arrow(empty), rd.from_arrow(new),
+                         n_buckets=4).to_pandas()
+    assert sorted(out2["doc_id"]) == [2, 3, 4, 5]
+    assert set(out2["status"]) == {"added"}

@@ -132,3 +132,28 @@ class TestExtractColumnEquivalence:
         col = pa.array([b"<p>a</p>", b"<p>b  c</p>", b"<p>d</p>"], type=pa.binary())
         sl = col.slice(1, 2)
         assert extract_column(sl).to_pylist() == ["b c", "d"]
+
+
+def test_canonicalize_urls_rules(ray_session):
+    """canonicalize_urls (q112): every rule plus the non-URL null path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import canonicalize_urls
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/A/b/?q=1#f": ("http://ex.com/A/b", "ex.com"),
+        "https://Ex.com:443/": ("https://ex.com/", "ex.com"),
+        "https://ex.com": ("https://ex.com/", "ex.com"),          # no path
+        "http://ex.com:8080/X": ("http://ex.com:8080/X", "ex.com"),  # port kept
+        "http://wwwx.com/p": ("http://wwwx.com/p", "wwwx.com"),   # not 'www.'
+        "ftp://Host/Z/": ("ftp://host/Z", "host"),                # scheme-agnostic
+        "not a url": (None, None),
+        "/relative/only": (None, None),
+    }
+    tbl = pa.table({"url": pa.array(list(cases), pa.string())})
+    out = canonicalize_urls(rd.from_arrow(tbl)).to_pandas().set_index("url")
+    for u, (cu, dom) in cases.items():
+        got = out.loc[u]
+        assert (got["canon_url"] == cu) or (cu is None and pd.isna(got["canon_url"])), (u, got["canon_url"])
+        assert (got["domain"] == dom) or (dom is None and pd.isna(got["domain"]))
