@@ -143,6 +143,81 @@ def running_aggregate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                                 local=local)
 
 
+def moving_aggregate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     tiebreak_col: str = "event_id",
+                     value_col: str = "value", window_s: int = 3600,
+                     n_buckets: int = 64):
+    """Time-RANGE moving window per key — SQL ``sum/count/avg(value) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL window_s SECOND
+    PRECEDING AND CURRENT ROW)`` — the value-framed sibling of
+    running_aggregate's unbounded frame. RANGE semantics: every row whose
+    ts lies in ``[r.ts - W, r.ts]`` is in row r's frame, INCLUDING
+    same-ts peers sorted after r.
+
+    One key-hash exchange + a fully vectorized in-bucket scan (no per-key
+    Python): per-key segments get their timestamps shifted into disjoint
+    integer ranges (seg_id * span + rel_ts with span > max_rel + W), so a
+    single global searchsorted pair yields every row's frame bounds and a
+    prefix-sum difference its frame total. Overflow guard: if n_segs *
+    span would leave int64, fall back to a per-segment loop (never at
+    realistic us-timestamps: span ~ key activity range + W).
+
+    Output (key_col, tiebreak_col, moving_sum, moving_cnt, moving_avg),
+    sum/avg fixed-point rounded to 2 dp (the q78 oracle protocol —
+    prefix-difference vs the SQL window's direct sum differ only at
+    float64 epsilon)."""
+    W = np.int64(window_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({key_col: [], tiebreak_col: [],
+                                 "moving_sum": [], "moving_cnt": [],
+                                 "moving_avg": []})
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        keys = df[key_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        rel = ts - np.repeat(ts[starts], sizes)
+        span = np.int64(int(rel.max()) + int(W) + 2)
+        seg = np.repeat(np.arange(starts.size, dtype=np.int64), sizes)
+        if int(starts.size) * int(span) < 2 ** 62:
+            comp = seg * span + rel
+            lo = np.searchsorted(comp, comp - W, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+        else:  # pragma: no cover - needs ~2^62/span segments
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for i, s in enumerate(starts):
+                e = s + sizes[i]
+                lo[s:e] = s + np.searchsorted(rel[s:e], rel[s:e] - W, "left")
+                hi[s:e] = s + np.searchsorted(rel[s:e], rel[s:e], "right")
+        v = df[value_col].to_numpy().astype(np.float64)
+        pref = np.r_[0.0, np.cumsum(v)]
+        msum = pref[hi] - pref[lo]
+        cnt = hi - lo
+        out = df[[key_col, tiebreak_col]].copy()
+        sum_r = np.floor(msum * 100 + 0.5) / 100
+        out["moving_sum"] = sum_r
+        out["moving_cnt"] = cnt.astype(np.int64)
+        # avg derives from the ROUNDED sum with the identical float chain
+        # the SQL oracle uses: sum/cnt of a raw float sum lands exactly on
+        # the .xx5 rounding boundary whenever cnt=2 and the sum has odd
+        # hundredths, and sub-epsilon prefix-difference noise then flips
+        # the 2-dp rounding; the rounded sum is bit-identical on both
+        # sides, so the whole chain is
+        out["moving_avg"] = np.floor(sum_r / cnt * 100 + 0.5) / 100
+        return out
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key_col, ts_col, tiebreak_col, value_col]]
+
+    return keyed_exchange_apply(ds, [key_col], per_bucket, n_buckets,
+                                local=local)
+
+
 def session_funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                    tiebreak_col: str = "event_id",
                    type_col: str = "event_type",

@@ -3340,6 +3340,31 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
 """
 
 
+def q114_moving_window(sf: str):
+    """Per-user 1-hour RANGE moving window over the events stream
+    (ops/windows.py::moving_aggregate): sum/count/avg of value over
+    [ts - 1h, ts] — the value-framed window Ray Data lacks, as one
+    key-hash exchange + a single vectorized searchsorted scan (per-key
+    segments shifted into disjoint integer ranges; no per-key Python).
+    Registered past the driver's 50-entry window — gated by the local
+    oracle sweep."""
+    ds = read_table(sf, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return win_ops.moving_aggregate(ds, window_s=3600)
+
+
+SQL_Q114 = """
+SELECT user_id, event_id,
+       floor(sum(value) OVER w * 100 + 0.5) / 100 AS moving_sum,
+       count(*) OVER w AS moving_cnt,
+       floor(floor(sum(value) OVER w * 100 + 0.5) / 100
+             / count(*) OVER w * 100 + 0.5) / 100 AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3458,6 +3483,7 @@ CATALOG: dict[str, tuple] = {
     "q111_hybrid_rrf": (q111_hybrid_rrf, SQL_Q111),
     "q112_url_canonicalize": (q112_url_canonicalize, SQL_Q112),
     "q113_snapshot_diff": (q113_snapshot_diff, SQL_Q113),
+    "q114_moving_window": (q114_moving_window, SQL_Q114),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3488,7 +3514,8 @@ GROUPS: dict[str, list[str]] = {
        "q106_interval_join", "q107_cube_counts", "q110_topk_per_group"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
-                "q100_session_funnel", "q108_funnel_steps"],
+                "q100_session_funnel", "q108_funnel_steps",
+                "q114_moving_window"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key",
                  "q66_train_test_split", "q81_shuffle_shard",
                  "q85_source_mix", "q94_stratified_sample"],

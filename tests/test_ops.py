@@ -3269,3 +3269,34 @@ def test_snapshot_diff_semantics(ray_session):
                          n_buckets=4).to_pandas()
     assert sorted(out2["doc_id"]) == [2, 3, 4, 5]
     assert set(out2["status"]) == {"added"}
+
+
+def test_moving_aggregate_range_frame(ray_session):
+    """moving_aggregate (q114): RANGE-frame semantics vs a scalar
+    reference — window edges inclusive, same-ts peers share the frame,
+    per-key isolation, multi-key buckets."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.windows import moving_aggregate
+
+    T = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        (1, T, 1.0, 1), (1, T + 5 * s, 2.0, 2),
+        (1, T + 10 * s, 4.0, 3),          # exactly W back -> included
+        (1, T + 21 * s, 8.0, 4),          # gap > W -> frame resets
+        (2, T + 10 * s, 100.0, 5),        # other key, same ts as id 3
+        (3, T, 1.0, 6), (3, T, 2.0, 7),   # same-ts peers: shared frame
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    out = moving_aggregate(rd.from_pandas(df).repartition(3), window_s=10,
+                           n_buckets=2).to_pandas() \
+        .set_index("event_id").sort_index()
+    assert out.loc[1, "moving_sum"] == 1.0
+    assert out.loc[2, "moving_sum"] == 3.0
+    assert out.loc[3, "moving_sum"] == 7.0 and out.loc[3, "moving_cnt"] == 3
+    assert out.loc[4, "moving_sum"] == 8.0 and out.loc[4, "moving_cnt"] == 1
+    assert out.loc[5, "moving_sum"] == 100.0
+    # RANGE peers: both same-ts rows of key 3 see the full tie-group
+    assert out.loc[6, "moving_sum"] == 3.0 and out.loc[7, "moving_sum"] == 3.0
+    assert out.loc[3, "moving_avg"] == round(7.0 / 3, 2)
