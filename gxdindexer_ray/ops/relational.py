@@ -1630,3 +1630,79 @@ def interval_overlap_join(left, right, *, left_cols: tuple[str, str],
     return keyed_exchange_apply(tagged, ["__rng"], join_span, n_buckets,
                                 batch_format="pyarrow",
                                 local_arrow=lambda t: t)
+
+
+# ---------------------------------------------------------------------------
+# grouped co-occurrence (market-basket pair counting)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_positions(starts: np.ndarray, counts: np.ndarray):
+    """Exact-size upper-triangle enumeration over contiguous groups of a
+    sorted array: returns (pos_i, pos_j) index arrays covering every
+    within-group ordered pair (i < j) — never the n*n grid. Same offset
+    algebra as the LSH candidate generator (ops/dedup.py
+    band_bucket_pairs), lifted to positions so any payload dtype works."""
+    sel = counts >= 2
+    if not sel.any():
+        e = np.empty(0, np.int64)
+        return e, e
+    s, n = starts[sel], counts[sel]
+    rows = int(n.sum())
+    gid_r = np.repeat(np.arange(n.size), n)
+    i_r = np.arange(rows) - np.repeat(np.cumsum(n) - n, n)
+    rcount = n[gid_r] - 1 - i_r
+    total = int(rcount.sum())
+    rid = np.repeat(np.arange(rows), rcount)
+    w = np.arange(total) - np.repeat(np.cumsum(rcount) - rcount, rcount)
+    base = s[gid_r[rid]]
+    return base + i_r[rid], base + i_r[rid] + 1 + w
+
+
+def key_cooccurrence(ds, group_col: str, item_col: str, *,
+                     n_buckets: int = 32):
+    """Market-basket pair counting: for every unordered pair of distinct
+    items, the number of groups containing BOTH (item_a < item_b). The
+    co-occurrence statistic behind 'users who did X also did Y' /
+    same-document term association.
+
+    Scale shape: map-side in-batch distinct cuts (group, item) pairs
+    before they move; ONE group-hash exchange delivers each group's item
+    set to one reducer; pair emission is the exact-size vectorized
+    triangle (no per-group Python loop, no n*n grid); per-bucket partial
+    pair counts sum in a final small aggregate (groups are disjoint
+    across buckets, so partials never double-count). Pair volume is
+    sum(m_g^2) over group item-set sizes m_g — bounded by the item
+    vocabulary, not the row count."""
+    import pyarrow as pa
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      item_col: batch[item_col]})
+        return t.group_by([group_col, item_col]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    empty = pd.DataFrame({"item_a": pd.Series([], dtype=object),
+                          "item_b": pd.Series([], dtype=object),
+                          "n_groups": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # in-batch distinct is per-batch only — finish it here
+        df = df.drop_duplicates([group_col, item_col])
+        if df.empty:
+            return empty
+        df = df.sort_values([group_col, item_col], kind="mergesort")
+        g = df[group_col].to_numpy()
+        items = df[item_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]).astype(np.int64)
+        counts = np.diff(np.r_[starts, g.size]).astype(np.int64)
+        pi, pj = _triangle_positions(starts, counts)
+        if pi.size == 0:
+            return empty
+        out = pd.DataFrame({"item_a": items[pi], "item_b": items[pj]})
+        return (out.groupby(["item_a", "item_b"], sort=False)
+                .size().reset_index(name="n_groups"))
+
+    part = keyed_exchange_apply(pairs, [group_col], per_bucket, n_buckets)
+    return pre_aggregate(part, ["item_a", "item_b"],
+                         sums={"n_groups": "n_groups"}, driver_final=True)

@@ -279,3 +279,45 @@ def session_funnel_steps(ds, *, user_col: str = "user_id",
                              "n_converted": g.sum().to_numpy()})
 
     return keyed_exchange_apply(ds, [user_col], per_bucket, n_buckets)
+
+
+def retention_cohorts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                      n_buckets: int = 32):
+    """Cohort retention matrix over the events log: cohort = the Monday
+    of each user's FIRST active week, one output row per (cohort_week,
+    offset_weeks) with the count of users from that cohort active
+    ``offset_weeks`` weeks later — the classic growth-analytics operator
+    (SQL shape: distinct user-weeks -> min-week self-join -> grouped
+    distinct count).
+
+    Scale shape: the map side truncates ts to the week (Arrow
+    ``floor_temporal``, Monday start like SQL ``date_trunc('week')``) and
+    pre-distincts (user, week) pairs per batch, so the exchange carries at
+    most one skinny row per user per active week — never raw events. One
+    user-hash exchange groups each user's weeks on one reducer (cohort =
+    min, offsets = distinct weeks, so each (user, offset) contributes
+    exactly once); per-bucket partial (cohort, offset) counts sum in a
+    final small aggregate because users are disjoint across buckets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        t = pa.table({user_col: batch[user_col],
+                      "week": pc.floor_temporal(batch[ts_col], unit="week")})
+        return t.group_by([user_col, "week"]).aggregate([])
+
+    pairs = ds.map_batches(user_weeks, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # in-batch distinct is per-batch only: duplicates across batches
+        # survive to the bucket — drop them here before counting
+        df = df.drop_duplicates([user_col, "week"])
+        cohort = df.groupby(user_col, sort=False)["week"].transform("min")
+        off = ((df["week"] - cohort).dt.days // 7).astype(np.int64)
+        out = pd.DataFrame({"cohort_week": cohort, "offset_weeks": off})
+        return (out.groupby(["cohort_week", "offset_weeks"], sort=False)
+                .size().reset_index(name="n_users"))
+
+    part = keyed_exchange_apply(pairs, [user_col], per_bucket, n_buckets)
+    return pre_aggregate(part, ["cohort_week", "offset_weeks"],
+                         sums={"n_users": "n_users"}, driver_final=True)

@@ -3365,6 +3365,77 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q115_retention_cohorts(sf: str):
+    """Cohort retention matrix (ops/windows.py::retention_cohorts): users
+    cohorted by first active week (Monday-truncated), counted per
+    (cohort_week, offset_weeks) — map-side distinct user-weeks, one
+    user-hash exchange, small final rollup. Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    ds = read_table(sf, "events", columns=["user_id", "ts"])
+    return win_ops.retention_cohorts(ds)
+
+
+SQL_Q115 = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+c AS (SELECT user_id, min(w) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week,
+       CAST(datediff('day', c.cohort, uw.w) // 7 AS BIGINT) AS offset_weeks,
+       count(*) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q116_robust_outliers(sf: str):
+    """Per-event-type robust outlier rows — |value - median| > 3 * MAD
+    (ops/sketches.py::robust_outliers): two exact per-key medians
+    (key-hash exchanges over skinny derivations) + a broadcast map-side
+    filter; the median/MAD rule survives the heavy-tailed distributions
+    where mean/stddev z-scores (q95) drown. Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    from ..ops.sketches import robust_outliers
+
+    ds = read_table(sf, "events", columns=["event_id", "event_type", "value"])
+    return robust_outliers(ds, "event_type", "value", k=3.0)
+
+
+SQL_Q116 = """
+WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+mad AS (SELECT e.event_type,
+               quantile_disc(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type)
+SELECT e.event_id, e.event_type, e.value
+FROM events e
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+WHERE abs(e.value - med.med) > 3 * mad.mad
+"""
+
+
+def q117_cooccurrence(sf: str):
+    """Event-type co-occurrence (market-basket pair counts,
+    ops/relational.py::key_cooccurrence): for each unordered pair of
+    event types, how many users performed both — map-side distinct
+    (user, type) pairs, one user-hash exchange, exact-size vectorized
+    triangle emission, small final rollup. Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    from ..ops.relational import key_cooccurrence
+
+    ds = read_table(sf, "events", columns=["user_id", "event_type"])
+    return key_cooccurrence(ds, "user_id", "event_type")
+
+
+SQL_Q117 = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*) AS n_groups
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3484,6 +3555,9 @@ CATALOG: dict[str, tuple] = {
     "q112_url_canonicalize": (q112_url_canonicalize, SQL_Q112),
     "q113_snapshot_diff": (q113_snapshot_diff, SQL_Q113),
     "q114_moving_window": (q114_moving_window, SQL_Q114),
+    "q115_retention_cohorts": (q115_retention_cohorts, SQL_Q115),
+    "q116_robust_outliers": (q116_robust_outliers, SQL_Q116),
+    "q117_cooccurrence": (q117_cooccurrence, SQL_Q117),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3533,11 +3607,12 @@ GROUPS: dict[str, list[str]] = {
                    {*range(1, 20), 34, 35, 39, 45, 57, 58, 59, 60, 64, 65, 67, 74, 90}]
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
        "q96_rollup_counts", "q97_event_pivot", "q105_global_rank",
-       "q106_interval_join", "q107_cube_counts", "q110_topk_per_group"],
+       "q106_interval_join", "q107_cube_counts", "q110_topk_per_group",
+       "q116_robust_outliers", "q117_cooccurrence"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel", "q108_funnel_steps",
-                "q114_moving_window"],
+                "q114_moving_window", "q115_retention_cohorts"],
     "sampling": ["q62_hash_sample", "q63_sample_per_key",
                  "q66_train_test_split", "q81_shuffle_shard",
                  "q85_source_mix", "q94_stratified_sample"],

@@ -3300,3 +3300,113 @@ def test_moving_aggregate_range_frame(ray_session):
     # RANGE peers: both same-ts rows of key 3 see the full tie-group
     assert out.loc[6, "moving_sum"] == 3.0 and out.loc[7, "moving_sum"] == 3.0
     assert out.loc[3, "moving_avg"] == round(7.0 / 3, 2)
+
+
+def test_retention_cohorts_semantics(ray_session):
+    """retention_cohorts (q115): cohort = Monday of first active week;
+    one count per user per offset even when the same user-week pair
+    arrives in several input blocks; multi-week users spread across
+    offsets."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.windows import retention_cohorts
+
+    W0 = pd.Timestamp("2024-01-01")  # a Monday
+    w = pd.Timedelta(days=7)
+    rows = [
+        # user 1: weeks 0, 1, 3 (several events in week 0 -> still 1 count)
+        (1, W0 + pd.Timedelta(hours=3)), (1, W0 + pd.Timedelta(days=2)),
+        (1, W0 + w), (1, W0 + 3 * w),
+        # user 2: joins week 1, active weeks 1 and 2
+        (2, W0 + w + pd.Timedelta(days=4)), (2, W0 + 2 * w),
+        # user 3: week 0 only
+        (3, W0 + pd.Timedelta(days=6, hours=23)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    # duplicate the frame so identical user-weeks arrive in different
+    # blocks — in-batch distinct alone would double-count
+    ds = rd.from_pandas(pd.concat([df, df])).repartition(4)
+    out = retention_cohorts(ds).set_index(["cohort_week", "offset_weeks"]) \
+        .sort_index()
+    assert out.loc[(W0, 0), "n_users"] == 2          # users 1 and 3
+    assert out.loc[(W0, 1), "n_users"] == 1          # user 1
+    assert out.loc[(W0, 3), "n_users"] == 1
+    assert out.loc[(W0 + w, 0), "n_users"] == 1      # user 2 cohort
+    assert out.loc[(W0 + w, 1), "n_users"] == 1
+    assert len(out) == 5
+    # mid-week timestamps truncate to the Monday: cohort keys are Mondays
+    assert set(out.index.get_level_values(0)) == {W0, W0 + w}
+
+
+def test_robust_outliers_mad_rule(ray_session):
+    """robust_outliers (q116): median/MAD flagging — MAD=0 keys flag any
+    deviation, the outlier itself doesn't drag the median (robustness),
+    keys with all-null values drop."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.sketches import robust_outliers
+
+    rows = ([("a", float(v), i) for i, v in enumerate([10, 11, 9, 10, 12, 10, 9, 11, 10, 1000])]
+            + [("b", 5.0, 100 + i) for i in range(4)] + [("b", 6.0, 104)]
+            + [("c", float("nan"), 200)])
+    df = pd.DataFrame(rows, columns=["event_type", "value", "event_id"])
+    out = robust_outliers(rd.from_pandas(df).repartition(3),
+                          "event_type", "value", k=3.0).to_pandas()
+    # key a: median 10, MAD 1 -> only the 1000 row flags
+    assert set(out[out.event_type == "a"].event_id) == {9}
+    # key b: median 5, MAD 0 -> the single 6.0 row flags (any deviation)
+    assert set(out[out.event_type == "b"].event_id) == {104}
+    # key c has no non-null values -> no rows
+    assert (out.event_type == "c").sum() == 0
+
+
+def test_robust_outliers_materializes_transformed_input(ray_session):
+    """A transform-stacked input is pinned once up front (the 3-pass
+    consumer must not re-execute upstream transforms per pass)."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.sketches import robust_outliers
+
+    calls = {"n": 0}
+
+    def bump(b):
+        calls["n"] += len(b)
+        return b
+
+    df = pd.DataFrame({"event_type": ["a"] * 50, "event_id": range(50),
+                       "value": [1.0] * 49 + [100.0]})
+    ds = rd.from_pandas(df).repartition(1).map_batches(bump, batch_format="pandas")
+    out = robust_outliers(ds, "event_type", "value").to_pandas()
+    assert set(out.event_id) == {49}
+
+
+def test_key_cooccurrence_exact_counts(ray_session):
+    """key_cooccurrence (q117): unordered pair counts vs a brute-force
+    reference; duplicates across blocks don't double-count; singleton
+    groups emit nothing."""
+    import itertools
+
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import key_cooccurrence
+
+    rng = np.random.default_rng(11)
+    items = [f"i{k}" for k in range(8)]
+    rows = []
+    for u in range(60):
+        basket = rng.choice(items, size=rng.integers(1, 6), replace=False)
+        for it in basket:
+            # repeated events of the same (user, item): must count once
+            for _ in range(int(rng.integers(1, 3))):
+                rows.append((u, it))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = key_cooccurrence(rd.from_pandas(df).repartition(5),
+                           "user_id", "event_type")
+    got = {(r.item_a, r.item_b): r.n_groups for r in out.itertuples()}
+    # brute force
+    want: dict = {}
+    for _, grp in df.drop_duplicates().groupby("user_id"):
+        for a, b in itertools.combinations(sorted(grp.event_type), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    assert all(a < b for a, b in got)
