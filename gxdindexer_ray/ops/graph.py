@@ -290,3 +290,122 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
     return rd.from_arrow_refs(list(states.values())).map_batches(
         lambda t: pa.table({"node": t["node"], "rank": t["pr"]}),
         batch_format="pyarrow")
+
+
+def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
+                   n_buckets: int = 32) -> pd.DataFrame:
+    """EXACT global triangle count over an undirected int64 edge Dataset —
+    the degree-ordered node-iterator (the distributed-graph standard:
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one, so each triangle {x ≺ y ≺ z} is found exactly once, at its apex
+    x, and out-degrees stay O(sqrt m) even at power-law hubs — a hub's
+    edges all point INTO it, so the hub never enumerates its neighbor
+    pairs).
+
+    Wholly distributed: canonical distinct edges (one dedup exchange),
+    degree counts (partial/final aggregate), two degree-attach
+    partitioned joins, ONE apex-keyed exchange emitting wedge partials
+    via the exact-size vectorized triangle (no per-node Python, never the
+    d^2 grid for capped groups), and ONE two-sided pair-keyed exchange
+    closing wedges against the oriented edge set. The driver sees one
+    int per closure bucket. Returns a 1-row DataFrame {n_triangles}."""
+    import pyarrow as pa
+
+    from .relational import (_exchange_sides, _splitmix64,
+                             _triangle_positions, dedup_first,
+                             keyed_exchange_apply, partitioned_join,
+                             pre_aggregate)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        keep = u != v
+        tbl = pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+        return tbl.group_by(["u", "v"]).aggregate([])
+
+    # consumed by three stages (degrees, orientation join, closure side)
+    edges = dedup_first(edges_ds.map_batches(canon, batch_format="pyarrow"),
+                        ["u", "v"], ["u", "v"], n_buckets).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]))})
+
+    deg = pre_aggregate(edges.map_batches(endpoints, batch_format="pyarrow"),
+                        ["node"], counts="deg")
+    deg_u = deg.map_batches(
+        lambda t: t.rename_columns(["node_u", "deg_u"]),
+        batch_format="pyarrow")
+    deg_v = deg.map_batches(
+        lambda t: t.rename_columns(["node_v", "deg_v"]),
+        batch_format="pyarrow")
+    j = partitioned_join(edges, deg_u, "u", "node_u", n_buckets=n_buckets)
+    j = partitioned_join(j, deg_v, "v", "node_v", n_buckets=n_buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = t["deg_u"].to_numpy(zero_copy_only=False)
+        dv = t["deg_v"].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "s": pa.array(np.where(u_first, u, v)),
+            "t": pa.array(np.where(u_first, v, u)),
+            "t_deg": pa.array(np.where(u_first, dv, du))})
+
+    # consumed twice (wedge exchange + closure side) — pin the skinny
+    # (s, t, t_deg) form instead of re-running the degree joins
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+    w_empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "cnt": pd.Series([], dtype=np.int64)})
+
+    def mk_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # out-neighborhoods sorted in the SAME (deg, id) total order the
+        # orientation used, so every wedge (a, b) has a ≺ b and matches
+        # the oriented closing edge exactly
+        df = df.sort_values(["s", "t_deg", "t"], kind="mergesort")
+        sa = df["s"].to_numpy()
+        ta = df["t"].to_numpy()
+        if sa.size == 0:
+            return w_empty
+        starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]]).astype(np.int64)
+        counts = np.diff(np.r_[starts, sa.size]).astype(np.int64)
+        pi, pj = _triangle_positions(starts, counts)
+        if pi.size == 0:
+            return w_empty
+        out = pd.DataFrame({"a": ta[pi], "b": ta[pj]})
+        return (out.groupby(["a", "b"], sort=False)
+                .size().reset_index(name="cnt"))
+
+    wedges = keyed_exchange_apply(oriented, ["s"], mk_wedges, n_buckets)
+
+    def mk_pre(side: int):
+        def pre(tbl: pa.Table) -> pa.Table:
+            a_col, b_col = ("s", "t") if side == 0 else ("a", "b")
+            a = tbl[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = tbl[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cnt = (np.zeros(a.size, np.int64) if side == 0
+                   else tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64))
+            h = _splitmix64(_splitmix64(a.view(np.uint64)) ^ b.view(np.uint64))
+            return pa.table({
+                "a": pa.array(a), "b": pa.array(b), "cnt": pa.array(cnt),
+                "__side": pa.array(np.full(a.size, side, np.int8)),
+                "__bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32))})
+        return pre
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["__side"] == 0]
+        w = df[df["__side"] == 1]
+        if e.empty or w.empty:
+            return pd.DataFrame({"n": [0]})
+        m = w.merge(e[["a", "b"]], on=["a", "b"], how="inner")
+        return pd.DataFrame({"n": [int(m["cnt"].sum())]})
+
+    parts = _exchange_sides(
+        [(oriented.to_arrow_refs(), mk_pre(0)),
+         (wedges.to_arrow_refs(), mk_pre(1))], "__bucket", close)
+    total = int(parts.to_pandas()["n"].sum())
+    return pd.DataFrame({"n_triangles": [total]})

@@ -3435,6 +3435,43 @@ FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
 
+_Q118_K = 997  # node-space modulus for the synthetic order-part graph
+
+
+def q118_triangle_count(sf: str):
+    """Exact global triangle count (ops/graph.py::triangle_count) over a
+    deterministic undirected graph derived from lineitem (order/part keys
+    folded into one mod-997 node space — dense enough for real
+    triangles at every sf). Degree-ordered node-iterator: oriented edges,
+    one apex-keyed wedge exchange (exact-size vectorized triangle), one
+    two-sided pair-keyed closure exchange. Registered past the driver's
+    50-entry window — gated by the local oracle sweep."""
+    from ..ops.graph import triangle_count
+
+    K = _Q118_K
+
+    def edge(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(o % K), "dst": pa.array(p % K)})
+
+    ds = read_table(sf, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(edge, batch_format="pyarrow")
+    return triangle_count(ds)
+
+
+SQL_Q118 = f"""
+WITH e AS (
+  SELECT DISTINCT least(l_orderkey % {_Q118_K}, l_partkey % {_Q118_K}) AS u,
+                  greatest(l_orderkey % {_Q118_K}, l_partkey % {_Q118_K}) AS v
+  FROM lineitem
+  WHERE l_orderkey % {_Q118_K} <> l_partkey % {_Q118_K})
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
 
 # ---------------------------------------------------------------------------
 # catalog
@@ -3558,6 +3595,7 @@ CATALOG: dict[str, tuple] = {
     "q115_retention_cohorts": (q115_retention_cohorts, SQL_Q115),
     "q116_robust_outliers": (q116_robust_outliers, SQL_Q116),
     "q117_cooccurrence": (q117_cooccurrence, SQL_Q117),
+    "q118_triangle_count": (q118_triangle_count, SQL_Q118),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3608,7 +3646,7 @@ GROUPS: dict[str, list[str]] = {
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
        "q96_rollup_counts", "q97_event_pivot", "q105_global_rank",
        "q106_interval_join", "q107_cube_counts", "q110_topk_per_group",
-       "q116_robust_outliers", "q117_cooccurrence"],
+       "q116_robust_outliers", "q117_cooccurrence", "q118_triangle_count"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel", "q108_funnel_steps",

@@ -3410,3 +3410,36 @@ def test_key_cooccurrence_exact_counts(ray_session):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_triangle_count_exact(ray_session):
+    """triangle_count (q118): brute-force parity on a random graph;
+    duplicate/reversed/self-loop edges collapse; stars have none, K4 has
+    four."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.graph import triangle_count
+
+    # K4 + a star (hub 100 with 6 leaves) + a dangling edge, with every
+    # edge also given reversed and duplicated across blocks
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, 200 + i) for i in range(6)]
+    edges = k4 + star + [(50, 51)] + [(1, 1)]
+    df = pd.DataFrame(edges + [(b, a) for a, b in edges],
+                      columns=["src", "dst"])
+    out = triangle_count(rd.from_pandas(pd.concat([df, df])).repartition(4))
+    assert int(out["n_triangles"].iloc[0]) == 4
+
+    # random graph vs brute force
+    rng = np.random.default_rng(7)
+    n = 60
+    m = rng.integers(0, n, size=(500, 2))
+    m = m[m[:, 0] != m[:, 1]]
+    df = pd.DataFrame(m, columns=["src", "dst"])
+    adj = np.zeros((n, n), dtype=bool)
+    adj[m[:, 0], m[:, 1]] = True
+    adj = adj | adj.T
+    a_i = adj.astype(np.int64)
+    want = int(np.einsum("ij,jk,ki->", a_i, a_i, a_i)) // 6
+    out = triangle_count(rd.from_pandas(df).repartition(3), n_buckets=4)
+    assert int(out["n_triangles"].iloc[0]) == want
