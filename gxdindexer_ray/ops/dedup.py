@@ -1004,3 +1004,88 @@ def incremental_near_dup(new_ds, prior_ds, *, id_col: str = "doc_id",
 
     flagged = verified.map_batches(new_side, batch_format="pyarrow")
     return dedup_first(flagged, [id_col], [id_col])
+
+
+def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.5, k: int = 3, n_buckets: int = 64):
+    """EXACT all-pairs n-gram Jaccard similarity self-join via PREFIX
+    FILTERING (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    Search"): under any global token order, two shingle sets with
+    J >= tau MUST share a token inside each one's first
+    ``n - ceil(tau*n) + 1`` tokens — so indexing only those prefixes
+    provably generates EVERY qualifying pair (unlike MinHash-LSH (q26),
+    whose candidate recall is probabilistic), while high-frequency
+    shingles mostly sit outside prefixes and never fan out.
+
+    Scale shape: one map pass emits (prefix-hash, doc, set-size) rows —
+    O(rows * (1 - tau)) of the shingle stream; ONE hash-keyed exchange
+    groups prefix hashes and emits candidate pairs through the exact-size
+    vectorized triangle, pruned by the size-ratio bound
+    ``min >= tau * max`` (a J >= tau pair always satisfies it); global
+    pair dedup; then the distributed exact verifier
+    (verify_pairs_jaccard — partitioned joins of shingle-hash sets, no
+    broadcasts) keeps (a, b, jaccard >= tau). The global order is
+    ascending blake2b shingle hash, so 'prefix' = the first L entries of
+    each doc's (already hash-sorted) shingle slice — effectively a random
+    order: adversarial boilerplate can't concentrate one shingle into
+    every prefix the way natural-language frequency order could.
+    ``ds`` is consumed twice (prefix pass + verification)."""
+    from .relational import _triangle_positions, dedup_first, mod_exchange_apply
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bhash": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "size": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat, doc_idx = tokenize_column(batch[text_col])
+        tok_hash = _token_hashes_flat(flat)
+        sh_doc, sh_hash = _shingle_hashes_per_doc(tok_hash, doc_idx,
+                                                  batch.num_rows, k)
+        if sh_doc.size == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(sh_doc, minlength=batch.num_rows)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # conservative ceil (the -1e-9 can only LENGTHEN a prefix): a
+        # 1-ULP overshoot of tau*n would shorten it and break exactness
+        need = np.ceil(threshold * counts - 1e-9).astype(np.int64)
+        pref_len = counts - need + 1
+        pos = np.arange(sh_doc.size) - starts[sh_doc]
+        keep = pos < pref_len[sh_doc]
+        return pa.table({
+            "bhash": pa.array(sh_hash[keep].view(np.int64)),
+            "doc": pa.array(ids[sh_doc[keep]]),
+            "size": pa.array(counts[sh_doc[keep]].astype(np.int64))})
+
+    pref = ds.map_batches(prefixes, batch_format="pyarrow")
+    p_empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64)})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return p_empty
+        df = group.sort_values(["bhash", "doc"], kind="mergesort") \
+            .drop_duplicates(["bhash", "doc"])
+        bh = df["bhash"].to_numpy()
+        doc = df["doc"].to_numpy(np.int64)
+        sz = df["size"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]]).astype(np.int64)
+        counts = np.diff(np.r_[starts, bh.size]).astype(np.int64)
+        pi, pj = _triangle_positions(starts, counts)
+        if pi.size == 0:
+            return p_empty
+        a, b = doc[pi], doc[pj]
+        sa, sb = sz[pi], sz[pj]
+        # size-ratio prune (exactness-safe: every J >= tau pair passes)
+        ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        if not ok.any():
+            return p_empty
+        out = pd.DataFrame({"a": np.minimum(a, b)[ok],
+                            "b": np.maximum(a, b)[ok]})
+        return out.drop_duplicates()
+
+    cand = dedup_first(mod_exchange_apply(pref, "bhash", pairs, n_buckets),
+                       ["a", "b"], ["a", "b"])
+    return verify_pairs_jaccard(ds, cand, id_col=id_col, text_col=text_col,
+                                k=k, threshold=threshold)

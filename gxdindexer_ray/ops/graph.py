@@ -313,8 +313,7 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
 
     from .relational import (_exchange_sides, _splitmix64,
                              _triangle_positions, dedup_first,
-                             keyed_exchange_apply, partitioned_join,
-                             pre_aggregate)
+                             keyed_exchange_apply, partitioned_join)
 
     def canon(t: pa.Table) -> pa.Table:
         a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -331,10 +330,22 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
     def endpoints(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)
         v = t["v"].to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(np.concatenate([u, v]))})
+        nodes, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table({"node": pa.array(nodes),
+                         "cnt": pa.array(cnt.astype(np.int64))})
 
-    deg = pre_aggregate(edges.map_batches(endpoints, batch_format="pyarrow"),
-                        ["node"], counts="deg")
+    def sum_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("node", sort=False)["cnt"].sum()
+                .reset_index().rename(columns={"cnt": "deg"}))
+
+    # node-count-sized keys make the Dataset combiner-tree groupby the
+    # bottleneck (measured 93s vs ~8s at 3M nodes / 10M edges): per-batch
+    # unique partials + ONE explicit node-keyed exchange instead. deg is
+    # consumed by BOTH degree-attach joins — materialize or the aggregate
+    # runs twice.
+    deg = keyed_exchange_apply(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], sum_deg, n_buckets).materialize()
     deg_u = deg.map_batches(
         lambda t: t.rename_columns(["node_u", "deg_u"]),
         batch_format="pyarrow")

@@ -3473,6 +3473,20 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q119_jaccard_join(sf: str):
+    """EXACT all-pairs n-gram Jaccard self-join via prefix filtering
+    (ops/dedup.py::jaccard_join, Bayardo et al. WWW'07): same output spec
+    as q26 but the candidate set PROVABLY contains every J >= 0.5 pair at
+    any threshold — no LSH recall argument needed. One prefix-hash
+    exchange + the distributed exact verifier. Registered past the
+    driver's 50-entry window — gated by the local oracle sweep."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    return dedup_ops.jaccard_join(ds, threshold=0.5)
+
+
+SQL_Q119 = SQL_Q26
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3596,6 +3610,7 @@ CATALOG: dict[str, tuple] = {
     "q116_robust_outliers": (q116_robust_outliers, SQL_Q116),
     "q117_cooccurrence": (q117_cooccurrence, SQL_Q117),
     "q118_triangle_count": (q118_triangle_count, SQL_Q118),
+    "q119_jaccard_join": (q119_jaccard_join, SQL_Q119),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3672,7 +3687,7 @@ GROUPS: dict[str, list[str]] = {
               "q79_decontaminate", "q88_semdedup",
               "q92_dup_gram_fraction", "q101_remove_dup_spans",
               "q103_incremental_dedup", "q104_incremental_neardup",
-              "q113_snapshot_diff"],
+              "q113_snapshot_diff", "q119_jaccard_join"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

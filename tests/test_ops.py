@@ -3443,3 +3443,40 @@ def test_triangle_count_exact(ray_session):
     want = int(np.einsum("ij,jk,ki->", a_i, a_i, a_i)) // 6
     out = triangle_count(rd.from_pandas(df).repartition(3), n_buckets=4)
     assert int(out["n_triangles"].iloc[0]) == want
+
+
+def test_jaccard_join_exact_all_pairs(ray_session):
+    """jaccard_join (q119): prefix filtering must find EVERY qualifying
+    pair — parity against brute-force exact Jaccard over all pairs,
+    including boundary pairs near the threshold."""
+    import itertools
+
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.dedup import exact_jaccard, jaccard_join
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = {}
+    for i in range(80):
+        docs[i] = list(rng.choice(vocab, size=40))
+    # planted pairs across the threshold: heavy overlap, moderate, light
+    base = list(rng.choice(vocab, size=60))
+    docs[900] = base
+    docs[901] = base[:55] + ["zz1", "zz2", "zz3", "zz4", "zz5"]   # high J
+    docs[902] = base[:35] + list(rng.choice(vocab, size=25))      # mid J
+    docs[903] = base[:10] + list(rng.choice(vocab, size=50))      # low J
+    df = pd.DataFrame({"doc_id": list(docs), 
+                       "text": [" ".join(t) for t in docs.values()]})
+    tau = 0.3  # low threshold: long prefixes, many candidates — stress
+    out = jaccard_join(rd.from_pandas(df).repartition(4), threshold=tau,
+                       n_buckets=8)
+    got = {(int(r.a), int(r.b)) for r in out.itertuples()}
+    want = set()
+    toks = {i: t for i, t in docs.items()}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        j = exact_jaccard(toks[a], toks[b])
+        if round(j, 6) >= tau:
+            want.add((a, b))
+    assert got == want
+    assert (900, 901) in got
