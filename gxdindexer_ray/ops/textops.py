@@ -1467,3 +1467,165 @@ def snapshot_diff(old_ds, new_ds, *, key_col: str = "doc_id",
         [(old_ds.to_arrow_refs(), mk_pre(0)),
          (new_ds.to_arrow_refs(), mk_pre(1))],
         "__bucket", diff, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy edit-distance join (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+def _lev_within(a: str, b: str, d: int) -> int:
+    """Exact Levenshtein distance if <= ``d``, else ``d + 1`` (row-min
+    early exit). Code-point semantics (Python str). Short-key scale: the
+    join prunes |len(a)-len(b)| > d before any DP call."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return d + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        bj = b[j - 1]
+        cur = [j] + [0] * la
+        rmin = j
+        for i in range(1, la + 1):
+            c = prev[i - 1] + (a[i - 1] != bj)
+            c2 = prev[i] + 1
+            if c2 < c:
+                c = c2
+            c3 = cur[i - 1] + 1
+            if c3 < c:
+                c = c3
+            cur[i] = c
+            if c < rmin:
+                rmin = c
+        if rmin > d:
+            return d + 1
+        prev = cur
+    return prev[la] if prev[la] <= d else d + 1
+
+
+def edit_distance_join(ds, *, id_col: str = "doc_id", str_col: str = "key",
+                       max_dist: int = 1, n_buckets: int = 64):
+    """EXACT fuzzy self-join: all (a, b, dist) pairs with
+    ``levenshtein(key_a, key_b) <= max_dist`` (a < b), via SymSpell-style
+    DELETION-NEIGHBORHOOD blocking. Completeness: an optimal alignment
+    with i inserts / e deletes / s substitutions (i+e+s = dist) leaves a
+    common subsequence reachable by e+s <= dist deletions from one side
+    and i+s <= dist from the other, so every qualifying pair shares at
+    least one <=max_dist-deletion variant — blocking on variant hashes is
+    provably complete (same guarantee the spellcheck surface relies on,
+    pipelines/search.py::_deletes).
+
+    Scale shape: the map pass emits (variant-hash, id, key) rows — the
+    variant fan-out is O(len^max_dist) per row, so this operator is for
+    SHORT keys (urls, titles, normalized prefixes; document the cap at the
+    call site). Variant generation is vectorized BY DELETION POSITION
+    (<= key-length Arrow kernel sweeps per level, no per-row Python); ONE
+    variant-hash exchange groups candidates; within a group, pairs come
+    from the exact-size triangle, pruned by |len_a - len_b| <= max_dist,
+    deduped per (a, b), and verified with a memoized banded DP — the only
+    per-pair Python, bounded by the candidate count, not the corpus.
+    Global (a, b) dedup_first finishes (the same pair can surface under
+    several shared variants). Distances are code-point based; byte-based
+    oracles (DuckDB ``levenshtein``) agree on ASCII keys."""
+    from ..index.docid import blake2b_rows
+    from .relational import _triangle_positions, dedup_first, mod_exchange_apply
+
+    def variants(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vhash": pa.array([], pa.int64()),
+                          "id": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.string())})
+        t = batch.select([id_col, str_col])
+        t = t.filter(pc.is_valid(t[str_col]))
+        if t.num_rows == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t[str_col].combine_chunks() if isinstance(
+            t[str_col], pa.ChunkedArray) else t[str_col]
+        arr = arr.cast(pa.string())
+        row_parts = [np.arange(len(arr), dtype=np.int64)]
+        str_parts = [arr]
+        f_rows, f_strs = row_parts[0], arr
+        for _ in range(max_dist):
+            nxt_rows, nxt_strs = [], []
+            lens = pc.utf8_length(f_strs).to_numpy(zero_copy_only=False)
+            for i in range(int(lens.max()) if lens.size else 0):
+                sel = np.flatnonzero(lens > i)
+                if not sel.size:
+                    break
+                sub = f_strs.take(pa.array(sel))
+                v = pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(sub, 0, i),
+                    pc.utf8_slice_codeunits(sub, i + 1), "")
+                nxt_rows.append(f_rows[sel])
+                nxt_strs.append(v.combine_chunks()
+                                if isinstance(v, pa.ChunkedArray) else v)
+            if not nxt_strs:
+                break
+            f_rows = np.concatenate(nxt_rows)
+            f_strs = pa.concat_arrays(nxt_strs)
+            row_parts.append(f_rows)
+            str_parts.append(f_strs)
+        row_idx = np.concatenate(row_parts)
+        var_arr = pa.concat_arrays([p.combine_chunks()
+                                    if isinstance(p, pa.ChunkedArray) else p
+                                    for p in str_parts])
+        vh = blake2b_rows(var_arr, 8)[:, 0].view(np.int64)
+        # per-row variant-set dedup (deleting different positions of a
+        # repeated char yields the same variant): first of each
+        # (row, vhash) run — a colliding pair of DISTINCT variants would
+        # only drop a redundant blocking key, never a candidate
+        order = np.lexsort((vh, row_idx))
+        row_idx, vh = row_idx[order], vh[order]
+        keep = np.r_[True, (row_idx[1:] != row_idx[:-1]) | (vh[1:] != vh[:-1])]
+        row_idx, vh = row_idx[keep], vh[keep]
+        return pa.table({"vhash": pa.array(vh),
+                         "id": pa.array(ids[row_idx]),
+                         "s": arr.take(pa.array(row_idx))})
+
+    pref = ds.map_batches(variants, batch_format="pyarrow")
+    p_empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "dist": pd.Series([], dtype=np.int64)})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return p_empty
+        g = group.drop_duplicates(["vhash", "id"]) \
+            .sort_values(["vhash", "id"], kind="mergesort")
+        vh = g["vhash"].to_numpy()
+        ids_ = g["id"].to_numpy(np.int64)
+        ss = g["s"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]]).astype(np.int64)
+        counts = np.diff(np.r_[starts, vh.size]).astype(np.int64)
+        pi, pj = _triangle_positions(starts, counts)
+        if pi.size == 0:
+            return p_empty
+        a, b = ids_[pi], ids_[pj]
+        ok = a != b
+        lens = np.fromiter((len(x) for x in ss), np.int64, ss.size)
+        ok &= np.abs(lens[pi] - lens[pj]) <= max_dist
+        if not ok.any():
+            return p_empty
+        cand = pd.DataFrame({"a": np.minimum(a, b)[ok],
+                             "b": np.maximum(a, b)[ok],
+                             "sa": ss[pi][ok], "sb": ss[pj][ok]}) \
+            .drop_duplicates(["a", "b"])
+        memo: dict[tuple, int] = {}
+        dist = np.empty(len(cand), dtype=np.int64)
+        for n_, (x, y) in enumerate(zip(cand["sa"].to_numpy(object),
+                                        cand["sb"].to_numpy(object))):
+            key = (x, y) if x <= y else (y, x)
+            d_ = memo.get(key)
+            if d_ is None:
+                d_ = _lev_within(x, y, max_dist)
+                memo[key] = d_
+            dist[n_] = d_
+        cand = cand.drop(columns=["sa", "sb"])
+        cand["dist"] = dist
+        return cand[cand["dist"] <= max_dist]
+
+    return dedup_first(mod_exchange_apply(pref, "vhash", pairs, n_buckets),
+                       ["a", "b"], ["a", "b"])

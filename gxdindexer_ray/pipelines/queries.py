@@ -3487,6 +3487,37 @@ def q119_jaccard_join(sf: str):
 SQL_Q119 = SQL_Q26
 
 
+def q120_fuzzy_join(sf: str):
+    """Fuzzy edit-distance self-join (ops/textops.py::edit_distance_join):
+    all doc pairs whose 20-char text prefix is within Levenshtein
+    distance 1, via SymSpell deletion-neighborhood blocking (provably
+    complete — same guarantee as the q55 spellcheck surface) + memoized
+    banded-DP verification. ONE variant-hash exchange; short derived key
+    keeps the O(len^d) variant fan-out bounded. Registered past the
+    driver's 50-entry window — gated by the local oracle sweep."""
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "k": pc.utf8_slice_codeunits(t["text"], 0, 20)})
+
+    return textops.edit_distance_join(
+        ds.map_batches(key, batch_format="pyarrow"),
+        id_col="doc_id", str_col="k", max_dist=1)
+
+
+SQL_Q120 = """
+WITH d AS (SELECT doc_id, substr(text, 1, 20) AS k
+           FROM documents WHERE text IS NOT NULL)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.k) - length(b.k)) <= 1
+ AND levenshtein(a.k, b.k) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3611,6 +3642,7 @@ CATALOG: dict[str, tuple] = {
     "q117_cooccurrence": (q117_cooccurrence, SQL_Q117),
     "q118_triangle_count": (q118_triangle_count, SQL_Q118),
     "q119_jaccard_join": (q119_jaccard_join, SQL_Q119),
+    "q120_fuzzy_join": (q120_fuzzy_join, SQL_Q120),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3687,7 +3719,8 @@ GROUPS: dict[str, list[str]] = {
               "q79_decontaminate", "q88_semdedup",
               "q92_dup_gram_fraction", "q101_remove_dup_spans",
               "q103_incremental_dedup", "q104_incremental_neardup",
-              "q113_snapshot_diff", "q119_jaccard_join"],
+              "q113_snapshot_diff", "q119_jaccard_join",
+              "q120_fuzzy_join"],
     "similarity": ["q30_knn", "q31_embedding_neardup", "q40_ivf_knn",
                    "q47_embedding_lsh_dup", "q48_ivf_exhaustive_knn",
                    "q71_quantized_knn", "q84_pq_knn",

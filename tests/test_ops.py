@@ -3480,3 +3480,55 @@ def test_jaccard_join_exact_all_pairs(ray_session):
             want.add((a, b))
     assert got == want
     assert (900, 901) in got
+
+
+def test_edit_distance_join_brute_parity(ray_session):
+    """edit_distance_join (q120): deletion-neighborhood blocking must find
+    EVERY pair within max_dist — brute-force Levenshtein parity over
+    planted clusters (exact dupes, 1-edits of each kind, 2-edits, unicode,
+    repeated-char variant collisions), at max_dist 1 and 2."""
+    import itertools
+
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.textops import _lev_within, edit_distance_join
+
+    keys = {
+        0: "abcdef", 1: "abcdef", 2: "abcdef",      # exact-dup cluster
+        3: "abcdxf",                                 # 1 substitution
+        4: "abcde",                                  # 1 deletion
+        5: "abcdefg",                                # 1 insertion
+        6: "xbcdxf",                                 # 2 edits from 0
+        7: "zzzzzz",                                 # far
+        8: "aabb", 9: "abb",                         # repeated-char deletes
+        10: "héllo", 11: "hallo", 12: "héllo!",  # unicode
+        13: "", 14: "a",                             # tiny keys
+    }
+    df = pd.DataFrame({"doc_id": list(keys), "k": list(keys.values())})
+    for d in (1, 2):
+        out = edit_distance_join(rd.from_pandas(df).repartition(3),
+                                 str_col="k", max_dist=d,
+                                 n_buckets=8).to_pandas()
+        got = {(int(r.a), int(r.b)): int(r.dist) for r in out.itertuples()}
+        want = {}
+        for a, b in itertools.combinations(sorted(keys), 2):
+            dd = _lev_within(keys[a], keys[b], d)
+            if dd <= d:
+                want[(a, b)] = dd
+        assert got == want, f"max_dist={d}"
+    # _lev_within itself vs a reference DP on random short strings
+    rng = np.random.default_rng(7)
+    def ref_lev(a, b):
+        la, lb = len(a), len(b)
+        m = np.zeros((la + 1, lb + 1), dtype=int)
+        m[:, 0] = np.arange(la + 1); m[0, :] = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                m[i, j] = min(m[i - 1, j] + 1, m[i, j - 1] + 1,
+                              m[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return m[la, lb]
+    for _ in range(200):
+        a = "".join(rng.choice(list("abc"), size=rng.integers(0, 7)))
+        b = "".join(rng.choice(list("abc"), size=rng.integers(0, 7)))
+        for d in (1, 2):
+            assert _lev_within(a, b, d) == min(ref_lev(a, b), d + 1)
