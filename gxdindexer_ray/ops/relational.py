@@ -1706,3 +1706,40 @@ def key_cooccurrence(ds, group_col: str, item_col: str, *,
     part = keyed_exchange_apply(pairs, [group_col], per_bucket, n_buckets)
     return pre_aggregate(part, ["item_a", "item_b"],
                          sums={"n_groups": "n_groups"}, driver_final=True)
+
+
+def grouped_mode(ds, key_cols: list[str], val_col: str, *,
+                 out_col: str | None = None,
+                 count_col: str = "n_occurrences", n_buckets: int = 64):
+    """Exact per-key MODE (most frequent value), deterministic tie-break:
+    highest count first, then smallest value. Scale shape: map-side
+    Arrow (key, value) partial counts shrink each batch to its distinct
+    combinations, then ONE key-hash exchange co-locates a key's partials
+    — the reducer sums per (key, value) and keeps one argmax row per key,
+    so the exchange carries distinct combinations, never raw rows, and
+    the driver sees only one row per key. Null keys/values are dropped
+    (callers wanting SQL null groups filter upstream explicitly)."""
+    out_col = out_col or val_col
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_cols + [val_col]).drop_null()
+        t = pa.TableGroupBy(t, key_cols + [val_col]).aggregate(
+            [([], "count_all")])
+        return t.rename_columns(key_cols + [val_col, "__n"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        cols = key_cols + [out_col, count_col]
+        if df.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        tot = (df.groupby(key_cols + [val_col], sort=False)["__n"]
+               .sum().reset_index())
+        tot = tot.sort_values(key_cols + ["__n", val_col],
+                              ascending=[True] * len(key_cols)
+                              + [False, True], kind="mergesort")
+        tot = tot.drop_duplicates(key_cols, keep="first")
+        tot.columns = cols
+        return tot
+
+    return keyed_exchange_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_cols, pick, n_buckets)

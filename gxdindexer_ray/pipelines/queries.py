@@ -26,6 +26,7 @@ from ..ops.relational import (
     broadcast_join,
     dedup_first,
     distributed_topk,
+    grouped_mode,
     key_set,
     pre_aggregate,
     read_table,
@@ -3518,6 +3519,32 @@ FROM d a JOIN d b
 """
 
 
+def q121_grouped_mode(sf: str):
+    """Per-user modal event type (ops/relational.py::grouped_mode): exact
+    distributed MODE — map-side Arrow (user, type) partial counts, ONE
+    user-hash exchange, per-key argmax with the count-desc / value-asc
+    tie-break mirrored by the oracle's row_number ORDER BY. Registered
+    past the driver's 50-entry window — gated by the local oracle
+    sweep."""
+    ds = read_table(sf, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ds, ["user_id"], "event_type",
+                        out_col="mode_value")
+
+
+SQL_Q121 = """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_value, n AS n_occurrences
+FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3643,6 +3670,7 @@ CATALOG: dict[str, tuple] = {
     "q118_triangle_count": (q118_triangle_count, SQL_Q118),
     "q119_jaccard_join": (q119_jaccard_join, SQL_Q119),
     "q120_fuzzy_join": (q120_fuzzy_join, SQL_Q120),
+    "q121_grouped_mode": (q121_grouped_mode, SQL_Q121),
 }
 
 # Driver-sweep rotation (round 5): the correctness driver checks only the
@@ -3693,7 +3721,8 @@ GROUPS: dict[str, list[str]] = {
     + ["q93_best_doc_per_source", "q95_zscore_normalize",
        "q96_rollup_counts", "q97_event_pivot", "q105_global_rank",
        "q106_interval_join", "q107_cube_counts", "q110_topk_per_group",
-       "q116_robust_outliers", "q117_cooccurrence", "q118_triangle_count"],
+       "q116_robust_outliers", "q117_cooccurrence", "q118_triangle_count",
+       "q121_grouped_mode"],
     "windows": ["q20_tumbling_window", "q21_sessionize",
                 "q61_hopping_window", "q78_running_sum",
                 "q100_session_funnel", "q108_funnel_steps",

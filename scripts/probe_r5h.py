@@ -46,17 +46,24 @@ results = {"steal_pct_start": round(steal(), 2)}
 N_DOC, VOCAB, DOCLEN = 100_000, 50_000, 60
 
 
+def _doc_words(d: int) -> np.ndarray:
+    # hash the doc id BEFORE adding the position index — ``d + arange``
+    # alone makes consecutive docs share 59/60 splitmix inputs (shifted
+    # near-identical docs: every neighbor pair qualifies)
+    h = _splitmix64(_splitmix64(np.array([d], np.uint64))
+                    + np.arange(DOCLEN, dtype=np.uint64))
+    return h % np.uint64(VOCAB)
+
+
 def mk_docs(batch: pa.Table) -> pa.Table:
     i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = []
     for d in i:
-        h = _splitmix64(np.uint64(d) + np.arange(DOCLEN, dtype=np.uint64))
-        words = h % np.uint64(VOCAB)
+        words = _doc_words(d)
         if d % 5 == 4:  # near-dup of doc d-1: mutate the last 4 words
-            h0 = _splitmix64(np.uint64(d - 1)
-                             + np.arange(DOCLEN, dtype=np.uint64))
-            words = h0 % np.uint64(VOCAB)
-            words[-4:] = (h % np.uint64(VOCAB))[-4:]
+            mut = words[-4:]
+            words = _doc_words(d - 1)
+            words[-4:] = mut
         texts.append(" ".join("w%d" % w for w in words))
     return pa.table({"doc_id": pa.array(i), "text": pa.array(texts)})
 

@@ -3532,3 +3532,28 @@ def test_edit_distance_join_brute_parity(ray_session):
         b = "".join(rng.choice(list("abc"), size=rng.integers(0, 7)))
         for d in (1, 2):
             assert _lev_within(a, b, d) == min(ref_lev(a, b), d + 1)
+
+
+def test_grouped_mode_exact(ray_session):
+    """grouped_mode (q121): exact per-key argmax with count-desc /
+    value-asc tie-break; partials summed correctly across blocks; null
+    keys and values dropped."""
+    import ray.data as rd
+
+    from gxdindexer_ray.ops.relational import grouped_mode
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 2, 3, 3, None, 4],
+        "v": ["b", "b", "a", "x", "y", "x", "y", "z", None, "q", "only"],
+    })
+    # repartition(5) splits key groups across blocks -> reducer must SUM
+    # partials per (k, v), not pick a per-block winner
+    out = grouped_mode(rd.from_pandas(df).repartition(5), ["k"], "v",
+                       out_col="mode_value", n_buckets=4).to_pandas()
+    got = {int(r.k): (r.mode_value, int(r.n_occurrences))
+           for r in out.itertuples()}
+    assert got == {1: ("b", 2),      # plain majority
+                   2: ("x", 2),      # tie 2-2 -> smallest value wins
+                   3: ("z", 1),      # null value dropped
+                   4: ("only", 1)}   # singleton
+    assert len(out) == 4             # null key dropped
