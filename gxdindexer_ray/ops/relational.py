@@ -1660,7 +1660,7 @@ def _triangle_positions(starts: np.ndarray, counts: np.ndarray):
 
 
 def key_cooccurrence(ds, group_col: str, item_col: str, *,
-                     n_buckets: int = 32):
+                     n_buckets: int = 32, dense_items_cap: int = 2048):
     """Market-basket pair counting: for every unordered pair of distinct
     items, the number of groups containing BOTH (item_a < item_b). The
     co-occurrence statistic behind 'users who did X also did Y' /
@@ -1668,12 +1668,22 @@ def key_cooccurrence(ds, group_col: str, item_col: str, *,
 
     Scale shape: map-side in-batch distinct cuts (group, item) pairs
     before they move; ONE group-hash exchange delivers each group's item
-    set to one reducer; pair emission is the exact-size vectorized
-    triangle (no per-group Python loop, no n*n grid); per-bucket partial
-    pair counts sum in a final small aggregate (groups are disjoint
-    across buckets, so partials never double-count). Pair volume is
-    sum(m_g^2) over group item-set sizes m_g — bounded by the item
-    vocabulary, not the row count."""
+    set to one reducer. Pair counting per bucket is two-path:
+
+    - item vocabulary <= 2048 in the bucket: DENSE GRAM MATMUL — C = sum
+      of M_slab^T @ M_slab over 4096-group slabs of the (group x item)
+      0/1 matrix; C[i, j] IS the exact pair count, no pair instance is
+      ever materialized (the 20M-event probe spent 90s materializing
+      180M triangle rows that this path replaces with ~8 small BLAS
+      calls per bucket). Slab products are exact in float32 (<= 4096 <
+      2^24) and accumulate exactly in float64 (< 2^53).
+    - larger vocabularies: the exact-size vectorized triangle (no
+      per-group Python loop, no n*n grid) — pair volume is sum(m_g^2)
+      over group item-set sizes, bounded by the vocabulary.
+
+    Per-bucket partial pair counts sum in a final small aggregate
+    (groups are disjoint across buckets, so partials never
+    double-count)."""
     import pyarrow as pa
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
@@ -1696,6 +1706,26 @@ def key_cooccurrence(ds, group_col: str, item_col: str, *,
         items = df[item_col].to_numpy()
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]).astype(np.int64)
         counts = np.diff(np.r_[starts, g.size]).astype(np.int64)
+        uniq = np.unique(items)
+        if uniq.size <= dense_items_cap:
+            n_items = int(uniq.size)
+            codes = np.searchsorted(uniq, items)
+            gid = np.repeat(np.arange(starts.size), counts)
+            c_mat = np.zeros((n_items, n_items), np.float64)
+            slab = 4096
+            for s0 in range(0, starts.size, slab):
+                s1 = min(s0 + slab, starts.size)
+                r0 = starts[s0]
+                r1 = starts[s1] if s1 < starts.size else g.size
+                m = np.zeros((s1 - s0, n_items), np.float32)
+                m[gid[r0:r1] - s0, codes[r0:r1]] = 1.0
+                c_mat += (m.T @ m).astype(np.float64)
+            iu, ju = np.triu_indices(n_items, 1)
+            cnt = c_mat[iu, ju]
+            nz = cnt > 0
+            return pd.DataFrame({"item_a": uniq[iu[nz]],
+                                 "item_b": uniq[ju[nz]],
+                                 "n_groups": cnt[nz].astype(np.int64)})
         pi, pj = _triangle_positions(starts, counts)
         if pi.size == 0:
             return empty

@@ -3400,16 +3400,20 @@ def test_key_cooccurrence_exact_counts(ray_session):
             for _ in range(int(rng.integers(1, 3))):
                 rows.append((u, it))
     df = pd.DataFrame(rows, columns=["user_id", "event_type"])
-    out = key_cooccurrence(rd.from_pandas(df).repartition(5),
-                           "user_id", "event_type")
-    got = {(r.item_a, r.item_b): r.n_groups for r in out.itertuples()}
     # brute force
     want: dict = {}
     for _, grp in df.drop_duplicates().groupby("user_id"):
         for a, b in itertools.combinations(sorted(grp.event_type), 2):
             want[(a, b)] = want.get((a, b), 0) + 1
-    assert got == want
-    assert all(a < b for a, b in got)
+    # BOTH reducer paths must agree with brute force: dense gram matmul
+    # (default cap) and the triangle fallback (cap=0 forces it)
+    for cap in (2048, 0):
+        out = key_cooccurrence(rd.from_pandas(df).repartition(5),
+                               "user_id", "event_type",
+                               dense_items_cap=cap)
+        got = {(r.item_a, r.item_b): r.n_groups for r in out.itertuples()}
+        assert got == want, f"dense_items_cap={cap}"
+        assert all(a < b for a, b in got)
 
 
 def test_triangle_count_exact(ray_session):
