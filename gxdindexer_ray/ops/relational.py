@@ -1697,8 +1697,11 @@ def key_cooccurrence(ds, group_col: str, item_col: str, *,
                           "n_groups": pd.Series([], dtype=np.int64)})
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # in-batch distinct is per-batch only — finish it here
-        df = df.drop_duplicates([group_col, item_col])
+        # in-batch distinct is per-batch only — finish it here; null
+        # groups/items can never satisfy a SQL equi-self-join, and
+        # np.unique can't order None among strings — drop both
+        df = df.dropna(subset=[group_col, item_col]) \
+            .drop_duplicates([group_col, item_col])
         if df.empty:
             return empty
         df = df.sort_values([group_col, item_col], kind="mergesort")

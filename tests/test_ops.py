@@ -3400,9 +3400,14 @@ def test_key_cooccurrence_exact_counts(ray_session):
             for _ in range(int(rng.integers(1, 3))):
                 rows.append((u, it))
     df = pd.DataFrame(rows, columns=["user_id", "event_type"])
-    # brute force
+    # null items/groups can't satisfy a SQL equi-self-join: both reducer
+    # paths must drop them, not crash or emit None pairs
+    df = pd.concat([df, pd.DataFrame({"user_id": [0, None],
+                                      "event_type": [None, "i0"]})],
+                   ignore_index=True)
+    # brute force (null groups/items excluded, like the SQL self-join)
     want: dict = {}
-    for _, grp in df.drop_duplicates().groupby("user_id"):
+    for _, grp in df.dropna().drop_duplicates().groupby("user_id"):
         for a, b in itertools.combinations(sorted(grp.event_type), 2):
             want[(a, b)] = want.get((a, b), 0) + 1
     # BOTH reducer paths must agree with brute force: dense gram matmul
